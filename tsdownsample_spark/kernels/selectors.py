@@ -1,0 +1,361 @@
+"""Downsampling selector kernels — vectorized NumPy, bit-parity with the
+reference (predict-idlab/tsdownsample).
+
+All selectors return **int64 indices into the original series** (the
+reference returns uint64; int64 is friendlier to Spark's LongType and the
+values are identical for any realistic n).  Common contract (reference:
+tsdownsample/downsampling_interface.py:104-135):
+
+    select(y, n_out, x=None, ...) -> np.ndarray[int64]
+
+* ``n_out >= len(y)`` -> identity ``0..len(y)-1`` (reference short-input rule,
+  e.g. downsample_rs/src/lttb.rs:23-25, minmax.rs:105-107).
+* with ``x`` + gaps, *fewer* than ``n_out`` indices may come back (empty
+  equidistant bins emit nothing — searchsorted.rs:118-122).
+* NaN policy: ``nan="ignore"`` skips NaNs (plain selectors); ``nan="return"``
+  makes any NaN in a bin win, i.e. the bin returns the first NaN index for
+  both its min and max slot (NaN* selectors; cf.
+  tsdownsample/_python/downsamplers.py nanarg vs arg discipline).
+
+The grouped argmin/argmax is fully vectorized with ``ufunc.reduceat`` over
+the contiguous bin tiling — no per-bin Python loop — so a whole Arrow batch
+of medium-sized series costs a handful of passes over the data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tsdownsample_spark.kernels.binning import equal_count_bins, equidistant_bins
+
+__all__ = [
+    "minmax",
+    "m4",
+    "lttb",
+    "minmaxlttb",
+    "everynth",
+    "downsample_array",
+]
+
+
+def _as_float_view(x: np.ndarray) -> np.ndarray:
+    """View datetime64/timedelta64 as int64, bool as int8 (reference view-cast
+    rules, downsampling_interface.py:204-227)."""
+    if x.dtype.kind in ("M", "m"):
+        return x.view(np.int64)
+    if x.dtype == np.bool_:
+        return x.view(np.int8)
+    return x
+
+
+def _grouped_argminmax(
+    y: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    nan_return: bool,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """First-occurrence argmin/argmax per bin, vectorized.
+
+    Bins must tile ``[0, ends[-1])`` contiguously once empty ones are dropped
+    (guaranteed by the binning rules).  Returns ``(bstarts, bends, argmins,
+    argmaxs)`` restricted to non-empty bins, indices absolute.
+    """
+    valid = ends > starts
+    vs = starts[valid]
+    ve = ends[valid]
+    if len(vs) == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, e.copy(), e.copy()
+    n_used = int(ve[-1])
+    yv = y[:n_used]
+    counts = ve - vs
+    bin_of = np.repeat(np.arange(len(vs), dtype=np.int64), counts)
+
+    is_float = yv.dtype.kind == "f"
+    if is_float:
+        nan_mask = np.isnan(yv)
+        if nan_return:
+            # Propagating semantics: a NaN anywhere in the bin wins and the
+            # *first* NaN index is returned for both slots (np.argmin/argmax
+            # behavior, matching the reference NaN* selectors).
+            has_nan = np.zeros(len(vs), dtype=bool)
+            np.logical_or.at(has_nan, bin_of, nan_mask)
+            mins = np.minimum.reduceat(yv, vs)
+            maxs = np.maximum.reduceat(yv, vs)
+            hit_min = np.where(has_nan[bin_of], nan_mask, yv == mins[bin_of])
+            hit_max = np.where(has_nan[bin_of], nan_mask, yv == maxs[bin_of])
+        else:
+            mins = np.fmin.reduceat(yv, vs)
+            maxs = np.fmax.reduceat(yv, vs)
+            # All-NaN bins leave NaN in mins/maxs; fall back to the first NaN
+            # index there (reference behavior is undefined for this case —
+            # np.nanargmin raises — so we pick a total, deterministic rule).
+            all_nan = np.isnan(mins)
+            hit_min = np.where(all_nan[bin_of], nan_mask, yv == mins[bin_of])
+            hit_max = np.where(all_nan[bin_of], nan_mask, yv == maxs[bin_of])
+    else:
+        mins = np.minimum.reduceat(yv, vs)
+        maxs = np.maximum.reduceat(yv, vs)
+        hit_min = yv == mins[bin_of]
+        hit_max = yv == maxs[bin_of]
+
+    argmins = _first_hit(hit_min, bin_of, len(vs))
+    argmaxs = _first_hit(hit_max, bin_of, len(vs))
+    return vs, ve, argmins, argmaxs
+
+
+def _first_hit(hit: np.ndarray, bin_of: np.ndarray, nbins: int) -> np.ndarray:
+    """Absolute index of the first True per bin (every bin has >= 1 hit)."""
+    pos = np.flatnonzero(hit)
+    b = bin_of[pos]
+    # pos ascending & b non-decreasing -> first occurrence per bin
+    first = np.zeros(nbins, dtype=np.int64)
+    seen = np.zeros(nbins, dtype=bool)
+    # vectorized "first index where b == k": b is sorted, so unique works
+    uniq, idx = np.unique(b, return_index=True)
+    first[uniq] = pos[idx]
+    seen[uniq] = True
+    if not seen.all():  # pragma: no cover - guarded by construction
+        raise AssertionError("bin without argmin/argmax hit")
+    return first
+
+
+def _interleave_pairs(argmins: np.ndarray, argmaxs: np.ndarray) -> np.ndarray:
+    """Emit (min, max) per bin *in index order* (minmax.rs:123-130)."""
+    lo = np.minimum(argmins, argmaxs)
+    hi = np.maximum(argmins, argmaxs)
+    out = np.empty(2 * len(lo), dtype=np.int64)
+    out[0::2] = lo
+    out[1::2] = hi
+    return out
+
+
+def minmax(
+    y: np.ndarray,
+    n_out: int,
+    x: np.ndarray | None = None,
+    nan: str = "ignore",
+) -> np.ndarray:
+    """MinMax selector: ``n_out/2`` bins, per bin the argmin and argmax of y
+    emitted in index order (reference downsample_rs/src/minmax.rs:98-222).
+
+    With ``x``: equidistant x-value bins; empty bins emit nothing; bins with
+    <= 2 points pass all points through (minmax.rs:199-203).
+    """
+    y = _as_float_view(np.asarray(y))
+    n = len(y)
+    if n_out % 2 != 0:
+        raise ValueError("n_out must be a multiple of 2")
+    if n_out >= n:
+        return np.arange(n, dtype=np.int64)
+    nan_return = nan == "return"
+    if x is None:
+        starts, ends = equal_count_bins(n, n_out // 2)
+        _, _, argmins, argmaxs = _grouped_argminmax(y, starts, ends, nan_return)
+        return _interleave_pairs(argmins, argmaxs)
+    x = _as_float_view(np.asarray(x))
+    starts, ends = equidistant_bins(x, n_out // 2)
+    vs, ve, argmins, argmaxs = _grouped_argminmax(y, starts, ends, nan_return)
+    counts = ve - vs
+    small = counts <= 2
+    # Small bins pass all their points through; larger bins emit the
+    # (min, max) pair in index order — bin order preserved.
+    lo = np.minimum(argmins, argmaxs)
+    hi = np.maximum(argmins, argmaxs)
+    pieces = []
+    for i in range(len(vs)):
+        if small[i]:
+            pieces.append(np.arange(vs[i], ve[i], dtype=np.int64))
+        else:
+            pieces.append(np.array([lo[i], hi[i]], dtype=np.int64))
+    if not pieces:
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate(pieces)
+
+
+def m4(
+    y: np.ndarray,
+    n_out: int,
+    x: np.ndarray | None = None,
+    nan: str = "ignore",
+) -> np.ndarray:
+    """M4 selector: ``n_out/4`` bins, per bin (first, min, max, last) with
+    min/max in index order; duplicates are kept (m4.rs:102-142,192-234).
+
+    With ``x``: equidistant bins; empty bins emit nothing; bins with <= 4
+    points pass all points through (m4.rs:206-210).
+    """
+    y = _as_float_view(np.asarray(y))
+    n = len(y)
+    if n_out % 4 != 0:
+        raise ValueError("n_out must be a multiple of 4")
+    if n_out >= n:
+        return np.arange(n, dtype=np.int64)
+    nan_return = nan == "return"
+    if x is None:
+        starts, ends = equal_count_bins(n, n_out // 4)
+        vs, ve, argmins, argmaxs = _grouped_argminmax(y, starts, ends, nan_return)
+        out = np.empty(4 * len(vs), dtype=np.int64)
+        out[0::4] = vs
+        out[1::4] = np.minimum(argmins, argmaxs)
+        out[2::4] = np.maximum(argmins, argmaxs)
+        out[3::4] = ve - 1
+        return out
+    x = _as_float_view(np.asarray(x))
+    starts, ends = equidistant_bins(x, n_out // 4)
+    vs, ve, argmins, argmaxs = _grouped_argminmax(y, starts, ends, nan_return)
+    counts = ve - vs
+    small = counts <= 4
+    lo = np.minimum(argmins, argmaxs)
+    hi = np.maximum(argmins, argmaxs)
+    pieces = []
+    for i in range(len(vs)):
+        if small[i]:
+            pieces.append(np.arange(vs[i], ve[i], dtype=np.int64))
+        else:
+            pieces.append(np.array([vs[i], lo[i], hi[i], ve[i] - 1], dtype=np.int64))
+    if not pieces:
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate(pieces)
+
+
+def _abs_bits(area: np.ndarray) -> np.ndarray:
+    """|area| compared through its IEEE-754 bit pattern, exactly like the
+    reference's sign-mask transmute trick (lttb.rs:6-11): monotone for
+    non-negative floats and total over NaN (NaN beats everything finite)."""
+    return np.abs(area).view(np.int64)
+
+
+def lttb(
+    y: np.ndarray,
+    n_out: int,
+    x: np.ndarray | None = None,
+) -> np.ndarray:
+    """Largest-Triangle-Three-Buckets (lttb.rs:17-180).
+
+    Always keeps first and last point; ``n_out - 2`` interior buckets of
+    fractional size ``(n-2)/(n_out-2)``; each bucket keeps the point
+    maximizing the triangle area spanned with the previously selected point
+    and the *next bucket's average* (avg_y = mean; avg_x = midpoint of the
+    next bucket's first/last x — NOT the mean — lttb.rs:46-51).  Sequential
+    across buckets by construction; each bucket scan is vectorized.
+    """
+    y = _as_float_view(np.asarray(y))
+    n = len(y)
+    if n_out >= n:
+        return np.arange(n, dtype=np.int64)
+    if n_out < 3:
+        raise ValueError("n_out must be >= 3 for LTTB")
+    yf = y.astype(np.float64, copy=False)
+    if x is not None:
+        xf = _as_float_view(np.asarray(x)).astype(np.float64, copy=False)
+    else:
+        xf = None
+
+    every = (n - 2) / (n_out - 2)
+    out = np.empty(n_out, dtype=np.int64)
+    out[0] = 0
+    out[-1] = n - 1
+    a = 0
+    for i in range(n_out - 2):
+        avg_start = int(every * (i + 1)) + 1
+        avg_end = min(int(every * (i + 2)) + 1, n)
+        avg_y = float(np.add.reduce(yf[avg_start:avg_end])) / (avg_end - avg_start)
+        ro = int(every * i) + 1
+        rt = avg_start
+        ay = yf[a]
+        if xf is None:
+            avg_x = (avg_start + avg_end - 1) / 2.0
+            ax = float(a)
+            d1 = ax - avg_x
+            d2 = avg_y - ay
+            ax_rel = ax - ro
+            # area_j = d1*y_j - (ax_rel - j)*d2 - d1*ay   (lttb.rs:145)
+            area = d1 * yf[ro:rt] - (ax_rel - np.arange(rt - ro, dtype=np.float64)) * d2 - d1 * ay
+        else:
+            avg_x = (xf[avg_end - 1] + xf[avg_start]) / 2.0
+            ax = xf[a]
+            d1 = ax - avg_x
+            d2 = avg_y - ay
+            offset = d1 * ay + d2 * ax
+            area = d1 * yf[ro:rt] + d2 * xf[ro:rt] - offset
+        a = ro + int(_abs_bits(np.ascontiguousarray(area, dtype=np.float64)).argmax())
+        out[i + 1] = a
+    return out
+
+
+def minmaxlttb(
+    y: np.ndarray,
+    n_out: int,
+    x: np.ndarray | None = None,
+    minmax_ratio: int = 4,
+    nan: str = "ignore",
+) -> np.ndarray:
+    """MinMaxLTTB (minmaxlttb.rs:125-207): when ``n // n_out > ratio``, first
+    MinMax-prefetch ``n_out * ratio`` candidate points over the interior
+    ``[1, n-1)``, keep endpoints, then run LTTB *on the candidates* (in the
+    no-x mode the candidates' original indices serve as x), mapping the
+    result back to original indices; otherwise plain LTTB.
+    """
+    if minmax_ratio <= 1:
+        raise ValueError("minmax_ratio must be > 1")
+    y = _as_float_view(np.asarray(y))
+    n = len(y)
+    if n_out >= n:
+        return np.arange(n, dtype=np.int64)
+    if n // n_out > minmax_ratio:
+        if x is None:
+            inner = minmax(y[1 : n - 1], n_out * minmax_ratio, nan=nan)
+        else:
+            x = _as_float_view(np.asarray(x))
+            inner = minmax(y[1 : n - 1], n_out * minmax_ratio, x=x[1 : n - 1], nan=nan)
+        index = np.empty(len(inner) + 2, dtype=np.int64)
+        index[0] = 0
+        index[1:-1] = inner + 1
+        index[-1] = n - 1
+        if x is None:
+            sel = lttb(y[index], n_out, x=index.astype(np.float64))
+        else:
+            sel = lttb(y[index], n_out, x=x[index])
+        return index[sel]
+    return lttb(y, n_out, x=x)
+
+
+def everynth(y: np.ndarray, n_out: int, x: np.ndarray | None = None) -> np.ndarray:
+    """Strided selection (tsdownsample/downsamplers.py:148-158): ``step =
+    max(1, n/n_out)`` (float), indices ``floor(i*step)`` for ``i*step <
+    n - 0.1``.  x is ignored by the reference (with a warning)."""
+    n = len(y)
+    step = max(1.0, n / n_out)
+    return np.arange(0, n - 0.1, step).astype(np.int64)
+
+
+_SELECTORS = {
+    "minmax": lambda y, n_out, x, kw: minmax(y, n_out, x=x, nan="ignore"),
+    "nanminmax": lambda y, n_out, x, kw: minmax(y, n_out, x=x, nan="return"),
+    "m4": lambda y, n_out, x, kw: m4(y, n_out, x=x, nan="ignore"),
+    "nanm4": lambda y, n_out, x, kw: m4(y, n_out, x=x, nan="return"),
+    "lttb": lambda y, n_out, x, kw: lttb(y, n_out, x=x),
+    "minmaxlttb": lambda y, n_out, x, kw: minmaxlttb(
+        y, n_out, x=x, minmax_ratio=kw.get("minmax_ratio", 4), nan="ignore"
+    ),
+    "nanminmaxlttb": lambda y, n_out, x, kw: minmaxlttb(
+        y, n_out, x=x, minmax_ratio=kw.get("minmax_ratio", 4), nan="return"
+    ),
+    "everynth": lambda y, n_out, x, kw: everynth(y, n_out),
+}
+
+
+def downsample_array(
+    y: np.ndarray,
+    n_out: int,
+    algo: str = "minmax",
+    x: np.ndarray | None = None,
+    **kw,
+) -> np.ndarray:
+    """Dispatch by algorithm name (mirrors the reference's class registry)."""
+    try:
+        fn = _SELECTORS[algo]
+    except KeyError:
+        raise ValueError(f"unknown algorithm {algo!r}; one of {sorted(_SELECTORS)}") from None
+    return fn(np.asarray(y), n_out, x, kw)
