@@ -1,0 +1,95 @@
+"""Emulates the driver's correctness gate locally: run every queries() entry
+through Spark, every oracle_sql() entry through DuckDB on the same parquet
+tables, and compare row counts + order-insensitive values.
+"""
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.10g}"
+    return str(v)
+
+
+def _norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = list(r)
+        out.append(tuple(_norm_cell(vals[i]) for i in order))
+    return sorted(out)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"event_type", "pos", "sel_idx", "sel_value"}
+
+
+def test_queries_against_oracles(spark, sf_dir):
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    con = _duck(sf_dir)
+    failures = []
+    for name, fn in qs.items():
+        df = fn(spark, sf_dir)
+        got = df.collect()
+        assert len(got) > 0, f"{name} returned no rows"
+        if name not in oracles:
+            continue
+        cols = df.columns
+        expected = con.sql(oracles[name])
+        exp_cols = [d[0] for d in expected.description]
+        assert sorted(cols) == sorted(exp_cols), f"{name}: column mismatch {cols} vs {exp_cols}"
+        g = _norm([tuple(r) for r in got], cols)
+        e = _norm(expected.fetchall(), exp_cols)
+        if g != e:
+            diff_g = [r for r in g if r not in set(e)][:5]
+            diff_e = [r for r in e if r not in set(g)][:5]
+            failures.append(f"{name}: {len(g)} vs {len(e)} rows; spark-only={diff_g} duck-only={diff_e}")
+    assert not failures, "\n".join(failures)
+
+
+@pytest.mark.slow
+def test_queries_against_oracles_sf001(spark):
+    os.environ.get("SPARK_GRAFT_TEST_SF_DIR")
+    # run the same gate at the driver's sf0.01 scale when requested
+    if not os.path.isdir("/root/testdata/sf0.01"):
+        pytest.skip("sf0.01 not present")
+    test_queries_against_oracles(spark, "/root/testdata/sf0.01")

@@ -1,0 +1,136 @@
+"""Spark downsampling operators.
+
+Two physical shapes, both shuffle-free where possible:
+
+* **Token-table form** ("no x" mode, BASELINE input_hint): one row per
+  series, ``tokens: array<int32>``.  ``downsample_tokens`` is a *narrow map*
+  — a scalar Arrow pandas UDF computing selected indices per row.  The plan
+  is ``Scan -> ArrowEvalPython -> Project``: zero shuffle, embarrassingly
+  parallel across partitions, scales linearly with executors.  Inside the
+  UDF, the whole Arrow batch of series is downsampled in one vectorized pass
+  (kernels.batch).
+
+* **Long (exploded) form** ("with x" mode): rows ``(series key, x, y)``.
+  ``downsample_series`` groups by the series key (one shuffle — unavoidable:
+  the selector semantics need the whole series ordered) and runs the kernel
+  per group via ``applyInPandas``.  At 100 TB the shuffle is bounded by
+  pre-partitioning the source table by the same key (see plans.partitioning)
+  so the exchange collapses to a local sort.
+
+Value gathering stays JVM-side (``transform`` + ``element_at``) — no second
+UDF round-trip for materializing selected values.
+
+Reference semantics: tsdownsample's selector contract
+(tsdownsample/downsampling_interface.py:104-135); see kernels.selectors.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from tsdownsample_spark.kernels.batch import batch_downsample
+from tsdownsample_spark.kernels.selectors import downsample_array
+
+ALGOS = (
+    "minmax",
+    "nanminmax",
+    "m4",
+    "nanm4",
+    "lttb",
+    "minmaxlttb",
+    "nanminmaxlttb",
+    "everynth",
+)
+
+
+def _validate(algo: str, n_out: int) -> None:
+    if algo not in ALGOS:
+        raise ValueError(f"unknown algo {algo!r}; one of {ALGOS}")
+    if n_out <= 0:
+        raise ValueError("n_out must be positive")
+    if algo in ("minmax", "nanminmax") and n_out % 2:
+        raise ValueError("n_out must be a multiple of 2 for minmax")
+    if algo in ("m4", "nanm4") and n_out % 4:
+        raise ValueError("n_out must be a multiple of 4 for m4")
+    if algo.endswith("lttb") and n_out < 3:
+        raise ValueError("n_out must be >= 3 for lttb-family selectors")
+
+
+def downsample_tokens(
+    df: DataFrame,
+    n_out: int,
+    algo: str = "minmax",
+    tokens_col: str = "tokens",
+    idx_col: str = "sel_idx",
+    **kw,
+) -> DataFrame:
+    """Append ``idx_col: array<bigint>`` with the selected indices per row.
+
+    Narrow transformation: no shuffle, whole batch vectorized.
+    """
+    _validate(algo, n_out)
+
+    @pandas_udf("array<bigint>")
+    def _select(col: pd.Series) -> pd.Series:
+        arrays = [None if v is None else np.asarray(v) for v in col]
+        return pd.Series(batch_downsample(arrays, n_out, algo=algo, **kw), index=col.index)
+
+    return df.withColumn(idx_col, _select(F.col(tokens_col)))
+
+
+def gather_values(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    idx_col: str = "sel_idx",
+    out_col: str = "sel_tokens",
+) -> DataFrame:
+    """Materialize selected values JVM-side: ``out[i] = tokens[idx[i]]``."""
+    return df.withColumn(
+        out_col,
+        F.expr(f"transform({idx_col}, i -> element_at({tokens_col}, CAST(i AS INT) + 1))"),
+    )
+
+
+def downsample_series(
+    df: DataFrame,
+    n_out: int,
+    algo: str = "minmax",
+    x_col: str = "ts",
+    y_col: str = "value",
+    by: Sequence[str] = ("doc_id",),
+    keep_x_dtype: str | None = None,
+    **kw,
+) -> DataFrame:
+    """Downsample long-form series ("with x" mode) per group.
+
+    Returns one row per selected point: group keys + ``sel_idx`` (position in
+    the x-ordered series) + x + y.  Rows within each group are ordered by
+    ``x_col`` (stable sort; ties keep input order) before the kernel runs —
+    the reference requires monotone x (README.md:130-135).
+    """
+    _validate(algo, n_out)
+    x_field = df.schema[x_col]
+    y_field = df.schema[y_col]
+    key_fields = ", ".join(f"{c} {df.schema[c].dataType.simpleString()}" for c in by)
+    schema = (
+        f"{key_fields}, sel_idx bigint, "
+        f"{x_col} {x_field.dataType.simpleString()}, {y_col} {y_field.dataType.simpleString()}"
+    )
+    by = list(by)
+
+    def _fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(x_col, kind="mergesort", ignore_index=True)
+        x = pdf[x_col].to_numpy()
+        y = pdf[y_col].to_numpy()
+        idx = downsample_array(y, n_out, algo=algo, x=x, **kw)
+        out = pdf.iloc[idx][by + [x_col, y_col]].copy()
+        out.insert(len(by), "sel_idx", idx)
+        return out
+
+    return df.groupBy(*by).applyInPandas(_fn, schema)
