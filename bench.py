@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Benchmark harness.  Prints ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {<name>: sec, ...}, "sf": ...}
+
+Parts:
+ 1. the headline driver-contract queries at $SPARK_GRAFT_SF_DIR;
+ 2. engine downsample throughput (series-points/sec, median of 3) over two
+    deterministic synthetic token-table shapes:
+      - "many": 2000 series x 20k tokens (the training-data shape — many
+        medium sequences; exercises the batched flat kernels),
+      - "wide": 32 series x 1.25M tokens (the reference-notebook shape —
+        few huge series, n_out=2000, cf. BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_OUT = int(os.environ.get("BENCH_N_OUT", "2000"))
+REPS = int(os.environ.get("BENCH_REPS", "3"))
+
+SHAPES = {
+    "many": (2000, 20_000),
+    "wide": (32, 1_250_000),
+}
+
+
+def bench_tokens_path(docs: int, ntok: int) -> tuple[str, int]:
+    """Deterministic synthetic token table on local disk (pyarrow, seeded)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"/tmp/tsds_bench_tokens_{docs}x{ntok}.parquet"
+    total = docs * ntok
+    if not os.path.exists(path):
+        rng = np.random.default_rng(42)
+        flat = rng.integers(0, 50_257, size=total, dtype=np.int32)
+        offsets = (np.arange(0, total + 1, ntok)).astype(np.int64)
+        tokens = pa.LargeListArray.from_arrays(pa.array(offsets), pa.array(flat))
+        sources = np.array(["web", "books", "code", "wiki"])[
+            rng.integers(0, 4, size=docs)
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([f"d{i:08d}" for i in range(docs)]),
+                "tokens": tokens,
+                "n_tok": pa.array(np.full(docs, ntok, dtype=np.int32)),
+                "source": pa.array(sources),
+            }
+        )
+        pq.write_table(tbl, path + ".tmp", row_group_size=max(1, docs // (4 * CPUS)))
+        os.replace(path + ".tmp", path)
+    return path, total
+
+
+def main() -> None:
+    t_start = time.time()
+    from pyspark.sql import functions as F
+
+    from tsdownsample_spark.plans.session import get_spark
+    import __spark_entry__ as E
+
+    spark = get_spark(
+        app_name="tsds-bench", master=f"local[{CPUS}]", shuffle_partitions=2 * CPUS
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # Part 1 — headline queries at SF_DIR
+    for name, fn in E.queries().items():
+        t0 = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    # Part 2 — downsample throughput (series-points/sec)
+    from tsdownsample_spark.operators.downsample import downsample_tokens
+
+    throughput: dict[str, float] = {}
+    for shape, (docs, ntok) in SHAPES.items():
+        path, total_points = bench_tokens_path(docs, ntok)
+        df = spark.read.parquet(path)
+        df.select(F.sum(F.size("tokens"))).collect()  # warm page cache/JIT
+        for algo in ("minmax", "m4", "minmaxlttb", "lttb", "everynth"):
+            reps = []
+            for _ in range(REPS):
+                t0 = time.time()
+                out = downsample_tokens(df, N_OUT, algo=algo)
+                out.select(F.sum(F.size("sel_idx"))).collect()
+                reps.append(time.time() - t0)
+            dt = statistics.median(reps)
+            timings[f"tok_{shape}_{algo}"] = round(dt, 3)
+            throughput[f"{shape}_{algo}"] = round(total_points / dt)
+
+    total = round(time.time() - t_start, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "downsample_bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "throughput_pts_per_sec": throughput,
+                "n_out": N_OUT,
+                "cores": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -174,7 +174,11 @@ def naive_lttb(y, n_out, x=None):
     for i in range(n_out - 2):
         avg_start = int(every * (i + 1)) + 1
         avg_end = min(int(every * (i + 2)) + 1, n)
-        avg_y = float(np.add.reduce(y[avg_start:avg_end])) / (avg_end - avg_start)
+        # sequential f64 fold, exactly like rust helpers.rs:30-32
+        acc = 0.0
+        for v in y[avg_start:avg_end]:
+            acc += float(v)
+        avg_y = acc / (avg_end - avg_start)
         ro = int(every * i) + 1
         rt = avg_start
         ay = float(y[a])

@@ -1,0 +1,156 @@
+"""Retention tiers + gap-fill: correctness vs pandas-computed expectations
+and cascade-vs-direct equivalence."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tsdownsample_spark.operators.gapfill import gap_fill
+from tsdownsample_spark.operators.rollup import (
+    retention_tiers,
+    rollup_raw,
+    with_derived,
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet").cache()
+
+
+def test_tier_1m_matches_pandas(spark, events):
+    tiers = retention_tiers(
+        events, x_col="ts", y_col="value", by=["event_type"], uid_col="event_id"
+    )
+    got = tiers["1m"].toPandas().sort_values(["event_type", "bucket_ts"])
+    pdf = events.toPandas()
+    pdf["bucket_ts"] = pdf.ts.dt.floor("min")
+    exp = (
+        pdf.sort_values(["ts", "event_id"])
+        .groupby(["event_type", "bucket_ts"])
+        .agg(
+            agg_cnt=("value", "size"),
+            agg_min=("value", "min"),
+            agg_max=("value", "max"),
+            first_val=("value", "first"),
+            last_val=("value", "last"),
+        )
+        .reset_index()
+        .sort_values(["event_type", "bucket_ts"])
+    )
+    assert len(got) == len(exp)
+    for c in ("agg_cnt", "agg_min", "agg_max", "first_val", "last_val"):
+        np.testing.assert_allclose(
+            got[c].to_numpy(), exp[c].to_numpy(), rtol=0, atol=0, err_msg=c
+        )
+
+
+def test_cascade_equals_direct(spark, events):
+    """1h from 1m must equal 1h computed straight from raw (decomposability)."""
+    tiers = retention_tiers(
+        events, x_col="ts", y_col="value", by=["event_type"], uid_col="event_id"
+    )
+    direct = rollup_raw(
+        events, "1h", x_col="ts", y_col="value", by=["event_type"], uid_col="event_id"
+    )
+    a = tiers["1h"].toPandas().sort_values(["event_type", "bucket_ts"]).reset_index(drop=True)
+    b = direct.toPandas().sort_values(["event_type", "bucket_ts"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    for c in ("agg_cnt", "agg_min", "agg_max", "first_ts", "first_val", "last_ts", "last_val"):
+        np.testing.assert_array_equal(a[c].to_numpy(), b[c].to_numpy(), err_msg=c)
+    np.testing.assert_allclose(a.agg_sum.to_numpy(), b.agg_sum.to_numpy(), rtol=1e-12)
+
+
+def test_tier_row_reduction(spark, events):
+    tiers = retention_tiers(events, by=["event_type"], x_col="ts", y_col="value")
+    n1m, n1h, n1d = (tiers[t].count() for t in ("1m", "1h", "1d"))
+    assert n1m > n1h > n1d > 0
+
+
+def test_gapfill_null_and_zero(spark):
+    pdf = pd.DataFrame(
+        {
+            "series_key": "a",
+            "bucket_ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 00:01", "2024-01-01 00:04"]
+            ),
+            "agg_avg": [1.0, 2.0, 5.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = gap_fill(df, "1 minute", by=["series_key"], value_cols=["agg_avg"]).orderBy(
+        "bucket_ts"
+    )
+    rows = out.collect()
+    assert len(rows) == 5
+    assert [r.is_gap for r in rows] == [False, False, True, True, False]
+    assert rows[2].agg_avg is None
+
+    z = gap_fill(
+        df, "1 minute", by=["series_key"], value_cols=["agg_avg"], strategy="zero"
+    ).orderBy("bucket_ts")
+    assert [r.agg_avg for r in z.collect()] == [1.0, 2.0, 0.0, 0.0, 5.0]
+
+
+def test_gapfill_locf_and_linear(spark):
+    pdf = pd.DataFrame(
+        {
+            "series_key": ["a"] * 3 + ["b"] * 2,
+            "bucket_ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00",
+                    "2024-01-01 00:01",
+                    "2024-01-01 00:04",
+                    "2024-01-01 02:00",
+                    "2024-01-01 02:03",
+                ]
+            ),
+            "agg_avg": [1.0, 2.0, 5.0, 10.0, 40.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    locf = gap_fill(
+        df, "1 minute", by=["series_key"], value_cols=["agg_avg"], strategy="locf"
+    ).orderBy("series_key", "bucket_ts")
+    vals = [r.agg_avg for r in locf.collect()]
+    assert vals == [1.0, 2.0, 2.0, 2.0, 5.0, 10.0, 10.0, 10.0, 40.0]
+
+    lin = gap_fill(
+        df, "1 minute", by=["series_key"], value_cols=["agg_avg"], strategy="linear"
+    ).orderBy("series_key", "bucket_ts")
+    vals = [r.agg_avg for r in lin.collect()]
+    np.testing.assert_allclose(
+        vals, [1.0, 2.0, 3.0, 4.0, 5.0, 10.0, 20.0, 30.0, 40.0]
+    )
+
+
+def test_gapfill_reverses_downsample_gaps(spark):
+    """Round-trip with the reference gap semantics: equidistant bins that
+    emit nothing (gaps) come back as explicit grid rows."""
+    tiers = retention_tiers(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"),
+        by=["event_type"],
+        x_col="ts",
+        y_col="value",
+    )
+    t1m = with_derived(tiers["1m"])
+    filled = gap_fill(t1m, "1 minute", by=["event_type"], value_cols=["agg_avg"])
+    n_grid = filled.count()
+    n_rows = t1m.count()
+    assert n_grid >= n_rows
+    # grid is dense: per event_type, count == (max-min)/1min + 1
+    check = (
+        filled.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                (F.unix_timestamp(F.max("bucket_ts")) - F.unix_timestamp(F.min("bucket_ts")))
+                / 60
+                + 1
+            ).alias("expected"),
+        )
+        .collect()
+    )
+    for r in check:
+        assert r.n == r.expected

@@ -253,33 +253,62 @@ def lttb(
         xf = None
 
     every = (n - 2) / (n_out - 2)
+    # Bucket boundaries: bounds[k] = floor(every*k) + 1 for k = 0..n_out-1
+    # (lttb.rs:40-41,54); bucket i = [bounds[i], bounds[i+1]); the "next
+    # bucket" averaged for the triangle is [bounds[i+1], min(bounds[i+2], n)).
+    bounds = (every * np.arange(n_out - 1, dtype=np.float64)).astype(np.int64) + 1
+    avg_starts = bounds[1:]  # k = 1..n_out-2, tiles [bounds[1], n)
+    # Sequential per-segment summation (ufunc.reduceat), matching the
+    # reference's sequential f64 fold (helpers.rs:22-33).
+    seg_sums = np.add.reduceat(yf, avg_starts)
+    seg_counts = np.diff(avg_starts, append=np.int64(n))
+    avg_ys = seg_sums / seg_counts
+    avg_ends = np.empty_like(avg_starts)
+    avg_ends[:-1] = avg_starts[1:]
+    avg_ends[-1] = n
+    if xf is None:
+        avg_xs = (avg_starts + avg_ends - 1) / 2.0
+    else:
+        avg_xs = (xf[avg_ends - 1] + xf[avg_starts]) / 2.0
+
     out = np.empty(n_out, dtype=np.int64)
     out[0] = 0
     out[-1] = n - 1
     a = 0
+    max_len = int(np.max(np.diff(bounds))) if n_out > 2 else 0
+    buf1 = np.empty(max_len, dtype=np.float64)
+    buf2 = np.empty(max_len, dtype=np.float64)
+    ar = np.arange(max_len, dtype=np.float64)
     for i in range(n_out - 2):
-        avg_start = int(every * (i + 1)) + 1
-        avg_end = min(int(every * (i + 2)) + 1, n)
-        avg_y = float(np.add.reduce(yf[avg_start:avg_end])) / (avg_end - avg_start)
-        ro = int(every * i) + 1
-        rt = avg_start
+        ro = bounds[i]
+        rt = bounds[i + 1]
+        L = rt - ro
         ay = yf[a]
+        avg_y = avg_ys[i]
+        yb = yf[ro:rt]
         if xf is None:
-            avg_x = (avg_start + avg_end - 1) / 2.0
             ax = float(a)
-            d1 = ax - avg_x
+            d1 = ax - avg_xs[i]
             d2 = avg_y - ay
-            ax_rel = ax - ro
-            # area_j = d1*y_j - (ax_rel - j)*d2 - d1*ay   (lttb.rs:145)
-            area = d1 * yf[ro:rt] - (ax_rel - np.arange(rt - ro, dtype=np.float64)) * d2 - d1 * ay
+            # area_j = (d1*y_j) - (ax_x_j*d2) - d1*ay, ax_x_j = (a-ro) - j
+            # (lttb.rs:131-145) — same op order, vectorized.
+            t1 = np.multiply(yb, d1, out=buf1[:L])
+            t2 = np.subtract(ax - ro, ar[:L], out=buf2[:L])
+            t2 *= d2
+            t1 -= t2
+            t1 -= d1 * ay
         else:
-            avg_x = (xf[avg_end - 1] + xf[avg_start]) / 2.0
             ax = xf[a]
-            d1 = ax - avg_x
+            d1 = ax - avg_xs[i]
             d2 = avg_y - ay
             offset = d1 * ay + d2 * ax
-            area = d1 * yf[ro:rt] + d2 * xf[ro:rt] - offset
-        a = ro + int(_abs_bits(np.ascontiguousarray(area, dtype=np.float64)).argmax())
+            # area_j = (d1*y_j) + (d2*x_j) - offset (lttb.rs:74)
+            t1 = np.multiply(yb, d1, out=buf1[:L])
+            t2 = np.multiply(xf[ro:rt], d2, out=buf2[:L])
+            t1 += t2
+            t1 -= offset
+        np.abs(t1, out=t1)
+        a = ro + int(t1.view(np.int64).argmax())
         out[i + 1] = a
     return out
 

@@ -1,0 +1,106 @@
+"""Spark operators for the Gorilla/delta-of-delta codecs.
+
+``compress_series`` turns long-form points into one compressed segment row
+per series: timestamps delta-of-delta encoded, values Gorilla-XOR encoded,
+both as ``binary`` columns.  ``decompress_series`` is its lossless inverse
+(round-trip equality is the tested invariant).
+
+Arrow-batched pandas UDFs; the codec kernels are vectorized NumPy (encode)
+— no per-point Python in the encode path.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from tsdownsample_spark.functions.codecs import (
+    decode_dod,
+    decode_gorilla,
+    encode_dod,
+    encode_gorilla,
+)
+
+
+@pandas_udf("binary")
+def _enc_ts(col: pd.Series) -> pd.Series:
+    return col.map(lambda a: None if a is None else encode_dod(np.asarray(a)))
+
+
+@pandas_udf("binary")
+def _enc_val(col: pd.Series) -> pd.Series:
+    return col.map(lambda a: None if a is None else encode_gorilla(np.asarray(a)))
+
+
+@pandas_udf("array<bigint>")
+def _dec_ts(col: pd.Series) -> pd.Series:
+    return col.map(lambda b: None if b is None else decode_dod(bytes(b)))
+
+
+@pandas_udf("array<double>")
+def _dec_val(col: pd.Series) -> pd.Series:
+    return col.map(lambda b: None if b is None else decode_gorilla(bytes(b)))
+
+
+def compress_series(
+    df: DataFrame,
+    x_col: str = "ts",
+    y_col: str = "value",
+    by: Sequence[str] = ("series_key",),
+) -> DataFrame:
+    """Long-form points -> one row per series: (keys..., n, ts_blob, val_blob).
+
+    Timestamps are encoded as int64 (microseconds if x is a timestamp).
+    """
+    by = list(by)
+    x_dtype = df.schema[x_col].dataType.simpleString()
+    if x_dtype.startswith("timestamp"):
+        # NTZ is reinterpreted in the session tz (UTC) — lossless either way
+        x_as_long = F.unix_micros(F.col(x_col).cast("timestamp"))
+    else:
+        x_as_long = F.col(x_col).cast("long")
+    packed = (
+        df.select(*by, x_as_long.alias("_x"), F.col(y_col).cast("double").alias("_y"))
+        .groupBy(*by)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("_x", "_y"))).alias("pts"),
+        )
+        .select(
+            *by,
+            F.size("pts").alias("n"),
+            F.expr("transform(pts, p -> p._x)").alias("_xs"),
+            F.expr("transform(pts, p -> p._y)").alias("_ys"),
+        )
+    )
+    return packed.select(
+        *by,
+        "n",
+        _enc_ts("_xs").alias("ts_blob"),
+        _enc_val("_ys").alias("val_blob"),
+    )
+
+
+def decompress_series(
+    df: DataFrame,
+    by: Sequence[str] = ("series_key",),
+    x_col: str = "ts",
+    y_col: str = "value",
+    x_is_timestamp: bool = True,
+) -> DataFrame:
+    """Inverse of compress_series: back to long-form (keys..., x, y)."""
+    by = list(by)
+    out = df.select(
+        *by,
+        F.arrays_zip(
+            _dec_ts("ts_blob").alias("x"), _dec_val("val_blob").alias("y")
+        ).alias("_pts"),
+    ).select(*by, F.explode("_pts").alias("_p"))
+    x_expr = F.col("_p.x").cast("long")
+    if x_is_timestamp:
+        x_expr = F.timestamp_micros(F.col("_p.x").cast("long")).cast("timestamp_ntz")
+    return out.select(*by, x_expr.alias(x_col), F.col("_p.y").alias(y_col))

@@ -68,20 +68,70 @@ def downsample_tokens(
     algo: str = "minmax",
     tokens_col: str = "tokens",
     idx_col: str = "sel_idx",
+    impl: str = "arrow",
     **kw,
 ) -> DataFrame:
     """Append ``idx_col: array<bigint>`` with the selected indices per row.
 
     Narrow transformation: no shuffle, whole batch vectorized.
+
+    ``impl="arrow"`` (default) runs via ``mapInArrow`` directly on the list
+    column's (values, offsets) buffers — zero per-row Python objects, one
+    flat kernel pass per batch.  ``impl="pandas"`` is the scalar-pandas-UDF
+    reference path (used to cross-check the fast path in tests).
     """
     _validate(algo, n_out)
+    if impl == "pandas":
 
-    @pandas_udf("array<bigint>")
-    def _select(col: pd.Series) -> pd.Series:
-        arrays = [None if v is None else np.asarray(v) for v in col]
-        return pd.Series(batch_downsample(arrays, n_out, algo=algo, **kw), index=col.index)
+        @pandas_udf("array<bigint>")
+        def _select(col: pd.Series) -> pd.Series:
+            arrays = [None if v is None else np.asarray(v) for v in col]
+            return pd.Series(
+                batch_downsample(arrays, n_out, algo=algo, **kw), index=col.index
+            )
 
-    return df.withColumn(idx_col, _select(F.col(tokens_col)))
+        return df.withColumn(idx_col, _select(F.col(tokens_col)))
+
+    import pyarrow as pa
+
+    from tsdownsample_spark.kernels.flat import flat_downsample
+
+    if idx_col in df.columns:
+        raise ValueError(f"column {idx_col!r} already exists")
+    out_schema = df.withColumn(
+        idx_col, F.expr("array(CAST(0 AS BIGINT))")
+    ).schema
+    tok_idx = df.columns.index(tokens_col)
+
+    def _map(batches):
+        for batch in batches:
+            col = batch.column(tok_idx)
+            if col.null_count:
+                # slow path for null rows
+                arrays = [
+                    None if v is None else np.asarray(v) for v in col.to_pylist()
+                ]
+                sel = batch_downsample(arrays, n_out, algo=algo, **kw)
+                sel_arr = pa.array(
+                    [None if s is None else s for s in sel],
+                    type=pa.list_(pa.int64()),
+                )
+            else:
+                if isinstance(col, pa.ChunkedArray):  # pragma: no cover
+                    col = col.combine_chunks()
+                offsets = col.offsets.to_numpy()
+                values = col.values.to_numpy(zero_copy_only=False)
+                flat, out_off = flat_downsample(values, offsets, n_out, algo, **kw)
+                sel_arr = pa.ListArray.from_arrays(
+                    pa.array(out_off, type=pa.int32()),
+                    pa.array(flat, type=pa.int64()),
+                )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(batch.num_columns)] + [sel_arr],
+                names=list(batch.schema.names) + [idx_col],
+            )
+
+    return df.mapInArrow(_map, out_schema)
 
 
 def gather_values(

@@ -1,0 +1,112 @@
+"""Continuous-aggregate retention tiers: raw -> 1m -> 1h -> 1d.
+
+Spark-first design: every tier is a plain ``groupBy(keys, date_trunc(unit,
+ts))`` over **decomposable** aggregates (count/sum/min/max + first/last
+carried with their timestamps), so:
+
+* map-side partial aggregation applies (one shuffle per tier, combiner-
+  reduced);
+* coarser tiers cascade from finer ones (1h reads 1m, 1d reads 1h) — each
+  cascade processes ~1/60th the rows of the previous, so the whole pipeline
+  is ~1.02x the cost of the 1m tier;
+* `avg` and friends are derived columns (`agg_sum/agg_cnt`), never stored.
+
+The reference has no rollup operator (it is a downsampling kernel library);
+this layer is mandated by BASELINE.json north_rule ("continuous-aggregate
+retention tiers raw -> 1m -> 1h -> 1d").  Downsampling composes with it:
+``downsample_series`` over a tier table treats (bucket_ts, agg) as the
+series.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TIER_UNITS = {"1m": "minute", "1h": "hour", "1d": "day"}
+# cascade order and which tier feeds which
+CASCADE = [("raw", "1m"), ("1m", "1h"), ("1h", "1d")]
+
+AGG_COLS = [
+    "agg_cnt",
+    "agg_sum",
+    "agg_min",
+    "agg_max",
+    "first_ts",
+    "first_val",
+    "last_ts",
+    "last_val",
+]
+
+
+def rollup_raw(
+    df: DataFrame,
+    tier: str = "1m",
+    x_col: str = "ts",
+    y_col: str = "value",
+    by: Sequence[str] = ("series_key",),
+    uid_col: str | None = None,
+) -> DataFrame:
+    """Aggregate raw points into a tier table.
+
+    ``uid_col`` (a unique row id) deterministically tie-breaks first/last
+    when timestamps collide; without it ties are broken arbitrarily.
+    """
+    unit = TIER_UNITS[tier]
+    order = (
+        F.struct(F.col(x_col), F.col(uid_col)) if uid_col else F.col(x_col)
+    )
+    bucket = F.date_trunc(unit, F.col(x_col)).alias("bucket_ts")
+    return df.groupBy(*by, bucket).agg(
+        F.count(y_col).alias("agg_cnt"),
+        F.sum(y_col).alias("agg_sum"),
+        F.min(y_col).alias("agg_min"),
+        F.max(y_col).alias("agg_max"),
+        F.min(x_col).alias("first_ts"),
+        F.min_by(y_col, order).alias("first_val"),
+        F.max(x_col).alias("last_ts"),
+        F.max_by(y_col, order).alias("last_val"),
+    )
+
+
+def rollup_cascade(tier_df: DataFrame, tier: str, by: Sequence[str]) -> DataFrame:
+    """Fold a finer tier into a coarser one without touching raw data.
+
+    All aggregates are decomposable: sums add, counts add, min/max fold,
+    first/last resolve by their carried timestamps (unique across finer
+    buckets, so no tie-break is needed at this level).
+    """
+    unit = TIER_UNITS[tier]
+    bucket = F.date_trunc(unit, F.col("bucket_ts")).alias("bucket_ts")
+    return tier_df.groupBy(*by, bucket).agg(
+        F.sum("agg_cnt").alias("agg_cnt"),
+        F.sum("agg_sum").alias("agg_sum"),
+        F.min("agg_min").alias("agg_min"),
+        F.max("agg_max").alias("agg_max"),
+        F.min("first_ts").alias("first_ts"),
+        F.min_by("first_val", "first_ts").alias("first_val"),
+        F.max("last_ts").alias("last_ts"),
+        F.max_by("last_val", "last_ts").alias("last_val"),
+    )
+
+
+def retention_tiers(
+    df: DataFrame,
+    x_col: str = "ts",
+    y_col: str = "value",
+    by: Sequence[str] = ("series_key",),
+    uid_col: str | None = None,
+) -> dict[str, DataFrame]:
+    """Full cascade: returns {"1m": df, "1h": df, "1d": df}."""
+    tiers: dict[str, DataFrame] = {}
+    tiers["1m"] = rollup_raw(df, "1m", x_col=x_col, y_col=y_col, by=by, uid_col=uid_col)
+    tiers["1h"] = rollup_cascade(tiers["1m"], "1h", by=by)
+    tiers["1d"] = rollup_cascade(tiers["1h"], "1d", by=by)
+    return tiers
+
+
+def with_derived(df: DataFrame) -> DataFrame:
+    """Attach derived metrics (avg) to a tier table."""
+    return df.withColumn("agg_avg", F.col("agg_sum") / F.col("agg_cnt"))

@@ -20,11 +20,23 @@ _SHIPPED: set[str] = set()
 
 
 def package_zip_path() -> str:
-    """Create (once per process) a zip of the tsdownsample_spark package."""
+    """Create a zip of the tsdownsample_spark package, keyed by a content
+    fingerprint so edits to the source invalidate previously built zips."""
+    import hashlib
+
     import tsdownsample_spark
 
     pkg_dir = os.path.dirname(os.path.abspath(tsdownsample_spark.__file__))
-    out = os.path.join(tempfile.gettempdir(), "tsdownsample_spark_pyfiles.zip")
+    h = hashlib.sha256()
+    for root, _dirs, files in sorted(os.walk(pkg_dir)):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                full = os.path.join(root, f)
+                st = os.stat(full)
+                h.update(f"{full}:{st.st_mtime_ns}:{st.st_size}".encode())
+    out = os.path.join(
+        tempfile.gettempdir(), f"tsdownsample_spark_pyfiles_{h.hexdigest()[:16]}.zip"
+    )
     if not os.path.exists(out):
         tmp = out + ".tmp"
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:

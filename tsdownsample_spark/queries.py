@@ -206,6 +206,125 @@ SELECT * FROM big UNION ALL SELECT * FROM small
 """
 
 
+# --------------------------------------------------- rollup / gapfill / codec
+
+
+def _q_rollup(tier: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from tsdownsample_spark.operators.rollup import retention_tiers
+
+        ev = load(spark, sf_dir, "events")
+        tiers = retention_tiers(
+            ev, x_col="ts", y_col="value", by=["event_type"], uid_col="event_id"
+        )
+        t = tiers[tier]
+        return t.select(
+            "event_type",
+            "bucket_ts",
+            F.col("agg_cnt").cast("long").alias("agg_cnt"),
+            F.round("agg_sum", 6).alias("agg_sum_r"),
+            "agg_min",
+            "agg_max",
+            "first_val",
+            "last_val",
+        )
+
+    return q
+
+
+def _oracle_rollup(tier: str) -> str:
+    unit = {"1m": "minute", "1h": "hour", "1d": "day"}[tier]
+    # window-based first/last with (ts, event_id) tie-break — independent
+    # re-derivation of the engine's min_by/max_by + cascade path
+    return f"""
+WITH pts AS (
+    SELECT event_type, CAST(date_trunc('{unit}', ts) AS TIMESTAMP) AS bucket_ts,
+           ts, event_id, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('{unit}', ts)
+                              ORDER BY ts, event_id) AS rf,
+           ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('{unit}', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rl
+    FROM events
+)
+SELECT event_type, bucket_ts,
+       COUNT(*) AS agg_cnt,
+       ROUND(SUM(value), 6) AS agg_sum_r,
+       MIN(value) AS agg_min,
+       MAX(value) AS agg_max,
+       MIN(CASE WHEN rf = 1 THEN value END) AS first_val,
+       MIN(CASE WHEN rl = 1 THEN value END) AS last_val
+FROM pts
+GROUP BY event_type, bucket_ts
+"""
+
+
+def _q_gapfill(strategy: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from tsdownsample_spark.operators.gapfill import gap_fill
+        from tsdownsample_spark.operators.rollup import retention_tiers, with_derived
+
+        ev = load(spark, sf_dir, "events")
+        t1m = with_derived(
+            retention_tiers(ev, x_col="ts", y_col="value", by=["event_type"])["1m"]
+        )
+        filled = gap_fill(
+            t1m,
+            "1 minute",
+            by=["event_type"],
+            value_cols=["agg_avg"],
+            strategy=strategy,
+        )
+        return filled.select(
+            "event_type",
+            "bucket_ts",
+            F.round("agg_avg", 6).alias("avg_r"),
+            F.col("is_gap").cast("boolean").alias("is_gap"),
+        )
+
+    return q
+
+
+def _oracle_gapfill(strategy: str) -> str:
+    fill = {
+        "null": "a.avg_v",
+        "zero": "COALESCE(a.avg_v, 0.0)",
+        "locf": "last_value(a.avg_v IGNORE NULLS) OVER "
+        "(PARTITION BY g.event_type ORDER BY g.bucket_ts)",
+    }[strategy]
+    return f"""
+WITH agg AS (
+    SELECT event_type, date_trunc('minute', ts) AS bucket_ts,
+           SUM(value) / COUNT(*) AS avg_v
+    FROM events GROUP BY 1, 2
+),
+bounds AS (
+    SELECT event_type, MIN(bucket_ts) AS t0, MAX(bucket_ts) AS t1 FROM agg GROUP BY 1
+),
+grid AS (
+    SELECT b.event_type, UNNEST(generate_series(b.t0, b.t1, INTERVAL 1 MINUTE)) AS bucket_ts
+    FROM bounds b
+)
+SELECT g.event_type, g.bucket_ts,
+       ROUND({fill}, 6) AS avg_r,
+       a.avg_v IS NULL AS is_gap
+FROM grid g LEFT JOIN agg a
+  ON a.event_type = g.event_type AND a.bucket_ts = g.bucket_ts
+"""
+
+
+def _q_compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla + delta-of-delta round-trip: decompress(compress(events)) must
+    equal the raw table bit-for-bit (the oracle is a plain SELECT)."""
+    from tsdownsample_spark.operators.compress import (
+        compress_series,
+        decompress_series,
+    )
+
+    ev = load(spark, sf_dir, "events").select("event_type", "ts", "value")
+    comp = compress_series(ev, x_col="ts", y_col="value", by=["event_type"])
+    return decompress_series(comp, by=["event_type"], x_col="ts", y_col="value")
+
+
 def queries() -> dict:
     return {
         "q_everynth": _downsample_query("everynth"),
@@ -214,6 +333,13 @@ def queries() -> dict:
         # sequential selectors — no closed-form SQL; rows-only driver check
         "q_lttb": _downsample_query("lttb", n_out=101),
         "q_minmaxlttb": _downsample_query("minmaxlttb"),
+        "q_rollup_1m": _q_rollup("1m"),
+        "q_rollup_1h": _q_rollup("1h"),
+        "q_rollup_1d": _q_rollup("1d"),
+        "q_gapfill_null": _q_gapfill("null"),
+        "q_gapfill_zero": _q_gapfill("zero"),
+        "q_gapfill_locf": _q_gapfill("locf"),
+        "q_compress_roundtrip": _q_compress_roundtrip,
     }
 
 
@@ -222,4 +348,11 @@ def oracle_sql() -> dict:
         "q_everynth": _oracle_everynth(),
         "q_minmax": _oracle_minmax(),
         "q_m4": _oracle_m4(),
+        "q_rollup_1m": _oracle_rollup("1m"),
+        "q_rollup_1h": _oracle_rollup("1h"),
+        "q_rollup_1d": _oracle_rollup("1d"),
+        "q_gapfill_null": _oracle_gapfill("null"),
+        "q_gapfill_zero": _oracle_gapfill("zero"),
+        "q_gapfill_locf": _oracle_gapfill("locf"),
+        "q_compress_roundtrip": "SELECT event_type, ts, value FROM events",
     }
