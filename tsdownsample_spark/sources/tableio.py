@@ -1,0 +1,105 @@
+"""Snapshot table layer: Iceberg-shaped semantics over plain Parquet.
+
+The sandbox has no Iceberg runtime jar, so this module provides the subset
+of Iceberg semantics the engine codes against, in a way that swaps cleanly
+for `spark.read.format("iceberg")` when the jar is present:
+
+* **append-only data files** — every commit writes a new directory of
+  parquet files; nothing is rewritten;
+* **atomic snapshots** — a commit is a JSON manifest (file list + parent
+  snapshot + summary) written with write-then-rename; readers resolve a
+  snapshot id to an exact file list (time travel for free);
+* **current pointer** — `_snapshots/current` names the latest snapshot.
+
+Scale notes: the manifest holds file paths + row counts only; at 100 TB the
+file list per commit is thousands of entries — the JSON stays tiny relative
+to data.  Readers pass the explicit file list to `spark.read.parquet`, so
+partition pruning/pushdown still applies per file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotTable:
+    def __init__(self, root: str):
+        self.root = root
+        self.snap_dir = os.path.join(root, "_snapshots")
+        os.makedirs(self.snap_dir, exist_ok=True)
+
+    # ----------------------------------------------------------- snapshots
+    def _snap_path(self, snapshot_id: str) -> str:
+        return os.path.join(self.snap_dir, f"{snapshot_id}.json")
+
+    def current_snapshot_id(self) -> str | None:
+        cur = os.path.join(self.snap_dir, "current")
+        if not os.path.exists(cur):
+            return None
+        with open(cur) as f:
+            return f.read().strip() or None
+
+    def snapshot(self, snapshot_id: str | None = None) -> dict | None:
+        sid = snapshot_id or self.current_snapshot_id()
+        if sid is None:
+            return None
+        with open(self._snap_path(sid)) as f:
+            return json.load(f)
+
+    def history(self) -> list[dict]:
+        out = []
+        sid = self.current_snapshot_id()
+        while sid:
+            snap = self.snapshot(sid)
+            out.append(snap)
+            sid = snap.get("parent")
+        return list(reversed(out))
+
+    # -------------------------------------------------------------- write
+    def append(self, df: DataFrame, summary: dict | None = None) -> str:
+        """Commit an append: write data files, then atomically publish a new
+        snapshot whose file list = parent's files + the new ones."""
+        commit_id = uuid.uuid4().hex[:12]
+        data_dir = os.path.join(self.root, "data", commit_id)
+        df.write.mode("overwrite").parquet(data_dir)
+        files = sorted(
+            os.path.join(data_dir, f)
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        )
+        parent = self.current_snapshot_id()
+        prev_files = self.snapshot(parent)["files"] if parent else []
+        sid = f"{int(time.time() * 1e6)}-{commit_id}"
+        snap = {
+            "snapshot_id": sid,
+            "parent": parent,
+            "ts": time.time(),
+            "files": prev_files + files,
+            "added_files": files,
+            "summary": summary or {},
+        }
+        tmp = self._snap_path(sid) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+        os.replace(tmp, self._snap_path(sid))
+        cur_tmp = os.path.join(self.snap_dir, "current.tmp")
+        with open(cur_tmp, "w") as f:
+            f.write(sid)
+        os.replace(cur_tmp, os.path.join(self.snap_dir, "current"))
+        return sid
+
+    # --------------------------------------------------------------- read
+    def read(self, spark: SparkSession, snapshot_id: str | None = None) -> DataFrame:
+        snap = self.snapshot(snapshot_id)
+        if snap is None or not snap["files"]:
+            raise FileNotFoundError(f"table {self.root} has no committed data")
+        return spark.read.parquet(*snap["files"])
+
+    def fingerprint(self) -> str | None:
+        """Stable identity of the current table state (for resume checks)."""
+        return self.current_snapshot_id()
