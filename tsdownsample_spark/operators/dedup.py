@@ -1,0 +1,150 @@
+"""Deduplication operators for training-data pipelines.
+
+Every operator is native Spark SQL (no UDF) with an exact ANSI-SQL mirror:
+
+* **exact**        — content-hash groupBy; keeper = min(doc_id) per hash.
+* **MinHash**      — word-shingle signatures: sig[j] = min over shingles of
+  md5(j || ':' || shingle); banded LSH turns signatures into candidate
+  pairs with one self-join on (band_idx, band_hash).
+* **Jaccard**      — verification of candidate pairs on distinct-shingle
+  sets (array_intersect/array_union sizes).
+* **SimHash**      — 32-bit majority-vote hash over word hashes; equal
+  simhash = near-dup bucket.
+
+Scale shape: signatures/bands are narrow per-row transforms; the only
+shuffle is the band-hash self-join, whose build side is (doc_id, band_hash)
+— tiny relative to text — and AQE handles hot bands.  At 10^12 docs the
+band join is the canonical MinHash-LSH layout (shuffle on band_hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tsdownsample_spark.operators.text import _shingles_expr
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc exact-dup verdict: content hash, group size, keeper flag."""
+    h = F.md5(F.col(text_col)).alias("content_hash")
+    sized = (
+        df.select(F.col(id_col), h)
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.min(id_col).alias("keeper_id"),
+        )
+    )
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .join(F.broadcast(sized), "content_hash")
+        .select(
+            id_col,
+            "content_hash",
+            "group_size",
+            (F.col(id_col) == F.col("keeper_id")).alias("keep"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    shingle: int = 3,
+) -> DataFrame:
+    """(id, sig: array<string>[k]) — MinHash over word-``shingle``-grams with
+    k independent hash functions md5(j || ':' || s)."""
+    sh = _shingles_expr(text_col, shingle)
+    sig = (
+        f"transform(sequence(0, {k - 1}), "
+        f"j -> array_min(transform({sh}, s -> md5(concat(CAST(j AS STRING), ':', s)))))"
+    )
+    return df.select(F.col(id_col), F.expr(sig).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows: int = 4,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band hash become a candidate pair
+    (id_a < id_b, distinct)."""
+    band_expr = (
+        f"transform(sequence(0, {bands - 1}), "
+        f"b -> md5(concat_ws('|', slice(sig, b * {rows} + 1, {rows}))))"
+    )
+    banded = sig_df.select(
+        F.col(id_col), F.posexplode(F.expr(band_expr)).alias("band_idx", "band_hash")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Verify candidate pairs with exact Jaccard over distinct shingles."""
+    sh = F.expr(f"array_distinct({_shingles_expr(text_col, shingle)})")
+    docs = df.select(F.col(id_col), sh.alias("sh"))
+    j = (
+        pairs.join(
+            F.broadcast(docs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(docs.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+    if threshold > 0:
+        j = j.filter(F.col("jaccard") >= threshold)
+    return j
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """Per-doc SimHash: bit j is set iff the sum over words of
+    (2*bit_j(h32(word)) - 1) is >= 0, h32 = first 8 md5 hex digits."""
+    hs = (
+        f"transform(split({text_col}, ' '), "
+        f"w -> CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT))"
+    )
+    sim = (
+        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, j) -> acc + "
+        f"CASE WHEN aggregate({hs}, 0L, (a, h) -> a + 2 * ((h div CAST(pow(2, j) AS LONG)) % 2) - 1) >= 0 "
+        f"THEN CAST(pow(2, j) AS LONG) ELSE 0L END)"
+    )
+    return df.select(F.col(id_col), F.expr(sim).alias("simhash"))

@@ -154,15 +154,16 @@ def downsample_series(
     x_col: str = "ts",
     y_col: str = "value",
     by: Sequence[str] = ("doc_id",),
-    keep_x_dtype: str | None = None,
+    tiebreak: Sequence[str] = (),
     **kw,
 ) -> DataFrame:
     """Downsample long-form series ("with x" mode) per group.
 
     Returns one row per selected point: group keys + ``sel_idx`` (position in
     the x-ordered series) + x + y.  Rows within each group are ordered by
-    ``x_col`` (stable sort; ties keep input order) before the kernel runs —
-    the reference requires monotone x (README.md:130-135).
+    ``x_col`` (plus optional ``tiebreak`` columns for a deterministic total
+    order under duplicate x) before the kernel runs — the reference requires
+    monotone x (README.md:130-135).
     """
     _validate(algo, n_out)
     x_field = df.schema[x_col]
@@ -173,9 +174,10 @@ def downsample_series(
         f"{x_col} {x_field.dataType.simpleString()}, {y_col} {y_field.dataType.simpleString()}"
     )
     by = list(by)
+    sort_cols = [x_col] + list(tiebreak)
 
     def _fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(x_col, kind="mergesort", ignore_index=True)
+        pdf = pdf.sort_values(sort_cols, kind="mergesort", ignore_index=True)
         x = pdf[x_col].to_numpy()
         y = pdf[y_col].to_numpy()
         idx = downsample_array(y, n_out, algo=algo, x=x, **kw)

@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk`` — exact brute force: broadcast the (small) probe set
+  against all vectors; the dot/norm math is a native higher-order-function
+  expression (JVM, codegen) — no UDF.  This is the baseline and the
+  verifier for approximate variants.
+* ``lsh_ann_topk`` — random-hyperplane LSH: vectors hash to a sign-pattern
+  bucket over ``n_planes`` fixed hyperplanes (deterministic, seeded; the
+  planes are plain literals so ANY engine can reproduce the bucketing);
+  probes search only their own bucket.  The scale path: the bucket id is a
+  shuffle/partition key, so each query touches 1/2^planes of the corpus.
+
+At 100 TB the brute-force side stays a broadcast join (probes are small);
+the LSH variant's bucket column doubles as a partition/bucketing key for
+the stored table, turning ANN into partition-pruned scans.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot_expr(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _norm_expr(a: str) -> str:
+    return f"sqrt({_dot_expr(a, a)})"
+
+
+def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
+    expr = f"{_dot_expr(a, b)} / ({_norm_expr(a)} * {_norm_expr(b)})"
+    return df.withColumn(out, F.expr(expr))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each probe (self excluded).
+
+    Deterministic ranking: (round(cosine, 6) desc, vec_id asc).
+    """
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+    joined = vectors.join(F.broadcast(p), F.col(id_col) != F.col("probe_id"))
+    scored = with_cosine(joined, "probe_vec", vec_col, "cosine").withColumn(
+        "cos_r", F.round("cosine", 6)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_r"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "rank", F.col(id_col).alias("neighbor_id"), "cos_r")
+    )
+
+
+def lsh_planes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic hyperplanes, rounded so they serialize exactly in SQL."""
+    rng = np.random.default_rng(seed)
+    return [
+        [round(float(v), 6) for v in rng.standard_normal(dim)]
+        for _ in range(n_planes)
+    ]
+
+
+def bucket_expr(vec_col: str, planes: list[list[float]]) -> str:
+    """SQL expression for the sign-pattern bucket id of ``vec_col``."""
+    terms = []
+    for j, plane in enumerate(planes):
+        arr = "array(" + ",".join(f"CAST({v} AS DOUBLE)" for v in plane) + ")"
+        terms.append(
+            f"CASE WHEN {_dot_expr(vec_col, arr)} >= 0 THEN {1 << j} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+def lsh_ann_topk(
+    vectors: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the probe's LSH bucket."""
+    planes = lsh_planes(dim, n_planes, seed)
+    be = bucket_expr(vec_col, planes)
+    v = vectors.withColumn("bucket", F.expr(be))
+    p = (
+        probes.withColumn("bucket", F.expr(be))
+        .select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("probe_vec"),
+            "bucket",
+        )
+    )
+    joined = v.alias("v").join(
+        F.broadcast(p).alias("p"),
+        (F.col("v.bucket") == F.col("p.bucket"))
+        & (F.col(f"v.{id_col}") != F.col("p.probe_id")),
+    )
+    scored = with_cosine(joined, "probe_vec", f"v.{vec_col}", "cosine").withColumn(
+        "cos_r", F.round("cosine", 6)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_r"), F.asc(f"v.{id_col}"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            "rank",
+            F.col(f"v.{id_col}").alias("neighbor_id"),
+            "cos_r",
+            F.col("v.bucket").alias("bucket"),
+        )
+    )

@@ -1,0 +1,134 @@
+"""Text-analysis operators for training-data pipelines.
+
+All computed with native Spark SQL expressions (JVM-side, whole-stage
+codegen; no Python in the hot path) and deliberately built from primitives
+with exact ANSI-SQL mirrors (split/length/replace/md5) so every operator is
+oracle-checkable in DuckDB.
+
+Heuristics are intentionally simple-and-deterministic (this layer feeds
+100 TB bulk filtering, not benchmarks): counting stopword markers for
+language ID, length/punctuation/stopword ratios for quality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# occurrence markers per language, fixed priority order for ties
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " et ", " les "],
+    "es": [" el ", " y ", " los "],
+}
+
+STOPWORDS = [" the ", " a ", " and ", " of ", " to ", " in "]
+
+
+def _occurrences(col: Column, marker: str) -> Column:
+    """Non-overlapping occurrence count via length arithmetic (mirrors in any
+    SQL dialect: (len(s) - len(replace(s, m, ''))) / len(m))."""
+    return (F.length(col) - F.length(F.replace(col, F.lit(marker), F.lit("")))) / len(
+        marker
+    )
+
+
+def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n_words, token_count (BPE-ish: ceil(len/4) per word), punct/stopword
+    ratios, avg word length, and a deterministic quality score."""
+    t = F.col(text_col)
+    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+    stop_occ = None
+    for m in STOPWORDS:
+        occ = _occurrences(padded, m)
+        stop_occ = occ if stop_occ is None else stop_occ + occ
+    out = (
+        df.withColumn("n_chars_c", F.length(t))
+        .withColumn("words", F.split(t, " "))
+        .withColumn("n_words", F.size("words"))
+        .withColumn(
+            "token_count",
+            F.expr(
+                f"aggregate(split({text_col}, ' '), 0L,"
+                " (acc, w) -> acc + CAST(ceil(length(w) / 4.0) AS LONG))"
+            ),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.round(
+                (
+                    F.length(t)
+                    - F.length(F.regexp_replace(t, r"[.,!?;:]", ""))
+                )
+                / F.greatest(F.length(t), F.lit(1)),
+                6,
+            ),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.round(stop_occ / F.greatest(F.col("n_words"), F.lit(1)), 6),
+        )
+        .withColumn(
+            "avg_word_len",
+            F.round(
+                (F.col("n_chars_c") - (F.col("n_words") - 1))
+                / F.greatest(F.col("n_words"), F.lit(1)),
+                6,
+            ),
+        )
+    )
+    quality = (
+        F.lit(0.3) * (F.lit(1.0) - F.col("punct_ratio"))
+        + F.lit(0.4) * F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0))
+        + F.lit(0.3)
+        * F.least(F.col("n_words").cast("double") / 64.0, F.lit(1.0))
+    )
+    return out.withColumn("quality_score", F.round(quality, 6)).drop("words")
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-marker language ID: count per-language marker hits in the
+    lower-cased, space-padded text; highest count wins, fixed order breaks
+    ties, zero hits -> 'und' (undetermined)."""
+    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    scores = {
+        lang: sum(
+            (_occurrences(padded, m) for m in markers), start=F.lit(0.0)
+        ).alias(f"score_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    }
+    df2 = df
+    for lang, c in scores.items():
+        df2 = df2.withColumn(f"score_{lang}", c)
+    langs = list(LANG_MARKERS)
+    best = F.lit("und")
+    best_score = F.lit(0.0)
+    # iterate in REVERSE priority so earlier langs win ties (strict >)
+    for lang in reversed(langs):
+        cond = F.col(f"score_{lang}") > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, F.col(f"score_{lang}")).otherwise(best_score)
+    return df2.withColumn(out_col, best).drop(*[f"score_{lang}" for lang in langs])
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Two deterministic fingerprints: content hash prefix (exact identity)
+    and a rolling min-shingle hash (MinHash with k=1; near-identity)."""
+    shingles = _shingles_expr(text_col, 3)
+    return df.withColumn(
+        "fp_exact", F.substring(F.md5(F.lower(F.col(text_col))), 1, 16)
+    ).withColumn(
+        "fp_shingle",
+        F.substring(F.expr(f"array_min(transform({shingles}, s -> md5(s)))"), 1, 16),
+    )
+
+
+def _shingles_expr(text_col: str, k: int) -> str:
+    """SQL expression producing word k-gram shingles (whole text when the
+    doc has fewer than k words)."""
+    return (
+        f"CASE WHEN size(split({text_col}, ' ')) < {k} THEN array({text_col}) "
+        f"ELSE transform(sequence(0, size(split({text_col}, ' ')) - {k}), "
+        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {k}))) END"
+    )

@@ -206,6 +206,113 @@ SELECT * FROM big UNION ALL SELECT * FROM small
 """
 
 
+# ------------------------------------------- with-x (equidistant bins) mode
+
+
+def _q_downsample_x(algo: str, n_out: int = N_OUT):
+    """Long-form "with x" mode over (event_type, ts[us], value): equidistant
+    x-value bins (searchsorted rule, EPSILON=1e-12, empty bins emit nothing,
+    small bins pass through — downsample_rs/src/searchsorted.rs:92-129)."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from tsdownsample_spark.operators.downsample import downsample_series
+
+        ev = load(spark, sf_dir, "events").select(
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "value",
+            "event_id",
+        )
+        out = downsample_series(
+            ev,
+            n_out,
+            algo=algo,
+            x_col="ts_us",
+            y_col="value",
+            by=["event_type"],
+            tiebreak=["event_id"],
+        )
+        return out.select("event_type", "sel_idx", "ts_us", "value")
+
+    return q
+
+
+def _oracle_downsample_x(k: int, n_out: int = N_OUT) -> str:
+    """Mirror of the equidistant binning: edge_i = trunc(x0 + step*(i/2) +
+    step*(i/2) + 1e-12) for i = 1..m (int x truncates toward zero); a point
+    belongs to bin = count of interior edges it exceeds; bins with <= k
+    points pass all through, larger bins emit argmin+argmax (k=2) or
+    first/argmin/argmax/last (k=4)."""
+    m = n_out // k
+    emit_small = f"cnt <= {k}"
+    if k == 2:
+        quad = """
+    SELECT doc_key, bin, rn, x, v FROM mins WHERE r = 1
+    UNION ALL SELECT doc_key, bin, rn, x, v FROM maxs WHERE r = 1
+"""
+    else:
+        quad = """
+    SELECT doc_key, bin, rn, x, v FROM binned2 WHERE rn = lo
+    UNION ALL SELECT doc_key, bin, rn, x, v FROM mins WHERE r = 1
+    UNION ALL SELECT doc_key, bin, rn, x, v FROM maxs WHERE r = 1
+    UNION ALL SELECT doc_key, bin, rn, x, v FROM binned2 WHERE rn = hi
+"""
+    return f"""
+WITH ord AS (
+    SELECT event_type AS doc_key, epoch_us(ts) AS x, value AS v,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+),
+bounds AS (
+    SELECT doc_key, CAST(MIN(x) AS DOUBLE) AS x0, CAST(MAX(x) AS DOUBLE) AS xn
+    FROM ord GROUP BY 1
+),
+edges AS (
+    SELECT doc_key, i,
+           trunc(x0 + (xn / {m}.0 - x0 / {m}.0) * (i / 2.0)
+                    + (xn / {m}.0 - x0 / {m}.0) * (i / 2.0) + 1e-12) AS edge
+    FROM bounds, UNNEST(range(1, {m})) AS t(i)
+),
+binned AS (
+    SELECT o.doc_key, o.rn, o.x, o.v,
+           (SELECT COUNT(*) FROM edges e
+             WHERE e.doc_key = o.doc_key AND o.x > e.edge) AS bin
+    FROM ord o
+),
+stats AS (
+    SELECT doc_key, bin, COUNT(*) AS cnt, MIN(rn) AS lo, MAX(rn) AS hi
+    FROM binned GROUP BY 1, 2
+),
+binned2 AS (
+    SELECT b.*, s.cnt, s.lo, s.hi
+    FROM binned b JOIN stats s ON b.doc_key = s.doc_key AND b.bin = s.bin
+    WHERE s.cnt > {k}
+),
+mins AS (
+    SELECT doc_key, bin, rn, x, v,
+           ROW_NUMBER() OVER (PARTITION BY doc_key, bin ORDER BY v ASC, rn ASC) AS r
+    FROM binned2
+),
+maxs AS (
+    SELECT doc_key, bin, rn, x, v,
+           ROW_NUMBER() OVER (PARTITION BY doc_key, bin ORDER BY v DESC, rn ASC) AS r
+    FROM binned2
+),
+small AS (
+    SELECT b.doc_key, b.bin, b.rn, b.x, b.v
+    FROM binned b JOIN stats s ON b.doc_key = s.doc_key AND b.bin = s.bin
+    WHERE {emit_small}
+),
+sel AS (
+    SELECT doc_key, bin, rn, x, v FROM small
+    UNION ALL
+    {quad}
+)
+SELECT doc_key AS event_type, rn AS sel_idx, x AS ts_us, v AS value FROM sel
+"""
+
+
 # --------------------------------------------------- rollup / gapfill / codec
 
 
@@ -326,13 +433,17 @@ def _q_compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict:
-    return {
+    from tsdownsample_spark import queries_text
+
+    base = {
         "q_everynth": _downsample_query("everynth"),
         "q_minmax": _downsample_query("minmax"),
         "q_m4": _downsample_query("m4"),
         # sequential selectors — no closed-form SQL; rows-only driver check
         "q_lttb": _downsample_query("lttb", n_out=101),
         "q_minmaxlttb": _downsample_query("minmaxlttb"),
+        "q_minmax_x": _q_downsample_x("minmax"),
+        "q_m4_x": _q_downsample_x("m4"),
         "q_rollup_1m": _q_rollup("1m"),
         "q_rollup_1h": _q_rollup("1h"),
         "q_rollup_1d": _q_rollup("1d"),
@@ -341,13 +452,19 @@ def queries() -> dict:
         "q_gapfill_locf": _q_gapfill("locf"),
         "q_compress_roundtrip": _q_compress_roundtrip,
     }
+    base.update(queries_text.queries())
+    return base
 
 
 def oracle_sql() -> dict:
-    return {
+    from tsdownsample_spark import queries_text
+
+    base = {
         "q_everynth": _oracle_everynth(),
         "q_minmax": _oracle_minmax(),
         "q_m4": _oracle_m4(),
+        "q_minmax_x": _oracle_downsample_x(2),
+        "q_m4_x": _oracle_downsample_x(4),
         "q_rollup_1m": _oracle_rollup("1m"),
         "q_rollup_1h": _oracle_rollup("1h"),
         "q_rollup_1d": _oracle_rollup("1d"),
@@ -356,3 +473,5 @@ def oracle_sql() -> dict:
         "q_gapfill_locf": _oracle_gapfill("locf"),
         "q_compress_roundtrip": "SELECT event_type, ts, value FROM events",
     }
+    base.update(queries_text.oracle_sql())
+    return base

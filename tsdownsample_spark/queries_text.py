@@ -1,0 +1,425 @@
+"""Training-data-pipeline queries (text analysis, dedup, similarity,
+tokenization) + exact DuckDB oracles.
+
+The Spark side always runs the engine operators (operators/text.py,
+dedup.py, similarity.py); the oracle re-derives the same result in ANSI
+SQL from the md5/split/length primitives both engines share.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tsdownsample_spark.operators.dedup import (
+    dedup_exact,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+)
+from tsdownsample_spark.operators.similarity import (
+    bucket_expr,
+    cosine_topk,
+    lsh_ann_topk,
+    lsh_planes,
+)
+from tsdownsample_spark.operators.text import lang_id, text_features
+
+# ---------------------------------------------------------------- helpers
+
+_DUCK_SHINGLES = (
+    "CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] "
+    "ELSE list_transform(range(len(string_split(text, ' ')) - 2), "
+    "i -> array_to_string(string_split(text, ' ')[i + 1 : i + 3], ' ')) END"
+)
+
+
+def _load(spark, sf_dir, name):
+    from tsdownsample_spark.queries import load
+
+    return load(spark, sf_dir, name)
+
+
+# ------------------------------------------------------------ text features
+
+
+def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return text_features(docs).select(
+        "doc_id",
+        "n_words",
+        "token_count",
+        "punct_ratio",
+        "stopword_ratio",
+        "avg_word_len",
+        "quality_score",
+    )
+
+
+_ORACLE_TEXT_FEATURES = """
+WITH base AS (
+    SELECT doc_id, text,
+           length(text) AS n_chars_c,
+           len(string_split(text, ' ')) AS n_words,
+           ' ' || lower(text) || ' ' AS padded
+    FROM documents
+),
+feat AS (
+    SELECT doc_id, n_words,
+        list_sum(list_transform(string_split(text, ' '),
+                 w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS token_count,
+        ROUND((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+              / greatest(length(text), 1), 6) AS punct_ratio,
+        ROUND((
+            (length(padded) - length(replace(padded, ' the ', ''))) / 5.0
+          + (length(padded) - length(replace(padded, ' a ', ''))) / 3.0
+          + (length(padded) - length(replace(padded, ' and ', ''))) / 5.0
+          + (length(padded) - length(replace(padded, ' of ', ''))) / 4.0
+          + (length(padded) - length(replace(padded, ' to ', ''))) / 4.0
+          + (length(padded) - length(replace(padded, ' in ', ''))) / 4.0
+        ) / greatest(n_words, 1), 6) AS stopword_ratio,
+        ROUND((n_chars_c - (n_words - 1)) / greatest(n_words, 1), 6) AS avg_word_len
+    FROM base
+)
+SELECT doc_id, n_words, token_count, punct_ratio, stopword_ratio, avg_word_len,
+       ROUND(0.3 * (1.0 - punct_ratio)
+           + 0.4 * least(stopword_ratio * 4.0, 1.0)
+           + 0.3 * least(CAST(n_words AS DOUBLE) / 64.0, 1.0), 6) AS quality_score
+FROM feat
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return lang_id(docs).select("doc_id", "lang_pred")
+
+
+def _occ(m: str) -> str:
+    return f"(length(padded) - length(replace(padded, '{m}', ''))) / {len(m)}.0"
+
+
+_ORACLE_LANG_ID = f"""
+WITH s AS (
+    SELECT doc_id, ' ' || lower(text) || ' ' AS padded FROM documents
+),
+sc AS (
+    SELECT doc_id,
+        {_occ(' the ')} + {_occ(' and ')} + {_occ(' of ')} AS s_en,
+        {_occ(' der ')} + {_occ(' und ')} + {_occ(' die ')} AS s_de,
+        {_occ(' le ')} + {_occ(' et ')} + {_occ(' les ')} AS s_fr,
+        {_occ(' el ')} + {_occ(' y ')} + {_occ(' los ')} AS s_es
+    FROM s
+)
+SELECT doc_id,
+    CASE WHEN s_es > 0 AND s_es >= greatest(s_fr, s_de, s_en) THEN 'es'
+         WHEN s_fr > 0 AND s_fr >= greatest(s_de, s_en) THEN 'fr'
+         WHEN s_de > 0 AND s_de >= s_en THEN 'de'
+         WHEN s_en > 0 THEN 'en'
+         ELSE 'und' END AS lang_pred
+FROM sc
+"""
+
+
+# ------------------------------------------------------------------- dedup
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return dedup_exact(docs)
+
+
+_ORACLE_DEDUP_EXACT = """
+SELECT doc_id, md5(text) AS content_hash,
+       COUNT(*) OVER (PARTITION BY md5(text)) AS group_size,
+       doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
+FROM documents
+"""
+
+_DUCK_SIG = (
+    "list_transform(range(16), j -> list_min(list_transform("
+    + _DUCK_SHINGLES
+    + ", s -> md5(j::VARCHAR || ':' || s))))"
+)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    sig = minhash_signatures(docs, k=16)
+    return lsh_candidate_pairs(sig, bands=4, rows=4)
+
+
+_ORACLE_MINHASH_LSH = f"""
+WITH sig AS (
+    SELECT doc_id, {_DUCK_SIG} AS sig FROM documents
+),
+banded AS (
+    SELECT doc_id, b AS band_idx,
+           md5(array_to_string(sig[b * 4 + 1 : b * 4 + 4], '|')) AS band_hash
+    FROM sig, UNNEST(range(4)) AS t(b)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+ AND a.doc_id < b.doc_id
+"""
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    sig = minhash_signatures(docs, k=16)
+    pairs = lsh_candidate_pairs(sig, bands=4, rows=4)
+    return jaccard_pairs(docs, pairs)
+
+
+_ORACLE_JACCARD = f"""
+WITH sig AS (
+    SELECT doc_id, {_DUCK_SIG} AS sig FROM documents
+),
+banded AS (
+    SELECT doc_id, b AS band_idx,
+           md5(array_to_string(sig[b * 4 + 1 : b * 4 + 4], '|')) AS band_hash
+    FROM sig, UNNEST(range(4)) AS t(b)
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+),
+sh AS (
+    SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS sh FROM documents
+)
+SELECT p.id_a, p.id_b,
+       ROUND(len(list_intersect(x.sh, y.sh))::DOUBLE
+             / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+FROM pairs p
+JOIN sh x ON x.doc_id = p.id_a
+JOIN sh y ON y.doc_id = p.id_b
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return simhash(docs, bits=32)
+
+
+_ORACLE_SIMHASH = """
+WITH w AS (
+    SELECT doc_id,
+           list_transform(string_split(text, ' '),
+               w -> CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT)) AS hs
+    FROM documents
+)
+SELECT doc_id,
+    list_sum(list_transform(range(32), j ->
+        CASE WHEN list_sum(list_transform(hs,
+                 h -> 2 * ((h // CAST(pow(2, j) AS BIGINT)) % 2) - 1)) >= 0
+             THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)) AS simhash
+FROM w
+"""
+
+
+# -------------------------------------------------------------- similarity
+
+_DUCK_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+
+
+def _duck_cos(a: str, b: str) -> str:
+    dot = _DUCK_DOT.format(a=a, b=b)
+    na = _DUCK_DOT.format(a=a, b=a)
+    nb = _DUCK_DOT.format(a=b, b=b)
+    return f"({dot} / (sqrt({na}) * sqrt({nb})))"
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8)
+    return cosine_topk(emb, probes, k=10)
+
+
+_ORACLE_ANN_TOPK = f"""
+WITH p AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 8),
+scored AS (
+    SELECT p.probe_id, e.vec_id AS neighbor_id,
+           ROUND({_duck_cos('p.pe', 'e.embedding')}, 6) AS cos_r
+    FROM p, embeddings e
+    WHERE e.vec_id != p.probe_id
+),
+ranked AS (
+    SELECT probe_id, neighbor_id, cos_r,
+           ROW_NUMBER() OVER (PARTITION BY probe_id
+                              ORDER BY cos_r DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT probe_id, rank, neighbor_id, cos_r FROM ranked WHERE rank <= 10
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8)
+    return lsh_ann_topk(emb, probes, k=10, n_planes=4, dim=64, seed=7)
+
+
+def _oracle_ann_lsh() -> str:
+    planes = lsh_planes(64, 4, 7)
+    terms = []
+    for j, plane in enumerate(planes):
+        arr = "[" + ",".join(f"CAST({v} AS DOUBLE)" for v in plane) + "]"
+        dot = _DUCK_DOT.format(a="{v}", b=arr)
+        terms.append(f"CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END")
+    bucket = "(" + " + ".join(terms) + ")"
+    return f"""
+WITH e AS (
+    SELECT vec_id, embedding, {bucket.format(v="embedding")} AS bucket
+    FROM embeddings
+),
+p AS (SELECT vec_id AS probe_id, embedding AS pe, bucket FROM e WHERE vec_id < 8),
+scored AS (
+    SELECT p.probe_id, e.vec_id AS neighbor_id, e.bucket,
+           ROUND({_duck_cos('p.pe', 'e.embedding')}, 6) AS cos_r
+    FROM p JOIN e ON e.bucket = p.bucket AND e.vec_id != p.probe_id
+),
+ranked AS (
+    SELECT probe_id, neighbor_id, bucket, cos_r,
+           ROW_NUMBER() OVER (PARTITION BY probe_id
+                              ORDER BY cos_r DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT probe_id, rank, neighbor_id, cos_r, bucket FROM ranked WHERE rank <= 10
+"""
+
+
+# ------------------------------------------------------------ tokenization
+
+_TOKENIZE = (
+    "transform(split(text, ' '), "
+    "w -> CAST(CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT) % 50257 AS INT))"
+)
+
+_DUCK_TOKENIZE = (
+    "list_transform(string_split(text, ' '), "
+    "w -> CAST(CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 50257 AS INT))"
+)
+
+
+def q_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents -> the engine's token-table shape (BASELINE input_hint)."""
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(_TOKENIZE).alias("tokens"),
+        F.size(F.expr(_TOKENIZE)).cast("int").alias("n_tok"),
+        "source",
+    )
+
+
+_ORACLE_TOKENIZE = f"""
+SELECT doc_id, {_DUCK_TOKENIZE} AS tokens,
+       CAST(len({_DUCK_TOKENIZE}) AS INTEGER) AS n_tok, source
+FROM documents
+"""
+
+
+def q_doc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end token-table path on real documents: tokenize -> MinMax
+    downsample (n_out=20) -> exploded selected (idx, token)."""
+    from tsdownsample_spark.operators.downsample import downsample_tokens
+
+    toks = q_tokenize(spark, sf_dir)
+    out = downsample_tokens(toks, 20, algo="minmax", tokens_col="tokens")
+    return (
+        out.select("doc_id", "tokens", F.posexplode("sel_idx").alias("pos", "sel_idx"))
+        .withColumn("sel_token", F.expr("element_at(tokens, CAST(sel_idx AS INT) + 1)"))
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "sel_idx", "sel_token")
+    )
+
+
+_ORACLE_DOC_DOWNSAMPLE = f"""
+WITH toks AS (
+    SELECT doc_id, {_DUCK_TOKENIZE} AS tokens FROM documents
+),
+long AS (
+    SELECT doc_id, tokens[CAST(t.i AS INT) + 1] AS token, t.i AS rn,
+           len(tokens) AS n
+    FROM toks, UNNEST(range(len(tokens))) AS t(i)
+),
+bins AS (
+    SELECT doc_id, n, UNNEST(range(10)) AS i FROM (SELECT DISTINCT doc_id, n FROM long)
+    WHERE n > 20
+),
+edges AS (
+    SELECT doc_id, i,
+           CASE WHEN i = 0 THEN 0
+                ELSE CAST(FLOOR((n - 1) / 10.0 * i) AS BIGINT) + 1 END AS lo,
+           CAST(FLOOR((n - 1) / 10.0 * (i + 1)) AS BIGINT) + 1 AS hi
+    FROM bins
+),
+binned AS (
+    SELECT l.doc_id, e.i, l.rn, l.token
+    FROM long l JOIN edges e ON l.doc_id = e.doc_id AND l.rn >= e.lo AND l.rn < e.hi
+),
+mins AS (
+    SELECT doc_id, i, rn, token,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, i ORDER BY token ASC, rn ASC) AS r
+    FROM binned
+),
+maxs AS (
+    SELECT doc_id, i, rn, token,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, i ORDER BY token DESC, rn ASC) AS r
+    FROM binned
+),
+pair AS (
+    SELECT * FROM mins WHERE r = 1 UNION ALL SELECT * FROM maxs WHERE r = 1
+),
+numbered AS (
+    SELECT doc_id, i, rn, token,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, i ORDER BY rn) - 1 AS o
+    FROM pair
+),
+big AS (
+    SELECT doc_id, 2 * i + o AS pos, rn AS sel_idx, token AS sel_token FROM numbered
+),
+small AS (
+    SELECT doc_id, rn AS pos, rn AS sel_idx, token AS sel_token FROM long WHERE n <= 20
+)
+SELECT * FROM big UNION ALL SELECT * FROM small
+"""
+
+
+def queries() -> dict:
+    return {
+        "q_text_features": q_text_features,
+        "q_lang_id": q_lang_id,
+        "q_dedup_exact": q_dedup_exact,
+        "q_minhash_lsh": q_minhash_lsh,
+        "q_jaccard_pairs": q_jaccard_pairs,
+        "q_simhash": q_simhash,
+        "q_ann_topk": q_ann_topk,
+        "q_ann_lsh": q_ann_lsh,
+        "q_tokenize": q_tokenize,
+        "q_doc_downsample": q_doc_downsample,
+    }
+
+
+def oracle_sql() -> dict:
+    return {
+        "q_text_features": _ORACLE_TEXT_FEATURES,
+        "q_lang_id": _ORACLE_LANG_ID,
+        "q_dedup_exact": _ORACLE_DEDUP_EXACT,
+        "q_minhash_lsh": _ORACLE_MINHASH_LSH,
+        "q_jaccard_pairs": _ORACLE_JACCARD,
+        "q_simhash": _ORACLE_SIMHASH,
+        "q_ann_topk": _ORACLE_ANN_TOPK,
+        "q_ann_lsh": _oracle_ann_lsh(),
+        "q_tokenize": _ORACLE_TOKENIZE,
+        "q_doc_downsample": _ORACLE_DOC_DOWNSAMPLE,
+    }
