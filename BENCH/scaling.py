@@ -1,0 +1,197 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling evidence (north rule: efficiency >= 0.8 going
+from N to 4N executors; sandbox stand-in: the same job at two local[...]
+parallelism levels on identical input).
+
+Two workloads, because the sandbox VM is memory-bandwidth-starved (see the
+ceiling microbenchmark it emits — often < 2 effective cores of stream
+bandwidth for 32 logical CPUs):
+
+* ``downsample`` — the flagship token-table job (MinMax+M4+MinMaxLTTB+LTTB,
+  n_out=100 over 4000 x 20k points).  Stream-bound: its parallel efficiency
+  is capped by the box's bandwidth, not by the engine.
+* ``dedup`` — MinHash signatures (k=16) + SimHash over a synthetic
+  documents table.  JVM md5-compute-bound: shows the engine's scheduling /
+  plan overheads scale, independent of memory bandwidth.
+
+Levels are run in interleaved rounds (2, 8, 32, 2, 8, 32, ...) and the
+per-level minimum is taken, so bursty co-tenant contention (observed 3-4x
+swings between identical runs) hits all levels equally in expectation.
+
+Writes BENCH/scaling.json and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROUNDS = int(os.environ.get("BENCH_ROUNDS", "3"))
+LEVELS = [int(x) for x in os.environ.get("BENCH_LEVELS", "2,8,32").split(",")]
+ALGOS = ("minmax", "m4", "minmaxlttb", "lttb")
+N_OUT = 100
+DOCS = int(os.environ.get("BENCH_SCALE_DOCS", "4000"))
+NTOK = int(os.environ.get("BENCH_SCALE_NTOK", "20000"))
+DEDUP_DOCS = int(os.environ.get("BENCH_DEDUP_DOCS", "20000"))
+
+
+def synth_docs_path() -> str:
+    """Deterministic synthetic documents parquet for the dedup workload."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"/tmp/tsds_scale_docs_{DEDUP_DOCS}.parquet"
+    if not os.path.exists(path):
+        rng = np.random.default_rng(42)
+        vocab = np.array([f"w{i:04d}" for i in range(500)])
+        texts = [
+            " ".join(vocab[rng.integers(0, 500, size=int(rng.integers(40, 120)))])
+            for _ in range(DEDUP_DOCS)
+        ]
+        tbl = pa.table(
+            {"doc_id": pa.array(range(DEDUP_DOCS), type=pa.int64()),
+             "text": pa.array(texts)}
+        )
+        pq.write_table(tbl, path + ".tmp", row_group_size=max(64, DEDUP_DOCS // 256))
+        os.replace(path + ".tmp", path)
+    return path
+
+
+def make_session(cores: int):
+    from pyspark.sql import SparkSession
+
+    from tsdownsample_spark.plans.session import get_spark
+
+    active = SparkSession.getActiveSession()
+    if active:
+        active.stop()
+    spark = get_spark(
+        app_name=f"scaling-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=2 * cores,
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
+            "spark.app.id.fresh": str(time.time()),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def downsample_job(spark, path):
+    from pyspark.sql import functions as F
+
+    from tsdownsample_spark.operators.downsample import downsample_tokens
+
+    df = spark.read.parquet(path)
+    for algo in ALGOS:
+        downsample_tokens(df, N_OUT, algo=algo).select(
+            F.sum(F.size("sel_idx"))
+        ).collect()
+
+
+def dedup_job(spark, path):
+    from pyspark.sql import functions as F
+
+    from tsdownsample_spark.operators.dedup import minhash_signatures, simhash
+
+    docs = spark.read.parquet(path)
+    minhash_signatures(docs, k=16).select(
+        F.count(F.element_at("sig", 1))
+    ).collect()
+    simhash(docs).select(F.sum("simhash")).collect()
+
+
+def _bw_work(_):
+    import numpy as np
+
+    a = np.random.default_rng(1).standard_normal(2_000_000)
+    s = 0.0
+    for _ in range(10):
+        s += float(np.minimum.reduceat(a, np.arange(0, len(a), 20)).sum())
+    return s
+
+
+def memory_bandwidth_ceiling() -> dict:
+    import multiprocessing as mp
+
+    t0 = time.time()
+    _bw_work(0)
+    t1 = time.time() - t0
+    with mp.Pool(32) as pool:
+        t0 = time.time()
+        pool.map(_bw_work, range(32))
+        t32 = time.time() - t0
+    return {
+        "single_task_s": round(t1, 3),
+        "32_parallel_s": round(t32, 3),
+        "effective_parallel_cores": round(32 * t1 / t32, 1),
+    }
+
+
+def main() -> None:
+    from bench import bench_tokens_path
+
+    tok_path, total_points = bench_tokens_path(DOCS, NTOK)
+    doc_path = synth_docs_path()
+
+    walls: dict[str, dict[int, list[float]]] = {
+        "downsample": {c: [] for c in LEVELS},
+        "dedup": {c: [] for c in LEVELS},
+    }
+    for rnd in range(ROUNDS + 1):  # round 0 = warm-up, discarded
+        for cores in LEVELS:
+            spark = make_session(cores)
+            t0 = time.time()
+            downsample_job(spark, tok_path)
+            w_ds = time.time() - t0
+            t0 = time.time()
+            dedup_job(spark, doc_path)
+            w_dd = time.time() - t0
+            spark.stop()
+            if rnd > 0:
+                walls["downsample"][cores].append(round(w_ds, 3))
+                walls["dedup"][cores].append(round(w_dd, 3))
+
+    out: dict = {"metric": "scaling_efficiency_N_to_4N", "workloads": {}}
+    for wl, per_level in walls.items():
+        levels = {}
+        for cores in LEVELS:
+            wmin = min(per_level[cores])
+            work = len(ALGOS) * total_points if wl == "downsample" else DEDUP_DOCS
+            levels[str(cores)] = {
+                "wall_s_min": wmin,
+                "runs": per_level[cores],
+                "throughput_per_sec": round(work / wmin),
+            }
+        effs = {}
+        for a in LEVELS:
+            b = 4 * a
+            if b in LEVELS:
+                ta = levels[str(a)]["throughput_per_sec"]
+                tb = levels[str(b)]["throughput_per_sec"]
+                effs[f"{a}->{b}"] = round(tb / (4 * ta), 3)
+        out["workloads"][wl] = {"levels": levels, "efficiency": effs}
+    out["memory_bandwidth_ceiling"] = memory_bandwidth_ceiling()
+    out["config"] = {
+        "algos": list(ALGOS),
+        "n_out": N_OUT,
+        "downsample_points_per_algo": total_points,
+        "dedup_docs": DEDUP_DOCS,
+        "rounds": ROUNDS,
+        "levels": LEVELS,
+    }
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "scaling.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -31,9 +31,12 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_OUT = int(os.environ.get("BENCH_N_OUT", "2000"))
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 
+# shape -> (docs, tokens/doc, n_out): "many" is the training-data shape
+# (plot-sized n_out per medium series); "wide" mirrors the reference
+# notebook (few huge series, n_out=2000 — BASELINE.md).
 SHAPES = {
-    "many": (2000, 20_000),
-    "wide": (32, 1_250_000),
+    "many": (2000, 20_000, 100),
+    "wide": (32, 1_250_000, 2000),
 }
 
 
@@ -73,7 +76,11 @@ def main() -> None:
     import __spark_entry__ as E
 
     spark = get_spark(
-        app_name="tsds-bench", master=f"local[{CPUS}]", shuffle_partitions=2 * CPUS
+        app_name="tsds-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=2 * CPUS,
+        # single large local files: split scans small enough to feed all cores
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024)},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -89,7 +96,7 @@ def main() -> None:
     from tsdownsample_spark.operators.downsample import downsample_tokens
 
     throughput: dict[str, float] = {}
-    for shape, (docs, ntok) in SHAPES.items():
+    for shape, (docs, ntok, n_out) in SHAPES.items():
         path, total_points = bench_tokens_path(docs, ntok)
         df = spark.read.parquet(path)
         df.select(F.sum(F.size("tokens"))).collect()  # warm page cache/JIT
@@ -97,7 +104,7 @@ def main() -> None:
             reps = []
             for _ in range(REPS):
                 t0 = time.time()
-                out = downsample_tokens(df, N_OUT, algo=algo)
+                out = downsample_tokens(df, n_out, algo=algo)
                 out.select(F.sum(F.size("sel_idx"))).collect()
                 reps.append(time.time() - t0)
             dt = statistics.median(reps)
@@ -114,7 +121,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
                 "throughput_pts_per_sec": throughput,
-                "n_out": N_OUT,
+                "n_out": {s: v[2] for s, v in SHAPES.items()},
                 "cores": CPUS,
             }
         )

@@ -1,0 +1,146 @@
+"""Reference API-surface parity for the compat classes (mirrors
+tests/test_tsdownsample.py of the reference)."""
+
+import copy
+import pickle
+import warnings
+
+import numpy as np
+import pytest
+
+from tsdownsample_spark.compat import (
+    EveryNthDownsampler,
+    LTTBDownsampler,
+    M4Downsampler,
+    MinMaxDownsampler,
+    MinMaxLTTBDownsampler,
+    NaNM4Downsampler,
+    NaNMinMaxDownsampler,
+    NaNMinMaxLTTBDownsampler,
+)
+
+ALL = [
+    MinMaxDownsampler(),
+    M4Downsampler(),
+    LTTBDownsampler(),
+    MinMaxLTTBDownsampler(),
+    NaNMinMaxDownsampler(),
+    NaNM4Downsampler(),
+    NaNMinMaxLTTBDownsampler(),
+]
+
+
+@pytest.mark.parametrize("ds", ALL)
+def test_first_last_and_dtype(ds):
+    # test_tsdownsample.py:100-106
+    arr = np.arange(10_000)
+    idx = ds.downsample(arr, n_out=100)
+    assert idx.dtype == np.uint64
+    assert idx[0] == 0
+    assert idx[-1] == len(arr) - 1
+
+
+@pytest.mark.parametrize("ds", ALL)
+def test_copy_deepcopy_pickle_invariance(ds):
+    # test_tsdownsample.py:70-97
+    arr = np.arange(5_000, dtype=np.float64)
+    for clone in (copy.copy(ds), copy.deepcopy(ds), pickle.loads(pickle.dumps(ds))):
+        np.testing.assert_array_equal(
+            ds.downsample(arr, n_out=100), clone.downsample(arr, n_out=100)
+        )
+
+
+def test_nan_downsamplers_surface_nan_indices():
+    # test_tsdownsample.py:109-117
+    y = np.arange(10_000, dtype=np.float64)
+    y[0] = np.nan
+    y[9960] = np.nan
+    for ds in (NaNMinMaxDownsampler(), NaNM4Downsampler(), NaNMinMaxLTTBDownsampler()):
+        idx = ds.downsample(y, n_out=100)
+        assert idx[0] == 0
+        assert idx[-2] == 9960
+
+
+def test_everynth():
+    # test_tsdownsample.py:120-126
+    idx = EveryNthDownsampler().downsample(np.arange(10_000), n_out=100)
+    assert idx[0] == 0
+    assert idx[-1] == 9_900
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        EveryNthDownsampler().downsample(np.arange(10), np.arange(10), n_out=5)
+        assert any("not taken into account" in str(x.message) for x in w)
+
+
+def test_lttb_parallel_warns_and_falls_back():
+    # downsampling_interface.py:349-356
+    y = np.arange(1_000, dtype=np.float64)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        a = LTTBDownsampler().downsample(y, n_out=100, parallel=True)
+        assert any("No parallel implementation" in str(x.message) for x in w)
+    np.testing.assert_array_equal(a, LTTBDownsampler().downsample(y, n_out=100))
+
+
+def test_error_paths():
+    # test_tsdownsample.py:267-312
+    y = np.arange(1_000)
+    with pytest.raises(ValueError):
+        MinMaxDownsampler().downsample(y, n_out=99)  # odd
+    with pytest.raises(ValueError):
+        M4Downsampler().downsample(y, n_out=102)  # not %4
+    with pytest.raises((TypeError, ValueError)):
+        MinMaxDownsampler().downsample(y, n_out=100.5)
+    with pytest.raises(ValueError):
+        MinMaxDownsampler().downsample(np.ones((10, 10)), n_out=10)  # 2-D
+    with pytest.raises(ValueError):
+        MinMaxDownsampler().downsample(np.arange(5), np.arange(6), n_out=2)
+    with pytest.raises(ValueError):
+        MinMaxDownsampler().downsample(
+            np.arange(100, dtype=np.int8), np.arange(100), n_out=10
+        )  # int8 x excluded (downsampling_interface.py:155-156)
+    with pytest.raises(ValueError):
+        LTTBDownsampler().downsample(y, y, y, n_out=10)
+
+
+def test_minmaxlttb_ratio():
+    y = np.random.default_rng(0).standard_normal(50_000)
+    a = MinMaxLTTBDownsampler().downsample(y, n_out=100, minmax_ratio=4)
+    b = MinMaxLTTBDownsampler().downsample(y, n_out=100, minmax_ratio=8)
+    assert len(a) == len(b) == 100
+    with pytest.raises(AssertionError):
+        MinMaxLTTBDownsampler().downsample(y, n_out=100, minmax_ratio=0)
+
+
+@pytest.mark.parametrize(
+    "dtype",
+    [np.float16, np.float32, np.float64, np.int16, np.int32, np.int64,
+     np.uint16, np.uint32, np.uint64, np.bool_],
+)
+def test_y_dtype_matrix(dtype):
+    # test_tsdownsample.py:174-241 (cross-dtype support incl. f16/bool)
+    rng = np.random.default_rng(1)
+    if dtype == np.bool_:
+        y = rng.integers(0, 2, size=5_000).astype(dtype)
+    elif np.issubdtype(dtype, np.integer):
+        y = rng.integers(0, 200, size=5_000).astype(dtype)
+    else:
+        y = (rng.standard_normal(5_000) * 10).astype(dtype)
+    for ds in (MinMaxDownsampler(), M4Downsampler(), LTTBDownsampler()):
+        idx = ds.downsample(y, n_out=100)
+        assert 1 <= len(idx) <= 100
+        assert np.all(np.diff(idx.astype(np.int64)) >= 0)  # bin-ordered
+        assert idx[-1] <= len(y) - 1
+
+
+@pytest.mark.parametrize("xdtype", ["datetime64[s]", "timedelta64[ms]", np.int64])
+def test_x_dtype_matrix(xdtype):
+    y = np.random.default_rng(2).standard_normal(2_000)
+    if xdtype == "datetime64[s]":
+        x = np.arange("2024-01-01", 2_000, dtype="datetime64[s]")
+    elif xdtype == "timedelta64[ms]":
+        x = np.arange(2_000).astype("timedelta64[ms]")
+    else:
+        x = np.arange(2_000, dtype=xdtype)
+    idx = MinMaxDownsampler().downsample(x, y, n_out=100)
+    np.testing.assert_array_equal(idx, MinMaxDownsampler().downsample(y, n_out=100))

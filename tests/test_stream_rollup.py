@@ -1,0 +1,68 @@
+"""Streaming rollup: file-stream ingestion must produce the same 1m tier as
+the batch rollup over the same data."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsdownsample_spark.operators.rollup import rollup_raw
+from tsdownsample_spark.streaming.stream_rollup import stream_rollup
+
+
+@pytest.mark.slow
+def test_stream_matches_batch(spark, tmp_path, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    # stage the input as two incremental files (micro-batches)
+    src_dir = str(tmp_path / "stream_in")
+    os.makedirs(src_dir)
+    a, b = ev.randomSplit([0.5, 0.5], seed=1)
+    a.write.mode("overwrite").parquet(src_dir + "/batch1")
+    b.write.mode("overwrite").parquet(src_dir + "/batch2")
+    # flatten: streaming source wants a flat dir of files
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    i = 0
+    for sub in ("batch1", "batch2"):
+        for f in os.listdir(f"{src_dir}/{sub}"):
+            if f.endswith(".parquet"):
+                shutil.copy(f"{src_dir}/{sub}/{f}", f"{flat}/{i:04d}.parquet")
+                i += 1
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    out = stream_rollup(stream, "1m", by=["event_type"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t1m")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = (
+        spark.table("t1m")
+        .select("event_type", "bucket_ts", "agg_cnt", "agg_min", "agg_max")
+        .toPandas()
+        .sort_values(["event_type", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        rollup_raw(ev, "1m", by=["event_type"])
+        .select("event_type", "bucket_ts", "agg_cnt", "agg_min", "agg_max")
+        .toPandas()
+        .sort_values(["event_type", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert (got.agg_cnt.to_numpy() == exp.agg_cnt.to_numpy()).all()
+    assert (got.agg_min.to_numpy() == exp.agg_min.to_numpy()).all()
+    assert (got.agg_max.to_numpy() == exp.agg_max.to_numpy()).all()

@@ -1,0 +1,141 @@
+"""Drop-in class API mirroring the reference's public surface.
+
+A user of ``tsdownsample`` calls e.g. ``MinMaxDownsampler().downsample([x,]
+y, n_out=..., parallel=...)`` and gets selected indices back
+(tsdownsample/downsampling_interface.py:104-135, downsamplers.py).  This
+module reproduces that call surface 1:1 on our kernels so existing code can
+switch imports; the same selector names drive the Spark operators via
+``downsample_tokens(df, algo=...)`` for distributed use.
+
+Validation parity (cited against the reference):
+* 1 or 2 positional args, 1-D, equal length (downsampling_interface.py:56-84)
+* x dtype allowlist excludes <=8-bit ints (:143-156); y additionally allows
+  f16/int8/uint8/bool (:157)
+* ``n_out`` must be int > 0; MinMax multiple of 2, M4 multiple of 4
+  (downsamplers.py:27-31,64-68)
+* ``parallel=True`` is accepted everywhere; LTTB warns that no parallel
+  implementation exists and falls back (:349-356) — in Spark, parallelism
+  lives in task scheduling, so the flag is a no-op hint here
+* downsamplers are copy/deepcopy/pickle-safe (tests/test_tsdownsample.py:70-97)
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+
+from tsdownsample_spark.kernels.selectors import downsample_array, everynth
+
+_X_DTYPES = "fiuMm"  # float, int, uint, datetime64, timedelta64
+_Y_EXTRA = {np.dtype(np.float16), np.dtype(np.int8), np.dtype(np.uint8), np.dtype(bool)}
+
+
+def _check_arrays(args):
+    if not (1 <= len(args) <= 2):
+        raise ValueError("downsample takes 1 or 2 positional arrays (y) or (x, y)")
+    arrs = [np.asarray(a) for a in args]
+    for a in arrs:
+        if a.ndim != 1:
+            raise ValueError("input arrays must be 1-dimensional")
+    if len(arrs) == 2 and len(arrs[0]) != len(arrs[1]):
+        raise ValueError("x and y must have the same length")
+    return (None, arrs[0]) if len(arrs) == 1 else (arrs[0], arrs[1])
+
+
+def _check_x_dtype(x: np.ndarray) -> None:
+    if x.dtype.kind not in _X_DTYPES or (
+        x.dtype.kind in "iu" and x.dtype.itemsize == 1
+    ):
+        raise ValueError(f"unsupported x dtype {x.dtype} (reference allowlist)")
+
+
+def _check_y_dtype(y: np.ndarray) -> None:
+    if y.dtype.kind in _X_DTYPES or y.dtype in _Y_EXTRA:
+        return
+    raise ValueError(f"unsupported y dtype {y.dtype}")
+
+
+class AbstractDownsampler:
+    _algo: str = ""
+    _has_parallel = True
+
+    def _check_n_out(self, n_out: int) -> None:
+        if not isinstance(n_out, (int, np.integer)):
+            raise TypeError("n_out must be an int")
+        if n_out <= 0:
+            raise ValueError("n_out must be > 0")
+
+    def downsample(self, *args, n_out: int, parallel: bool = False, **kwargs):
+        self._check_n_out(n_out)
+        x, y = _check_arrays(args)
+        _check_y_dtype(y)
+        if x is not None:
+            _check_x_dtype(x)
+        if parallel and not self._has_parallel:
+            warnings.warn(
+                f"No parallel implementation of {type(self).__name__} exists; "
+                "falling back to the sequential implementation"
+            )
+        y16 = y.astype(np.float32) if y.dtype == np.float16 else y
+        idx = downsample_array(y16, int(n_out), algo=self._algo, x=x, **kwargs)
+        return idx.astype(np.uint64)
+
+
+class MinMaxDownsampler(AbstractDownsampler):
+    _algo = "minmax"
+
+    def _check_n_out(self, n_out):
+        super()._check_n_out(n_out)
+        if n_out % 2 != 0:
+            raise ValueError("n_out must be a multiple of 2")
+
+
+class NaNMinMaxDownsampler(MinMaxDownsampler):
+    _algo = "nanminmax"
+
+
+class M4Downsampler(AbstractDownsampler):
+    _algo = "m4"
+
+    def _check_n_out(self, n_out):
+        super()._check_n_out(n_out)
+        if n_out % 4 != 0:
+            raise ValueError("n_out must be a multiple of 4")
+
+
+class NaNM4Downsampler(M4Downsampler):
+    _algo = "nanm4"
+
+
+class LTTBDownsampler(AbstractDownsampler):
+    _algo = "lttb"
+    _has_parallel = False
+
+
+class MinMaxLTTBDownsampler(AbstractDownsampler):
+    _algo = "minmaxlttb"
+
+    def downsample(self, *args, n_out: int, minmax_ratio: int = 4, parallel=False):
+        assert minmax_ratio > 0, "minmax_ratio must be > 0"
+        return super().downsample(
+            *args, n_out=n_out, parallel=parallel, minmax_ratio=minmax_ratio
+        )
+
+
+class NaNMinMaxLTTBDownsampler(MinMaxLTTBDownsampler):
+    _algo = "nanminmaxlttb"
+
+
+class EveryNthDownsampler(AbstractDownsampler):
+    _algo = "everynth"
+
+    def downsample(self, *args, n_out: int, parallel: bool = False, **kwargs):
+        self._check_n_out(n_out)
+        x, y = _check_arrays(args)
+        if x is not None:
+            warnings.warn(
+                "x is passed to downsample method of EveryNthDownsampler, but is "
+                "not taken into account by the current implementation"
+            )
+        return everynth(np.asarray(y), int(n_out)).astype(np.uint64)

@@ -48,6 +48,29 @@ def _as_float_view(x: np.ndarray) -> np.ndarray:
     return x
 
 
+# uint32 excluded: values >= 2^31 would overflow the packed int64 key
+_PACKABLE = (np.int8, np.int16, np.int32, np.uint8, np.uint16)
+
+
+def _grouped_argminmax_packed(
+    yv: np.ndarray, vs: np.ndarray, ve: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Integer fast path: pack (value, index) into one int64 key so a single
+    ``reduceat`` yields both the extreme and its first-occurrence index.
+
+    min key = (v << 32) | idx           -> minimum picks (min v, min idx)
+    max key = (v << 32) | (~idx & mask) -> maximum picks (max v, min idx)
+    Requires value to fit 32 signed bits and the buffer < 2^32 elements.
+    """
+    idx = np.arange(len(yv), dtype=np.int64)
+    base = yv.astype(np.int64) << np.int64(32)
+    kmin = base | idx
+    kmax = base | (np.int64(0xFFFFFFFF) - idx)
+    argmins = np.minimum.reduceat(kmin, vs) & np.int64(0xFFFFFFFF)
+    argmaxs = np.int64(0xFFFFFFFF) - (np.maximum.reduceat(kmax, vs) & np.int64(0xFFFFFFFF))
+    return argmins, argmaxs
+
+
 def _grouped_argminmax(
     y: np.ndarray,
     starts: np.ndarray,
@@ -68,6 +91,9 @@ def _grouped_argminmax(
         return e, e, e.copy(), e.copy()
     n_used = int(ve[-1])
     yv = y[:n_used]
+    if yv.dtype in [np.dtype(t) for t in _PACKABLE] and n_used < (1 << 32):
+        argmins, argmaxs = _grouped_argminmax_packed(yv, vs, ve)
+        return vs, ve, argmins, argmaxs
     counts = ve - vs
     bin_of = np.repeat(np.arange(len(vs), dtype=np.int64), counts)
 
