@@ -100,7 +100,11 @@ def dedup_job(spark, path):
 
     from tsdownsample_spark.operators.dedup import minhash_signatures, simhash
 
-    docs = spark.read.parquet(path)
+    cores = int(spark.sparkContext.defaultParallelism)
+    # the docs file is tiny in bytes but md5-heavy per row: byte-based scan
+    # splitting would give ~1 partition, serializing the CPU work — spread
+    # rows explicitly to match the compute
+    docs = spark.read.parquet(path).repartition(4 * cores)
     minhash_signatures(docs, k=16).select(
         F.count(F.element_at("sig", 1))
     ).collect()

@@ -28,7 +28,6 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_OUT = int(os.environ.get("BENCH_N_OUT", "2000"))
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 
 # shape -> (docs, tokens/doc, n_out): "many" is the training-data shape

@@ -62,9 +62,12 @@ def minhash_signatures(
     sh = _shingles_expr(text_col, shingle)
     sig = (
         f"transform(sequence(0, {k - 1}), "
-        f"j -> array_min(transform({sh}, s -> md5(concat(CAST(j AS STRING), ':', s)))))"
+        "j -> array_min(transform(_sh, s -> md5(concat(CAST(j AS STRING), ':', s)))))"
     )
-    return df.select(F.col(id_col), F.expr(sig).alias("sig"))
+    # materialize the shingle array once per row; the k hash passes reuse it
+    return df.select(F.col(id_col), F.expr(sh).alias("_sh")).select(
+        F.col(id_col), F.expr(sig).alias("sig")
+    )
 
 
 def lsh_candidate_pairs(

@@ -41,6 +41,14 @@ def _load(spark, sf_dir, name):
     return load(spark, sf_dir, name)
 
 
+def _load_wide(spark, sf_dir, name):
+    """Like _load, but spread rows across cores: these tables are tiny in
+    bytes yet md5/expression-heavy per row, so byte-based scan splitting
+    would hand all the CPU work to one task."""
+    df = _load(spark, sf_dir, name)
+    return df.repartition(2 * spark.sparkContext.defaultParallelism)
+
+
 # ------------------------------------------------------------ text features
 
 
@@ -144,7 +152,7 @@ _DUCK_SIG = (
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _load(spark, sf_dir, "documents").withColumn(
+    docs = _load_wide(spark, sf_dir, "documents").withColumn(
         "doc_id", F.col("doc_id").cast("long")
     )
     sig = minhash_signatures(docs, k=16)
@@ -168,7 +176,7 @@ FROM banded a JOIN banded b
 
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _load(spark, sf_dir, "documents").withColumn(
+    docs = _load_wide(spark, sf_dir, "documents").withColumn(
         "doc_id", F.col("doc_id").cast("long")
     )
     sig = minhash_signatures(docs, k=16)
@@ -204,7 +212,7 @@ JOIN sh y ON y.doc_id = p.id_b
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     return simhash(docs, bits=32)
 
 
