@@ -80,8 +80,9 @@ def test_queries_against_oracles(spark, sf_dir):
         g = _norm([tuple(r) for r in got], cols)
         e = _norm(expected.fetchall(), exp_cols)
         if g != e:
-            diff_g = [r for r in g if r not in set(e)][:5]
-            diff_e = [r for r in e if r not in set(g)][:5]
+            gs, es = set(g), set(e)
+            diff_g = [r for r in g if r not in es][:5]
+            diff_e = [r for r in e if r not in gs][:5]
             failures.append(f"{name}: {len(g)} vs {len(e)} rows; spark-only={diff_g} duck-only={diff_e}")
     assert not failures, "\n".join(failures)
 

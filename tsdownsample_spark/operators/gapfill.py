@@ -72,19 +72,23 @@ def gap_fill(
             .orderBy(x_col)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
+        # forward-looking values via a DESCENDING running frame: Spark's
+        # (currentRow, unboundedFollowing) frame is O(n^2) per partition
+        # (it rescans forward for every row); last() over the reversed
+        # order with a running frame is the O(n) equivalent.
         wf = (
             Window.partitionBy(*by)
-            .orderBy(x_col)
-            .rowsBetween(0, Window.unboundedFollowing)
+            .orderBy(F.desc(x_col))
+            .rowsBetween(Window.unboundedPreceding, 0)
         )
         ts_long = F.col(x_col).cast("double")
         for c in value_cols:
             prev_v = F.last(c, ignorenulls=True).over(wb)
-            next_v = F.first(c, ignorenulls=True).over(wf)
+            next_v = F.last(c, ignorenulls=True).over(wf)
             prev_t = F.last(
                 F.when(F.col(c).isNotNull(), ts_long), ignorenulls=True
             ).over(wb)
-            next_t = F.first(
+            next_t = F.last(
                 F.when(F.col(c).isNotNull(), ts_long), ignorenulls=True
             ).over(wf)
             interp = F.when(F.col(c).isNotNull(), F.col(c)).otherwise(

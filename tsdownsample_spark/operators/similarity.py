@@ -68,6 +68,46 @@ def cosine_topk(
     )
 
 
+def near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= threshold).
+
+    Without ``candidates`` this is the exact O(n^2) pass (fine for probe
+    sets / small corpora; the verifier for approximate paths).  At scale,
+    pass LSH-bucketed candidate pairs (same shape as lsh_candidate_pairs)
+    to restrict the comparison set.
+    """
+    # precompute per-vector norms once; each pair then costs one dot product
+    normed = vectors.select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        F.expr(_norm_expr(vec_col)).alias("nrm"),
+    )
+    a = normed.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = normed.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    if candidates is not None:
+        joined = candidates.join(F.broadcast(a), "id_a").join(F.broadcast(b), "id_b")
+    else:
+        joined = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        joined.withColumn(
+            "cos_r",
+            F.round(F.expr(_dot_expr("va", "vb")) / (F.col("na") * F.col("nb")), 6),
+        )
+        .filter(F.col("cos_r") >= threshold)
+        .select("id_a", "id_b", "cos_r")
+    )
+
+
 def lsh_planes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     """Deterministic hyperplanes, rounded so they serialize exactly in SQL."""
     rng = np.random.default_rng(seed)

@@ -366,6 +366,11 @@ GROUP BY event_type, bucket_ts
 
 
 def _q_gapfill(strategy: str):
+    # linear interpolation is gated on agg_min: min/max are order-
+    # insensitive (bit-exact across engines), so the comparison tests the
+    # interpolation math itself rather than cross-engine float-sum ordering
+    col = "agg_min" if strategy == "linear" else "agg_avg"
+
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from tsdownsample_spark.operators.gapfill import gap_fill
         from tsdownsample_spark.operators.rollup import retention_tiers, with_derived
@@ -378,13 +383,21 @@ def _q_gapfill(strategy: str):
             t1m,
             "1 minute",
             by=["event_type"],
-            value_cols=["agg_avg"],
+            value_cols=[col],
             strategy=strategy,
         )
+        if strategy == "linear":
+            # interp values land on exact .5 boundaries at the 6th decimal
+            # (k/2^m ratios over 2-decimal inputs); Spark ROUND (decimal
+            # half-up) and DuckDB ROUND (scaled-double) disagree there, so
+            # compare a scaled integer computed with identical double ops
+            out_val = F.floor(F.col(col) * 1e6 + 0.5).cast("long").alias("avg_r")
+        else:
+            out_val = F.round(col, 6).alias("avg_r")
         return filled.select(
             "event_type",
             "bucket_ts",
-            F.round("agg_avg", 6).alias("avg_r"),
+            out_val,
             F.col("is_gap").cast("boolean").alias("is_gap"),
         )
 
@@ -419,6 +432,51 @@ FROM grid g LEFT JOIN agg a
 """
 
 
+_ORACLE_GAPFILL_LINEAR = """
+WITH agg AS (
+    SELECT event_type, date_trunc('minute', ts) AS bucket_ts,
+           MIN(value) AS avg_v
+    FROM events GROUP BY 1, 2
+),
+bounds AS (
+    SELECT event_type, MIN(bucket_ts) AS t0, MAX(bucket_ts) AS t1 FROM agg GROUP BY 1
+),
+grid AS (
+    SELECT b.event_type, UNNEST(generate_series(b.t0, b.t1, INTERVAL 1 MINUTE)) AS bucket_ts
+    FROM bounds b
+),
+j AS (
+    SELECT g.event_type, g.bucket_ts, a.avg_v,
+           CAST(epoch(g.bucket_ts) AS DOUBLE) AS t
+    FROM grid g LEFT JOIN agg a
+      ON a.event_type = g.event_type AND a.bucket_ts = g.bucket_ts
+),
+w AS (
+    SELECT event_type, bucket_ts, avg_v, t,
+        last_value(avg_v IGNORE NULLS) OVER
+            (PARTITION BY event_type ORDER BY bucket_ts
+             ROWS UNBOUNDED PRECEDING) AS pv,
+        last_value(CASE WHEN avg_v IS NOT NULL THEN t END IGNORE NULLS) OVER
+            (PARTITION BY event_type ORDER BY bucket_ts
+             ROWS UNBOUNDED PRECEDING) AS pt,
+        first_value(avg_v IGNORE NULLS) OVER
+            (PARTITION BY event_type ORDER BY bucket_ts
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN avg_v IS NOT NULL THEN t END IGNORE NULLS) OVER
+            (PARTITION BY event_type ORDER BY bucket_ts
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+    FROM j
+)
+SELECT event_type, bucket_ts,
+    CAST(FLOOR((CASE WHEN avg_v IS NOT NULL THEN avg_v
+               WHEN pv IS NULL THEN nv
+               WHEN nv IS NULL THEN pv
+               ELSE pv + (nv - pv) * (t - pt) / (nt - pt) END) * 1e6 + 0.5) AS BIGINT) AS avg_r,
+    avg_v IS NULL AS is_gap
+FROM w
+"""
+
+
 def _q_compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gorilla + delta-of-delta round-trip: decompress(compress(events)) must
     equal the raw table bit-for-bit (the oracle is a plain SELECT)."""
@@ -450,6 +508,7 @@ def queries() -> dict:
         "q_gapfill_null": _q_gapfill("null"),
         "q_gapfill_zero": _q_gapfill("zero"),
         "q_gapfill_locf": _q_gapfill("locf"),
+        "q_gapfill_linear": _q_gapfill("linear"),
         "q_compress_roundtrip": _q_compress_roundtrip,
     }
     base.update(queries_text.queries())
@@ -471,6 +530,7 @@ def oracle_sql() -> dict:
         "q_gapfill_null": _oracle_gapfill("null"),
         "q_gapfill_zero": _oracle_gapfill("zero"),
         "q_gapfill_locf": _oracle_gapfill("locf"),
+        "q_gapfill_linear": _ORACLE_GAPFILL_LINEAR,
         "q_compress_roundtrip": "SELECT event_type, ts, value FROM events",
     }
     base.update(queries_text.oracle_sql())

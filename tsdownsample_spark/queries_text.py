@@ -271,6 +271,33 @@ SELECT probe_id, rank, neighbor_id, cos_r FROM ranked WHERE rank <= 10
 """
 
 
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (threshold tuned to the
+    synthetic embedding distribution: random normals peak near cos ~0.3)."""
+    from tsdownsample_spark.operators.similarity import near_dup_pairs
+
+    # bounded shard: exact O(n^2) near-dup is the verifier path; the scale
+    # path goes through LSH candidates (near_dup_pairs(candidates=...))
+    emb = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    return near_dup_pairs(emb, threshold=0.28)
+
+
+_ORACLE_EMBED_NEARDUP = f"""
+WITH norms AS (
+    SELECT vec_id, embedding,
+           sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS nrm
+    FROM embeddings WHERE vec_id < 1000
+),
+scored AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_DUCK_DOT.format(a='a.embedding', b='b.embedding')}
+                 / (a.nrm * b.nrm), 6) AS cos_r
+    FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos_r FROM scored WHERE cos_r >= 0.28
+"""
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 8)
@@ -413,6 +440,7 @@ def queries() -> dict:
         "q_simhash": q_simhash,
         "q_ann_topk": q_ann_topk,
         "q_ann_lsh": q_ann_lsh,
+        "q_embed_neardup": q_embed_neardup,
         "q_tokenize": q_tokenize,
         "q_doc_downsample": q_doc_downsample,
     }
@@ -428,6 +456,7 @@ def oracle_sql() -> dict:
         "q_simhash": _ORACLE_SIMHASH,
         "q_ann_topk": _ORACLE_ANN_TOPK,
         "q_ann_lsh": _oracle_ann_lsh(),
+        "q_embed_neardup": _ORACLE_EMBED_NEARDUP,
         "q_tokenize": _ORACLE_TOKENIZE,
         "q_doc_downsample": _ORACLE_DOC_DOWNSAMPLE,
     }
