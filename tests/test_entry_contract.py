@@ -38,10 +38,17 @@ def _duck(sf_dir):
 
 
 def _norm_cell(v):
+    # Type-tagged so an int-vs-float dtype mismatch between Spark and the
+    # DuckDB oracle fails HERE, not only at the driver (its value-hash sees
+    # '3.0' vs '3' — this masked the r01 q_text_features/q_simhash failures).
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return f"{v:.10g}"
+            return "f:NaN"
+        return f"f:{v:.10g}"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, int):
+        return f"i:{v}"
     return str(v)
 
 

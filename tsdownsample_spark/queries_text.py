@@ -56,7 +56,7 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents")
     return text_features(docs).select(
         "doc_id",
-        "n_words",
+        F.col("n_words").cast("long").alias("n_words"),
         "token_count",
         "punct_ratio",
         "stopword_ratio",
@@ -69,14 +69,16 @@ _ORACLE_TEXT_FEATURES = """
 WITH base AS (
     SELECT doc_id, text,
            length(text) AS n_chars_c,
-           len(string_split(text, ' ')) AS n_words,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
            ' ' || lower(text) || ' ' AS padded
     FROM documents
 ),
 feat AS (
     SELECT doc_id, n_words,
-        list_sum(list_transform(string_split(text, ' '),
-                 w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS token_count,
+        -- DuckDB list_sum materializes as HUGEINT/double; pin to BIGINT so
+        -- the driver's value-hash sees '3', not '3.0' (CORRECTNESS_r01 fix)
+        CAST(list_sum(list_transform(string_split(text, ' '),
+                 w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS token_count,
         ROUND((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
               / greatest(length(text), 1), 6) AS punct_ratio,
         ROUND((
@@ -224,10 +226,11 @@ WITH w AS (
     FROM documents
 )
 SELECT doc_id,
-    list_sum(list_transform(range(32), j ->
+    -- CAST: list_sum yields HUGEINT/double; Spark emits BIGINT
+    CAST(list_sum(list_transform(range(32), j ->
         CASE WHEN list_sum(list_transform(hs,
                  h -> 2 * ((h // CAST(pow(2, j) AS BIGINT)) % 2) - 1)) >= 0
-             THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)) AS simhash
+             THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
 FROM w
 """
 
@@ -346,7 +349,7 @@ _DUCK_TOKENIZE = (
 )
 
 
-def q_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents -> the engine's token-table shape (BASELINE input_hint)."""
     docs = _load(spark, sf_dir, "documents")
     return docs.select(
@@ -357,8 +360,25 @@ def q_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract projection of tokenize_docs: the raw array<int> column breaks
+    the driver's canonicalizer (pandas can't sort list cells), so the checked
+    shape is a content hash of the token array + its length — equally strong
+    as a correctness signal (any token or order difference flips the md5)."""
+    toks = tokenize_docs(spark, sf_dir)
+    return toks.select(
+        "doc_id",
+        F.md5(F.expr("array_join(transform(tokens, t -> CAST(t AS STRING)), ',')")).alias(
+            "tok_hash"
+        ),
+        "n_tok",
+        "source",
+    )
+
+
 _ORACLE_TOKENIZE = f"""
-SELECT doc_id, {_DUCK_TOKENIZE} AS tokens,
+SELECT doc_id,
+       md5(array_to_string({_DUCK_TOKENIZE}, ',')) AS tok_hash,
        CAST(len({_DUCK_TOKENIZE}) AS INTEGER) AS n_tok, source
 FROM documents
 """
@@ -369,7 +389,7 @@ def q_doc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     downsample (n_out=20) -> exploded selected (idx, token)."""
     from tsdownsample_spark.operators.downsample import downsample_tokens
 
-    toks = q_tokenize(spark, sf_dir)
+    toks = tokenize_docs(spark, sf_dir)
     out = downsample_tokens(toks, 20, algo="minmax", tokens_col="tokens")
     return (
         out.select("doc_id", "tokens", F.posexplode("sel_idx").alias("pos", "sel_idx"))
