@@ -24,13 +24,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def event_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Deterministic NaN injection for the NaN* selector queries: both engines
+# can compute it exactly (events has no native NaNs).
+_NAN_INJECT_SPARK = "CASE WHEN event_id % 37 = 0 THEN CAST('NaN' AS DOUBLE) ELSE value END"
+_NAN_INJECT_DUCK = "CASE WHEN event_id % 37 = 0 THEN 'NaN'::DOUBLE ELSE value END"
+
+
+def event_series(spark: SparkSession, sf_dir: str, nan_inject: bool = False) -> DataFrame:
     """One row per event_type: values array ordered by (ts, event_id).
 
     ``sort_array`` over structs keeps the sort JVM-side; the array order is
     (ts, event_id) because those are the struct's leading fields.
     """
     ev = load(spark, sf_dir, "events")
+    if nan_inject:
+        ev = ev.withColumn("value", F.expr(_NAN_INJECT_SPARK))
     return (
         ev.groupBy("event_type")
         .agg(F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))).alias("pts"))
@@ -39,9 +47,9 @@ def event_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _downsample_query(algo: str, n_out: int = N_OUT):
+def _downsample_query(algo: str, n_out: int = N_OUT, nan_inject: bool = False):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        ser = event_series(spark, sf_dir)
+        ser = event_series(spark, sf_dir, nan_inject=nan_inject)
         out = downsample_tokens(ser, n_out, algo=algo, tokens_col="vals")
         return (
             out.select("event_type", "vals", F.posexplode("sel_idx").alias("pos", "sel_idx"))
@@ -59,15 +67,26 @@ def _downsample_query(algo: str, n_out: int = N_OUT):
 
 # ---------------------------------------------------------------- oracles
 
-_ORD = """
+def _ord_cte(nan: bool = False) -> str:
+    val = _NAN_INJECT_DUCK if nan else "value"
+    return f"""
 ord AS (
-    SELECT event_type, value,
+    SELECT event_type, {val} AS value,
            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS rn,
            COUNT(*) OVER (PARTITION BY event_type) AS n
     FROM events
 ),
 types AS (SELECT DISTINCT event_type, n FROM ord)
 """
+
+
+_ORD = _ord_cte()
+
+# NaN-return argmin/argmax rule (nan="return" selectors, reference
+# tsdownsample/_python/downsamplers.py nanarg discipline): any NaN in the bin
+# wins BOTH the min and max slot, first NaN index first.  In SQL: an
+# isnan-first sort key; within NaNs all values tie, so rn ASC picks the first.
+_NAN_KEY = "isnan(value) DESC, "
 
 
 def _oracle_everynth(n_out: int = N_OUT) -> str:
@@ -90,15 +109,16 @@ FROM idx i JOIN ord o ON o.event_type = i.event_type AND o.rn = i.sel_idx
 """
 
 
-def _oracle_minmax(n_out: int = N_OUT) -> str:
+def _oracle_minmax(n_out: int = N_OUT, nan: bool = False) -> str:
     # Equal-count bins: bin i of m = n_out/2 spans
     # [i=0 ? 0 : floor(bs*i)+1, floor(bs*(i+1))+1), bs = (n-1)/m
     # (reference downsample_rs/src/minmax.rs:110-119); per bin emit argmin &
     # argmax (first occurrence) in index order.  Series with n <= n_out are
-    # returned whole (identity rule).
+    # returned whole (identity rule).  nan=True -> NaN-return semantics.
     m = n_out // 2
+    nk = _NAN_KEY if nan else ""
     return f"""
-WITH {_ORD},
+WITH {_ord_cte(nan)},
 bins AS (
     SELECT event_type, n, UNNEST(range({m})) AS i FROM types WHERE n > {n_out}
 ),
@@ -116,12 +136,12 @@ binned AS (
 ),
 mins AS (
     SELECT event_type, i, rn, value,
-           ROW_NUMBER() OVER (PARTITION BY event_type, i ORDER BY value ASC, rn ASC) AS r
+           ROW_NUMBER() OVER (PARTITION BY event_type, i ORDER BY {nk}value ASC, rn ASC) AS r
     FROM binned
 ),
 maxs AS (
     SELECT event_type, i, rn, value,
-           ROW_NUMBER() OVER (PARTITION BY event_type, i ORDER BY value DESC, rn ASC) AS r
+           ROW_NUMBER() OVER (PARTITION BY event_type, i ORDER BY {nk}value DESC, rn ASC) AS r
     FROM binned
 ),
 pair AS (
@@ -146,12 +166,14 @@ SELECT * FROM big UNION ALL SELECT * FROM small
 """
 
 
-def _oracle_m4(n_out: int = N_OUT) -> str:
+def _oracle_m4(n_out: int = N_OUT, nan: bool = False) -> str:
     # m4.rs:114-139: m = n_out/4 bins; per bin (first, argmin, argmax, last)
-    # with the middle pair in index order; duplicates kept.
+    # with the middle pair in index order; duplicates kept.  nan=True ->
+    # NaN-return min/max; first/last slots are positional, NaN-insensitive.
     m = n_out // 4
+    nk = _NAN_KEY if nan else ""
     return f"""
-WITH {_ORD},
+WITH {_ord_cte(nan)},
 bins AS (
     SELECT event_type, n, UNNEST(range({m})) AS i FROM types WHERE n > {n_out}
 ),
@@ -169,12 +191,12 @@ binned AS (
 ),
 mins AS (
     SELECT event_type, i, rn, value,
-           ROW_NUMBER() OVER (PARTITION BY event_type, i ORDER BY value ASC, rn ASC) AS r
+           ROW_NUMBER() OVER (PARTITION BY event_type, i ORDER BY {nk}value ASC, rn ASC) AS r
     FROM binned
 ),
 maxs AS (
     SELECT event_type, i, rn, value,
-           ROW_NUMBER() OVER (PARTITION BY event_type, i ORDER BY value DESC, rn ASC) AS r
+           ROW_NUMBER() OVER (PARTITION BY event_type, i ORDER BY {nk}value DESC, rn ASC) AS r
     FROM binned
 ),
 firsts AS (
@@ -203,6 +225,200 @@ small AS (
     FROM ord o WHERE o.n <= {n_out}
 )
 SELECT * FROM big UNION ALL SELECT * FROM small
+"""
+
+
+# ---------------------------------------------- sequential selectors (LTTB)
+
+# LTTB is sequential across buckets, but n_out is small: a DuckDB RECURSIVE
+# CTE carrying (previous selected index, its y) steps bucket-by-bucket; the
+# per-bucket argmax is a correlated subquery ordered by |triangle area|.
+# FP parity notes (validated bit-exact vs the kernel at sf0.001/sf0.01):
+#  * avg_y uses list_sum(list(v ORDER BY rn)) — a sequential left-to-right
+#    fold like np.add.reduceat, NOT a parallel SUM() whose combine order
+#    could perturb the last ulp;
+#  * the area expression mirrors the kernel's op order exactly
+#    (selectors.py:317-335, reference lttb.rs:131-145);
+#  * ties / NaN: ORDER BY abs(area) DESC, rn ASC matches the kernel's
+#    bit-pattern argmax (first occurrence wins; DuckDB sorts NaN greatest).
+
+
+def _lttb_rec_no_x(
+    src: str, n_out: int, prefix: str, where: str = "", val: str = "value"
+) -> str:
+    """Recursive no-x LTTB over ``src`` (cols event_type, rn, v, n).
+
+    Emits CTEs ``{p}big/{p}buckets/{p}avgs/{p}rec``; selected interior points
+    are ``{p}rec WHERE i >= 0`` with pos = i + 1.
+    """
+    p = prefix
+    area = (
+        f"abs((o.{val} * (CAST(r.a AS DOUBLE) - g.avg_x))"
+        " - ((r.a - o.rn) * (g.avg_y - r.ay))"
+        " - ((CAST(r.a AS DOUBLE) - g.avg_x) * r.ay))"
+    )
+    pick = (
+        f"(SELECT o.{{col}} FROM {src} o"
+        f" WHERE o.event_type = r.event_type AND o.rn >= g.ro AND o.rn < g.rt"
+        f" ORDER BY {area} DESC, o.rn ASC LIMIT 1)"
+    )
+    return f"""
+{p}big AS (
+    SELECT event_type, n, (n - 2.0) / ({n_out} - 2) AS every FROM types
+    WHERE n > {n_out} {where}
+),
+{p}buckets AS (
+    SELECT b.event_type, t.i,
+           CAST(FLOOR(b.every * t.i) AS BIGINT) + 1 AS ro,
+           CAST(FLOOR(b.every * (t.i + 1)) AS BIGINT) + 1 AS s,
+           CASE WHEN t.i + 2 <= {n_out} - 2
+                THEN CAST(FLOOR(b.every * (t.i + 2)) AS BIGINT) + 1
+                ELSE b.n END AS e
+    FROM {p}big b, UNNEST(range({n_out} - 2)) AS t(i)
+),
+{p}avgs AS (
+    SELECT bu.event_type, bu.i, bu.ro, bu.s AS rt,
+           list_sum(list(o.{val} ORDER BY o.rn)) / (bu.e - bu.s) AS avg_y,
+           (bu.s + bu.e - 1) / 2.0 AS avg_x
+    FROM {p}buckets bu
+    JOIN {src} o ON o.event_type = bu.event_type AND o.rn >= bu.s AND o.rn < bu.e
+    GROUP BY bu.event_type, bu.i, bu.ro, bu.s, bu.e
+),
+{p}rec(event_type, i, a, ay) AS (
+    SELECT o.event_type, -1, CAST(0 AS BIGINT), o.{val}
+    FROM {src} o JOIN {p}big b USING (event_type) WHERE o.rn = 0
+    UNION ALL
+    SELECT r.event_type, r.i + 1,
+        {pick.format(col="rn")},
+        {pick.format(col=val)}
+    FROM {p}rec r JOIN {p}avgs g ON g.event_type = r.event_type AND g.i = r.i + 1
+)"""
+
+
+def _oracle_lttb(n_out: int = N_OUT) -> str:
+    """Exact DuckDB mirror of the no-x LTTB selector (lttb.rs:17-180)."""
+    return f"""
+WITH RECURSIVE {_ord_cte()},
+{_lttb_rec_no_x("ord", n_out, "l")},
+sel AS (
+    SELECT event_type, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS sel_idx FROM lbig
+    UNION ALL SELECT event_type, CAST(i + 1 AS BIGINT), a FROM lrec WHERE i >= 0
+    UNION ALL SELECT event_type, CAST({n_out} - 1 AS BIGINT), n - 1 FROM lbig
+    UNION ALL SELECT event_type, rn, rn FROM ord WHERE n <= {n_out}
+)
+SELECT s.event_type, s.pos, s.sel_idx, o.value AS sel_value
+FROM sel s JOIN ord o ON o.event_type = s.event_type AND o.rn = s.sel_idx
+"""
+
+
+def _oracle_minmaxlttb(n_out: int = N_OUT, ratio: int = 4, nan: bool = False) -> str:
+    """Exact DuckDB mirror of no-x MinMaxLTTB (minmaxlttb.rs:125-207):
+
+    * ``n // n_out <= ratio`` -> plain no-x LTTB (lrec branch);
+    * otherwise MinMax-prefetch ``n_out * ratio`` candidates over the
+      interior ``[1, n-1)`` (equal-count bins, selectors.py:342-376), keep
+      the endpoints, run LTTB *with x = original index* on the candidates
+      (xrec branch — note the with-x area/avg_x formulas differ from the
+      no-x ones in FP op order, so the two recursions are kept separate).
+    """
+    m_bins = n_out * ratio // 2
+    # nan=True: NaN-return prefetch (isnan-first argmin/argmax); the LTTB
+    # phase needs no flag — NaN areas beat finite ones under both the
+    # kernel's bit-pattern argmax and DuckDB's NaN-greatest sort, first
+    # occurrence winning in both.
+    nk = "isnan(v) DESC, " if nan else ""
+    xarea = (
+        "abs(((c.v * (r.ax - g.avg_x)) + (c.x * (g.avg_y - r.ay)))"
+        " - (((r.ax - g.avg_x) * r.ay) + ((g.avg_y - r.ay) * r.ax)))"
+    )
+    xpick = (
+        "(SELECT c.{col} FROM cand c"
+        " WHERE c.event_type = r.event_type AND c.crn >= g.ro AND c.crn < g.rt"
+        f" ORDER BY {xarea} DESC, c.crn ASC LIMIT 1)"
+    )
+    return f"""
+WITH RECURSIVE {_ord_cte(nan)},
+{_lttb_rec_no_x("ord", n_out, "l", where=f"AND n // {n_out} <= {ratio}")},
+pref AS (
+    SELECT event_type, n, (n - 3.0) / {m_bins} AS block FROM types
+    WHERE n > {n_out} AND n // {n_out} > {ratio}
+),
+mmbins AS (
+    SELECT p.event_type, t.i,
+           CASE WHEN t.i = 0 THEN 0
+                ELSE CAST(FLOOR(p.block * t.i) AS BIGINT) + 1 END AS lo,
+           CAST(FLOOR(p.block * (t.i + 1)) AS BIGINT) + 1 AS hi
+    FROM pref p, UNNEST(range({m_bins})) AS t(i)
+),
+mbinned AS (
+    SELECT o.event_type, e.i, o.rn - 1 AS irn, o.value AS v
+    FROM ord o JOIN mmbins e
+      ON o.event_type = e.event_type AND o.rn - 1 >= e.lo AND o.rn - 1 < e.hi
+    WHERE o.rn >= 1 AND o.rn < o.n - 1
+),
+mmins AS (
+    SELECT event_type, i, irn,
+           ROW_NUMBER() OVER (PARTITION BY event_type, i ORDER BY {nk}v ASC, irn ASC) AS r
+    FROM mbinned
+),
+mmaxs AS (
+    SELECT event_type, i, irn,
+           ROW_NUMBER() OVER (PARTITION BY event_type, i ORDER BY {nk}v DESC, irn ASC) AS r
+    FROM mbinned
+),
+cand_rn AS (
+    SELECT event_type, irn + 1 AS rn FROM mmins WHERE r = 1
+    UNION ALL SELECT event_type, irn + 1 FROM mmaxs WHERE r = 1
+    UNION ALL SELECT event_type, 0 FROM pref
+    UNION ALL SELECT event_type, n - 1 FROM pref
+),
+cand AS (
+    SELECT c.event_type, o.value AS v,
+           CAST(c.rn AS DOUBLE) AS x, c.rn,
+           ROW_NUMBER() OVER (PARTITION BY c.event_type ORDER BY c.rn) - 1 AS crn,
+           COUNT(*) OVER (PARTITION BY c.event_type) AS m
+    FROM cand_rn c JOIN ord o ON o.event_type = c.event_type AND o.rn = c.rn
+),
+cm AS (SELECT DISTINCT event_type, m, (m - 2.0) / ({n_out} - 2) AS every FROM cand),
+xbuckets AS (
+    SELECT b.event_type, t.i,
+           CAST(FLOOR(b.every * t.i) AS BIGINT) + 1 AS ro,
+           CAST(FLOOR(b.every * (t.i + 1)) AS BIGINT) + 1 AS s,
+           CASE WHEN t.i + 2 <= {n_out} - 2
+                THEN CAST(FLOOR(b.every * (t.i + 2)) AS BIGINT) + 1
+                ELSE b.m END AS e
+    FROM cm b, UNNEST(range({n_out} - 2)) AS t(i)
+),
+xavgs AS (
+    SELECT bu.event_type, bu.i, bu.ro, bu.s AS rt,
+           list_sum(list(c.v ORDER BY c.crn)) / (bu.e - bu.s) AS avg_y,
+           (max(CASE WHEN c.crn = bu.e - 1 THEN c.x END)
+            + max(CASE WHEN c.crn = bu.s THEN c.x END)) / 2.0 AS avg_x
+    FROM xbuckets bu
+    JOIN cand c ON c.event_type = bu.event_type AND c.crn >= bu.s AND c.crn < bu.e
+    GROUP BY bu.event_type, bu.i, bu.ro, bu.s, bu.e
+),
+xrec(event_type, i, a, ax, ay) AS (
+    SELECT c.event_type, -1, CAST(0 AS BIGINT), c.x, c.v
+    FROM cand c WHERE c.crn = 0
+    UNION ALL
+    SELECT r.event_type, r.i + 1,
+        {xpick.format(col="crn")},
+        {xpick.format(col="x")},
+        {xpick.format(col="v")}
+    FROM xrec r JOIN xavgs g ON g.event_type = r.event_type AND g.i = r.i + 1
+),
+sel AS (
+    SELECT event_type, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS sel_idx FROM lbig
+    UNION ALL SELECT event_type, CAST(i + 1 AS BIGINT), a FROM lrec WHERE i >= 0
+    UNION ALL SELECT event_type, CAST({n_out} - 1 AS BIGINT), n - 1 FROM lbig
+    UNION ALL SELECT event_type, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM pref
+    UNION ALL SELECT event_type, CAST(i + 1 AS BIGINT), CAST(ax AS BIGINT) FROM xrec WHERE i >= 0
+    UNION ALL SELECT event_type, CAST({n_out} - 1 AS BIGINT), n - 1 FROM pref
+    UNION ALL SELECT event_type, rn, rn FROM ord WHERE n <= {n_out}
+)
+SELECT s.event_type, s.pos, s.sel_idx, o.value AS sel_value
+FROM sel s JOIN ord o ON o.event_type = s.event_type AND o.rn = s.sel_idx
 """
 
 
@@ -497,9 +713,14 @@ def queries() -> dict:
         "q_everynth": _downsample_query("everynth"),
         "q_minmax": _downsample_query("minmax"),
         "q_m4": _downsample_query("m4"),
-        # sequential selectors — no closed-form SQL; rows-only driver check
+        # sequential selectors — oracled via DuckDB recursive CTEs
         "q_lttb": _downsample_query("lttb", n_out=101),
         "q_minmaxlttb": _downsample_query("minmaxlttb"),
+        # NaN-return selector variants over deterministically NaN-injected
+        # values (events has no native NaNs; both engines inject the same)
+        "q_nanminmax": _downsample_query("nanminmax", nan_inject=True),
+        "q_nanm4": _downsample_query("nanm4", nan_inject=True),
+        "q_nanminmaxlttb": _downsample_query("nanminmaxlttb", nan_inject=True),
         "q_minmax_x": _q_downsample_x("minmax"),
         "q_m4_x": _q_downsample_x("m4"),
         "q_rollup_1m": _q_rollup("1m"),
@@ -522,6 +743,11 @@ def oracle_sql() -> dict:
         "q_everynth": _oracle_everynth(),
         "q_minmax": _oracle_minmax(),
         "q_m4": _oracle_m4(),
+        "q_lttb": _oracle_lttb(n_out=101),
+        "q_minmaxlttb": _oracle_minmaxlttb(n_out=N_OUT, ratio=4),
+        "q_nanminmax": _oracle_minmax(nan=True),
+        "q_nanm4": _oracle_m4(nan=True),
+        "q_nanminmaxlttb": _oracle_minmaxlttb(n_out=N_OUT, ratio=4, nan=True),
         "q_minmax_x": _oracle_downsample_x(2),
         "q_m4_x": _oracle_downsample_x(4),
         "q_rollup_1m": _oracle_rollup("1m"),
