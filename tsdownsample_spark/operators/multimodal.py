@@ -30,17 +30,25 @@ MAGIC = b"TSDM"
 KINDS = ("image", "audio", "video")
 
 
-def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
+def media_params(n: int = 64, seed: int = 42):
+    """The deterministic (media_id, kind, w, h, c, payload) stream behind
+    synth_media — exposed so an oracle can state expected metadata without
+    going through the byte-parsing path under test."""
     rng = np.random.default_rng(seed)
-    rows = []
     for i in range(n):
         kind = int(rng.integers(0, 3))
         w = int(rng.integers(8, 64))
         h = int(rng.integers(8, 64))
         c = int(rng.integers(1, 4))
         payload = rng.integers(0, 256, size=w * h * c, dtype=np.uint8).tobytes()
-        blob = MAGIC + struct.pack("<BIIB", kind, w, h, c) + payload
-        rows.append((f"m{i:06d}", KINDS[kind], bytearray(blob)))
+        yield f"m{i:06d}", kind, w, h, c, payload
+
+
+def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
+    rows = [
+        (mid, KINDS[kind], bytearray(MAGIC + struct.pack("<BIIB", kind, w, h, c) + payload))
+        for mid, kind, w, h, c, payload in media_params(n, seed)
+    ]
     return spark.createDataFrame(rows, "media_id string, kind string, data binary")
 
 

@@ -707,7 +707,7 @@ def _q_compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict:
-    from tsdownsample_spark import queries_text
+    from tsdownsample_spark import queries_media, queries_text
 
     base = {
         "q_everynth": _downsample_query("everynth"),
@@ -733,11 +733,12 @@ def queries() -> dict:
         "q_compress_roundtrip": _q_compress_roundtrip,
     }
     base.update(queries_text.queries())
+    base.update(queries_media.queries())
     return base
 
 
 def oracle_sql() -> dict:
-    from tsdownsample_spark import queries_text
+    from tsdownsample_spark import queries_media, queries_text
 
     base = {
         "q_everynth": _oracle_everynth(),
@@ -760,4 +761,5 @@ def oracle_sql() -> dict:
         "q_compress_roundtrip": "SELECT event_type, ts, value FROM events",
     }
     base.update(queries_text.oracle_sql())
+    base.update(queries_media.oracle_sql())
     return base

@@ -235,6 +235,21 @@ FROM w
 """
 
 
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsdownsample_spark.operators.text import doc_fingerprint
+
+    docs = _load(spark, sf_dir, "documents")
+    return doc_fingerprint(docs).select("doc_id", "fp_exact", "fp_shingle")
+
+
+_ORACLE_FINGERPRINT = f"""
+SELECT doc_id,
+       substr(md5(lower(text)), 1, 16) AS fp_exact,
+       substr(list_min(list_transform({_DUCK_SHINGLES}, s -> md5(s))), 1, 16) AS fp_shingle
+FROM documents
+"""
+
+
 # -------------------------------------------------------------- similarity
 
 _DUCK_DOT = (
@@ -463,6 +478,7 @@ def queries() -> dict:
         "q_embed_neardup": q_embed_neardup,
         "q_tokenize": q_tokenize,
         "q_doc_downsample": q_doc_downsample,
+        "q_fingerprint": q_fingerprint,
     }
 
 
@@ -479,4 +495,5 @@ def oracle_sql() -> dict:
         "q_embed_neardup": _ORACLE_EMBED_NEARDUP,
         "q_tokenize": _ORACLE_TOKENIZE,
         "q_doc_downsample": _ORACLE_DOC_DOWNSAMPLE,
+        "q_fingerprint": _ORACLE_FINGERPRINT,
     }
