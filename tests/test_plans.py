@@ -50,6 +50,38 @@ def test_downsample_single_python_stage(spark):
     assert plan.count("MapInArrow") == 1 or plan.count("ArrowEvalPython") == 1
 
 
+def test_dedup_exact_no_join_no_broadcast(spark, sf_dir):
+    """Exact dedup is a single window over content_hash: no join operator,
+    no broadcast of a per-document build side (unbounded at scale)."""
+    from tsdownsample_spark.operators.dedup import dedup_exact
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(dedup_exact(docs))
+    assert "BroadcastExchange" not in plan
+    assert "join" not in plan.lower()
+    assert "Window" in plan
+    assert plan.count("Exchange") == 1  # one shuffle on content_hash
+
+
+def test_jaccard_pairs_semi_joins_corpus(spark, sf_dir):
+    """Pair verification must restrict the corpus with a semi-join instead
+    of broadcasting the full shingle table (explicit broadcast hints gone;
+    AQE may still pick broadcast for genuinely small sides)."""
+    from tsdownsample_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from pyspark.sql import functions as F  # noqa: F811
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    pairs = lsh_candidate_pairs(minhash_signatures(docs, k=16), bands=4, rows=4)
+    plan = jaccard_pairs(docs, pairs)._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan
+
+
 def test_broadcast_join_for_small_probes(spark, sf_dir):
     from tsdownsample_spark.operators.similarity import cosine_topk
 

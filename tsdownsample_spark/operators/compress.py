@@ -52,10 +52,20 @@ def compress_series(
     x_col: str = "ts",
     y_col: str = "value",
     by: Sequence[str] = ("series_key",),
+    chunk_span: int | None = None,
 ) -> DataFrame:
-    """Long-form points -> one row per series: (keys..., n, ts_blob, val_blob).
+    """Long-form points -> one compressed segment row per series (or per
+    (series, time chunk)): (keys..., [chunk_id,] n, ts_blob, val_blob).
 
     Timestamps are encoded as int64 (microseconds if x is a timestamp).
+
+    ``chunk_span`` (in encoded-x units, e.g. 3_600_000_000 for 1 h of
+    microseconds) bounds every segment to a time window — the Gorilla-paper
+    block design.  Without it a whole series becomes ONE row, which breaks
+    past Spark's 2 GiB array/Arrow row limit on long series; with it the
+    per-row state is bounded by the chunk's point count regardless of series
+    length, and chunk_id needs no window/sort — it's a narrow projection, so
+    the only shuffle is the groupBy itself.
     """
     by = list(by)
     x_dtype = df.schema[x_col].dataType.simpleString()
@@ -64,21 +74,25 @@ def compress_series(
         x_as_long = F.unix_micros(F.col(x_col).cast("timestamp"))
     else:
         x_as_long = F.col(x_col).cast("long")
+    pts = df.select(*by, x_as_long.alias("_x"), F.col(y_col).cast("double").alias("_y"))
+    keys = by
+    if chunk_span:
+        pts = pts.withColumn("chunk_id", F.floor(F.col("_x") / F.lit(int(chunk_span))))
+        keys = by + ["chunk_id"]
     packed = (
-        df.select(*by, x_as_long.alias("_x"), F.col(y_col).cast("double").alias("_y"))
-        .groupBy(*by)
+        pts.groupBy(*keys)
         .agg(
             F.sort_array(F.collect_list(F.struct("_x", "_y"))).alias("pts"),
         )
         .select(
-            *by,
+            *keys,
             F.size("pts").alias("n"),
             F.expr("transform(pts, p -> p._x)").alias("_xs"),
             F.expr("transform(pts, p -> p._y)").alias("_ys"),
         )
     )
     return packed.select(
-        *by,
+        *keys,
         "n",
         _enc_ts("_xs").alias("ts_blob"),
         _enc_val("_ys").alias("val_blob"),

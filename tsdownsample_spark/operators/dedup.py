@@ -28,25 +28,21 @@ from tsdownsample_spark.operators.text import _shingles_expr
 def dedup_exact(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Per-doc exact-dup verdict: content hash, group size, keeper flag."""
-    h = F.md5(F.col(text_col)).alias("content_hash")
-    sized = (
-        df.select(F.col(id_col), h)
-        .groupBy("content_hash")
-        .agg(
-            F.count("*").alias("group_size"),
-            F.min(id_col).alias("keeper_id"),
-        )
-    )
+    """Per-doc exact-dup verdict: content hash, group size, keeper flag.
+
+    Window over ``content_hash`` — ONE shuffle, no join, no broadcast: the
+    per-hash state is bounded by the duplicate-group size, never by corpus
+    size, so this survives arbitrarily many distinct documents (the previous
+    shape broadcast one row per distinct hash — unbounded at 100 TB).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("content_hash")
     return (
         df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
-        .join(F.broadcast(sized), "content_hash")
-        .select(
-            id_col,
-            "content_hash",
-            "group_size",
-            (F.col(id_col) == F.col("keeper_id")).alias("keep"),
-        )
+        .withColumn("group_size", F.count("*").over(w))
+        .withColumn("keep", F.col(id_col) == F.min(id_col).over(w))
+        .select(id_col, "content_hash", "group_size", "keep")
     )
 
 
@@ -109,16 +105,28 @@ def jaccard_pairs(
     shingle: int = 3,
     threshold: float = 0.0,
 ) -> DataFrame:
-    """Verify candidate pairs with exact Jaccard over distinct shingles."""
+    """Verify candidate pairs with exact Jaccard over distinct shingles.
+
+    Scale shape: shingle sets are joined to the pairs with plain shuffle
+    joins on id, restricted first (left-semi) to the ids that actually
+    appear in a candidate pair — candidate verification touches only the
+    candidate neighborhood, never a broadcast of the full corpus.  AQE still
+    downgrades to broadcast when the semi-joined side is genuinely small.
+    """
     sh = F.expr(f"array_distinct({_shingles_expr(text_col, shingle)})")
-    docs = df.select(F.col(id_col), sh.alias("sh"))
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    docs = df.select(F.col(id_col), sh.alias("sh")).join(ids, id_col, "left_semi")
     j = (
         pairs.join(
-            F.broadcast(docs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))),
+            docs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
             "id_a",
         )
         .join(
-            F.broadcast(docs.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))),
+            docs.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")),
             "id_b",
         )
         .withColumn(

@@ -95,7 +95,22 @@ def near_dup_pairs(
         F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
     )
     if candidates is not None:
-        joined = candidates.join(F.broadcast(a), "id_a").join(F.broadcast(b), "id_b")
+        # shuffle-join the pairs against the semi-joined subset of vectors
+        # appearing in candidates — NOT a broadcast of the full vector table
+        # (unbounded at scale); AQE may still pick broadcast when small.
+        ids = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .union(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        needed = normed.join(ids, id_col, "left_semi")
+        a = needed.select(
+            F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+        )
+        b = needed.select(
+            F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+        )
+        joined = candidates.join(a, "id_a").join(b, "id_b")
     else:
         joined = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
