@@ -1,0 +1,116 @@
+"""The distributed long-form selectors must select EXACTLY the same indices
+as the vectorized kernels (which are themselves golden-tested against the
+reference) across series lengths that hit every branch: identity, small
+bins, plain-LTTB, and prefetch."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tsdownsample_spark.kernels.selectors import downsample_array
+from tsdownsample_spark.operators.sql_selectors import (
+    everynth_long,
+    m4_long,
+    minmax_long,
+    minmaxlttb_long,
+)
+
+N_OUT = 20
+# lengths: identity (<= n_out), just-above, plain-lttb branch, prefetch
+LENGTHS = [7, 20, 21, 57, 99, 500, 2003]
+
+
+@pytest.fixture(scope="module")
+def long_df(spark):
+    rng = np.random.default_rng(7)
+    frames = []
+    for j, n in enumerate(LENGTHS):
+        frames.append(
+            pd.DataFrame(
+                {
+                    "series": f"s{j}",
+                    "seq": np.arange(n, dtype=np.int64),
+                    "value": rng.normal(size=n).round(6),
+                }
+            )
+        )
+    pdf = pd.concat(frames, ignore_index=True)
+    # shuffle row order so the rank window actually has to sort
+    pdf = pdf.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    return spark.createDataFrame(pdf).repartition(8), pdf
+
+
+def _kernel_expected(pdf, algo, n_out, **kw):
+    rows = []
+    for key, grp in pdf.sort_values(["series", "seq"]).groupby("series"):
+        y = grp["value"].to_numpy()
+        idx = downsample_array(y, n_out, algo=algo, **kw)
+        for pos, i in enumerate(idx):
+            rows.append((key, pos, int(i), float(y[i])))
+    return sorted(rows)
+
+
+def _collect(df):
+    return sorted(
+        (r["series"], r["pos"], r["sel_idx"], r["sel_value"]) for r in df.collect()
+    )
+
+
+@pytest.mark.parametrize(
+    "fn,algo",
+    [
+        (minmax_long, "minmax"),
+        (m4_long, "m4"),
+        (everynth_long, "everynth"),
+    ],
+)
+def test_long_matches_kernel(long_df, fn, algo):
+    df, pdf = long_df
+    got = _collect(fn(df, N_OUT, order=["seq"], by=["series"], y_col="value"))
+    assert got == _kernel_expected(pdf, algo, N_OUT)
+
+
+def test_minmaxlttb_long_matches_kernel(long_df):
+    df, pdf = long_df
+    got = _collect(
+        minmaxlttb_long(df, N_OUT, order=["seq"], by=["series"], y_col="value")
+    )
+    assert got == _kernel_expected(pdf, "minmaxlttb", N_OUT)
+
+
+def test_trailing_point_drop_parity(spark):
+    """FP edge: when floor(bs*m)+1 == n-1 the kernel's equal-count bins end
+    BEFORE the last point (it is silently dropped); the closed-form inverse
+    must drop it too (n=202/1982 with m=50|25 trigger this)."""
+    rng = np.random.default_rng(11)
+    frames = []
+    for j, n in enumerate([202, 1982]):
+        frames.append(
+            pd.DataFrame(
+                {
+                    "series": f"t{j}",
+                    "seq": np.arange(n, dtype=np.int64),
+                    "value": rng.normal(size=n).round(6),
+                }
+            )
+        )
+    pdf = pd.concat(frames, ignore_index=True)
+    df = spark.createDataFrame(pdf).repartition(4)
+    for fn, algo in [(minmax_long, "minmax"), (m4_long, "m4")]:
+        got = _collect(fn(df, 100, order=["seq"], by=["series"], y_col="value"))
+        assert got == _kernel_expected(pdf, algo, 100), algo
+
+
+def test_minmax_long_bounded_plan(long_df):
+    """No collect_list / whole-series arrays anywhere in the plan; the
+    aggregation is partial (map-side combinable)."""
+    df, _ = long_df
+    plan = (
+        minmax_long(df, N_OUT, order=["seq"], by=["series"], y_col="value")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "collect_list" not in plan
+    assert "partial_min" in plan or "partial" in plan

@@ -1,0 +1,290 @@
+"""Distributed long-form selectors — the 100 TB path for the "no x" mode.
+
+The kernel path (operators/downsample.py) is ideal when a series fits one
+row (token tables, plot-sized series).  For long-form points with very long
+or skewed series, materializing a whole series into one array row dies at
+Spark's 2 GiB column/Arrow limits.  These operators express the SAME selector
+semantics as compositions of windows + grouped aggregations, so per-task
+state is bounded by a *bin*, never a series:
+
+* ``minmax_long`` / ``m4_long`` — equal-count binning is computed per point
+  (closed-form bin index from the reference rule, minmax.rs:110-119), then
+  one groupBy (series, bin) computes first-occurrence argmin/argmax with
+  order-embedded struct aggregates.  Shuffle cost: the rank window + one
+  partial-aggregated groupBy; no point array ever materializes.
+* ``everynth_long`` — a pure projection after the rank window (zero extra
+  shuffle): a point knows from (rn, n) whether it is selected.
+* ``minmaxlttb_long`` — the prefetch (interior MinMax, n_out*ratio points)
+  runs distributed exactly as ``minmax_long``; only the BOUNDED candidate
+  set (n_out*ratio + 2 rows per series, independent of n) is grouped for the
+  sequential LTTB phase.  Series on the plain-LTTB branch are bounded too
+  (n <= (ratio+1) * n_out by the branch condition).  This is the selector
+  the reference cannot scale past one core per series; here a 10^9-point
+  series costs one bounded shuffle + a 402-row sequential tail.
+
+Selected-index parity with kernels.selectors is exact (same binning rule,
+same first-occurrence ties, same LTTB float op order — tested in
+tests/test_sql_selectors.py).  NaN policy: these operators implement the
+default nan="ignore" family for NaN-free y (filter NaNs upstream); the NaN-
+return variants live in the kernel path.
+
+Reference: predict-idlab/tsdownsample downsample_rs/src/minmax.rs:98-222,
+m4.rs:102-234, minmaxlttb.rs:125-207, tsdownsample/downsamplers.py:148-158.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tsdownsample_spark.kernels.selectors import lttb
+
+__all__ = ["minmax_long", "m4_long", "everynth_long", "minmaxlttb_long"]
+
+
+def _ranked(
+    df: DataFrame, by: Sequence[str], order: Sequence[str], y_col: str
+) -> DataFrame:
+    """(by..., rn, n, v): dense 0-based rank + series length, one shuffle."""
+    wo = Window.partitionBy(*by).orderBy(*order)
+    wp = Window.partitionBy(*by)
+    return df.select(
+        *by,
+        (F.row_number().over(wo) - 1).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+        F.col(y_col).cast("double").alias("v"),
+    )
+
+
+def _bin_expr(m: int) -> str:
+    """Closed-form equal-count bin index of a point (rn, n) for m bins.
+
+    Forward rule (reference): bin i ends at hi(i) = floor(bs*(i+1)) + 1,
+    bs = (n-1)/m in float64.  The inverse floor(rn/bs) can be off by one in
+    either direction (float rounding), so the candidate is corrected against
+    the forward rule — comparisons use exactly the kernel's hi() expression.
+    """
+    bs = f"((n - 1) / CAST({m} AS DOUBLE))"
+    hi = "(CAST(FLOOR({bs} * ({i} + 1)) AS BIGINT) + 1)"
+    i0 = f"LEAST(CAST({m} AS BIGINT) - 1, CAST(FLOOR(rn / {bs}) AS BIGINT))"
+    return (
+        f"CASE WHEN {i0} >= 1 AND rn < {hi.format(bs=bs, i=f'({i0} - 1)')} "
+        f"THEN {i0} - 1 "
+        f"WHEN rn >= {hi.format(bs=bs, i=i0)} THEN {i0} + 1 "
+        f"ELSE {i0} END"
+    )
+
+
+def _binned_minmax(
+    pts: DataFrame, by: Sequence[str], m: int, rn_col: str = "rn"
+) -> DataFrame:
+    """Per (series, bin): first-occurrence argmin/argmax of v, plus the bin's
+    first/last positions — grouped aggregation, map-side combinable.
+
+    First occurrence is embedded in the aggregate ordering: min(struct(v, rn))
+    picks (min v, min rn); max(struct(v, -rn)) picks (max v, min rn).
+    """
+    return (
+        pts.withColumn("bin", F.expr(_bin_expr(m)))
+        # FP edge: floor(bs*m)+1 can land at n-1, in which case the kernel's
+        # bins end BEFORE the last point and it is dropped (equal_count_bins
+        # tiles [0, floor(bs*m)+1)); the inverse assignment must drop it too,
+        # not invent a bin m.
+        .filter(F.col("bin") < m)
+        .groupBy(*by, "bin")
+        .agg(
+            F.min(F.struct(F.col("v"), F.col(rn_col).alias("rn"))).alias("mn"),
+            F.max(F.struct(F.col("v"), (-F.col(rn_col)).alias("nrn"))).alias("mx"),
+            F.min(F.struct(F.col(rn_col).alias("rn"), F.col("v"))).alias("fst"),
+            F.max(F.struct(F.col(rn_col).alias("rn"), F.col("v"))).alias("lst"),
+        )
+        .withColumn("mn_rn", F.col("mn.rn"))
+        .withColumn("mx_rn", -F.col("mx.nrn"))
+    )
+
+
+def _emit(binned: DataFrame, by: Sequence[str], slots: list, k: int) -> DataFrame:
+    """Explode per-bin slot structs into (by..., pos, sel_idx, sel_value)."""
+    arr = F.array(*slots)
+    return (
+        binned.withColumn("_slots", arr)
+        .select(*by, "bin", F.posexplode("_slots").alias("_o", "_s"))
+        .select(
+            *by,
+            (F.lit(k) * F.col("bin") + F.col("_o")).cast("long").alias("pos"),
+            F.col("_s.rn").cast("long").alias("sel_idx"),
+            F.col("_s.v").alias("sel_value"),
+        )
+    )
+
+
+def _identity_small(pts: DataFrame, by: Sequence[str], n_out: int) -> DataFrame:
+    return pts.filter(F.col("n") <= n_out).select(
+        *by,
+        F.col("rn").cast("long").alias("pos"),
+        F.col("rn").cast("long").alias("sel_idx"),
+        F.col("v").alias("sel_value"),
+    )
+
+
+def _minmax_slots():
+    """(lo, hi) slot structs in index order, values carried from the agg."""
+    lo = F.when(
+        F.col("mn_rn") <= F.col("mx_rn"),
+        F.struct(F.col("mn_rn").alias("rn"), F.col("mn.v").alias("v")),
+    ).otherwise(F.struct(F.col("mx_rn").alias("rn"), F.col("mx.v").alias("v")))
+    hi = F.when(
+        F.col("mn_rn") <= F.col("mx_rn"),
+        F.struct(F.col("mx_rn").alias("rn"), F.col("mx.v").alias("v")),
+    ).otherwise(F.struct(F.col("mn_rn").alias("rn"), F.col("mn.v").alias("v")))
+    return lo, hi
+
+
+def minmax_long(
+    df: DataFrame,
+    n_out: int,
+    order: Sequence[str],
+    by: Sequence[str],
+    y_col: str = "value",
+) -> DataFrame:
+    """Distributed MinMax (no-x): (by..., pos, sel_idx, sel_value)."""
+    if n_out % 2:
+        raise ValueError("n_out must be a multiple of 2")
+    by = list(by)
+    pts = _ranked(df, by, order, y_col)
+    big = pts.filter(F.col("n") > n_out)
+    lo, hi = _minmax_slots()
+    sel = _emit(_binned_minmax(big, by, n_out // 2), by, [lo, hi], 2)
+    return sel.unionByName(_identity_small(pts, by, n_out))
+
+
+def m4_long(
+    df: DataFrame,
+    n_out: int,
+    order: Sequence[str],
+    by: Sequence[str],
+    y_col: str = "value",
+) -> DataFrame:
+    """Distributed M4 (no-x): per bin (first, min, max, last) in index order."""
+    if n_out % 4:
+        raise ValueError("n_out must be a multiple of 4")
+    by = list(by)
+    pts = _ranked(df, by, order, y_col)
+    big = pts.filter(F.col("n") > n_out)
+    lo, hi = _minmax_slots()
+    first = F.struct(F.col("fst.rn").alias("rn"), F.col("fst.v").alias("v"))
+    last = F.struct(F.col("lst.rn").alias("rn"), F.col("lst.v").alias("v"))
+    sel = _emit(_binned_minmax(big, by, n_out // 4), by, [first, lo, hi, last], 4)
+    return sel.unionByName(_identity_small(pts, by, n_out))
+
+
+def everynth_long(
+    df: DataFrame,
+    n_out: int,
+    order: Sequence[str],
+    by: Sequence[str],
+    y_col: str = "value",
+) -> DataFrame:
+    """Distributed EveryNth: selection decided per point from (rn, n) — a
+    projection after the rank window; no grouping at all.
+
+    Reference rule (downsamplers.py:148-158): step = max(1, n/n_out),
+    indices floor(k*step) for k*step < n - 0.1.  A point checks the k
+    candidates around rn/step against the forward formula.
+    """
+    by = list(by)
+    pts = _ranked(df, by, order, y_col)
+    step = f"GREATEST(CAST(1.0 AS DOUBLE), n / CAST({n_out} AS DOUBLE))"
+    k0 = f"CAST(FLOOR(rn / {step}) AS BIGINT)"
+    hit = (
+        "(CASE "
+        + " ".join(
+            f"WHEN {k0} + {d} >= 0 AND CAST(FLOOR(({k0} + {d}) * {step}) AS BIGINT) = rn"
+            f" AND ({k0} + {d}) * {step} < n - 0.1 THEN {k0} + {d}"
+            for d in (-1, 0, 1)
+        )
+        + " ELSE CAST(NULL AS BIGINT) END)"
+    )
+    return (
+        pts.withColumn("pos", F.expr(hit))
+        .filter(F.col("pos").isNotNull())
+        .select(
+            *by,
+            F.col("pos").cast("long").alias("pos"),
+            F.col("rn").cast("long").alias("sel_idx"),
+            F.col("v").alias("sel_value"),
+        )
+    )
+
+
+def minmaxlttb_long(
+    df: DataFrame,
+    n_out: int,
+    order: Sequence[str],
+    by: Sequence[str],
+    y_col: str = "value",
+    ratio: int = 4,
+) -> DataFrame:
+    """Distributed MinMaxLTTB: unbounded series, bounded per-task state.
+
+    Prefetch (interior MinMax over [1, n-1), n_out*ratio candidates) runs as
+    a grouped aggregation like ``minmax_long``; only the candidate set —
+    n_out*ratio + 2 rows per series, INDEPENDENT of series length — is
+    gathered per series for the sequential LTTB tail.  Plain-branch series
+    (n // n_out <= ratio) are themselves bounded by (ratio+1)*n_out rows.
+    """
+    if ratio <= 1:
+        raise ValueError("minmax_ratio must be > 1")
+    by = list(by)
+    pts = _ranked(df, by, order, y_col)
+
+    # branch split on the kernel's integer-division rule
+    big = pts.filter(F.col("n") > n_out)
+    plain = big.filter((F.col("n") / n_out).cast("long") <= ratio)
+    pre = big.filter((F.col("n") / n_out).cast("long") > ratio)
+
+    # --- prefetch branch: interior equal-count MinMax, fully distributed
+    interior = (
+        pre.filter((F.col("rn") >= 1) & (F.col("rn") < F.col("n") - 1))
+        .withColumn("rn", F.col("rn") - 1)
+        .withColumn("n", F.col("n") - 2)
+    )
+    m = n_out * ratio // 2
+    binned = _binned_minmax(interior, by, m)
+    lo, hi = _minmax_slots()
+    cand_inner = _emit(binned, by, [lo, hi], 2).select(
+        *by, (F.col("sel_idx") + 1).alias("rn"), F.col("sel_value").alias("v")
+    )
+    endpoints = (
+        pre.filter((F.col("rn") == 0) | (F.col("rn") == F.col("n") - 1))
+        .select(*by, "rn", "v")
+    )
+    cands = cand_inner.unionByName(endpoints).withColumn("plain", F.lit(False))
+    plain_pts = plain.select(*by, "rn", "v").withColumn("plain", F.lit(True))
+    grouped = cands.unionByName(plain_pts)
+
+    key_fields = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in by
+    )
+    schema = f"{key_fields}, pos long, sel_idx long, sel_value double"
+
+    def _tail(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rn", kind="mergesort", ignore_index=True)
+        y = pdf["v"].to_numpy()
+        rn = pdf["rn"].to_numpy()
+        if bool(pdf["plain"].iloc[0]):
+            sel = lttb(y, n_out)  # no-x mode (kernel FP op order)
+        else:
+            sel = lttb(y, n_out, x=rn.astype(np.float64))
+        out = pdf.iloc[sel][list(by)].copy()
+        out["pos"] = np.arange(len(sel), dtype=np.int64)
+        out["sel_idx"] = rn[sel]
+        out["sel_value"] = y[sel]
+        return out
+
+    sel = grouped.groupBy(*by).applyInPandas(_tail, schema)
+    return sel.unionByName(_identity_small(pts, by, n_out))

@@ -65,6 +65,28 @@ def _downsample_query(algo: str, n_out: int = N_OUT, nan_inject: bool = False):
     return q
 
 
+def _long_query(algo: str, n_out: int = N_OUT):
+    """Distributed long-form variant: same semantics as _downsample_query but
+    via operators/sql_selectors.py — bounded per-task state, no whole-series
+    arrays (the 100 TB path).  Shares the kernel queries' oracles."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from tsdownsample_spark.operators import sql_selectors as S
+
+        fn = {
+            "minmax": S.minmax_long,
+            "m4": S.m4_long,
+            "everynth": S.everynth_long,
+            "minmaxlttb": S.minmaxlttb_long,
+        }[algo]
+        ev = load(spark, sf_dir, "events")
+        return fn(
+            ev, n_out, order=["ts", "event_id"], by=["event_type"], y_col="value"
+        ).select("event_type", "pos", "sel_idx", "sel_value")
+
+    return q
+
+
 # ---------------------------------------------------------------- oracles
 
 def _ord_cte(nan: bool = False) -> str:
@@ -728,6 +750,11 @@ def queries() -> dict:
         "q_nanminmax": _downsample_query("nanminmax", nan_inject=True),
         "q_nanm4": _downsample_query("nanm4", nan_inject=True),
         "q_nanminmaxlttb": _downsample_query("nanminmaxlttb", nan_inject=True),
+        # distributed long-form selectors (bounded state — the scale path)
+        "q_minmax_long": _long_query("minmax"),
+        "q_m4_long": _long_query("m4"),
+        "q_everynth_long": _long_query("everynth"),
+        "q_minmaxlttb_long": _long_query("minmaxlttb"),
         "q_minmax_x": _q_downsample_x("minmax"),
         "q_m4_x": _q_downsample_x("m4"),
         "q_rollup_1m": _q_rollup("1m"),
@@ -756,6 +783,10 @@ def oracle_sql() -> dict:
         "q_nanminmax": _oracle_minmax(nan=True),
         "q_nanm4": _oracle_m4(nan=True),
         "q_nanminmaxlttb": _oracle_minmaxlttb(n_out=N_OUT, ratio=4, nan=True),
+        "q_minmax_long": _oracle_minmax(),
+        "q_m4_long": _oracle_m4(),
+        "q_everynth_long": _oracle_everynth(),
+        "q_minmaxlttb_long": _oracle_minmaxlttb(n_out=N_OUT, ratio=4),
         "q_minmax_x": _oracle_downsample_x(2),
         "q_m4_x": _oracle_downsample_x(4),
         "q_rollup_1m": _oracle_rollup("1m"),
