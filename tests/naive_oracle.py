@@ -56,11 +56,19 @@ def naive_equidistant_bins(x: np.ndarray, m: int):
         if start >= n or x[start] >= sv:
             bins.append(None)
             continue
-        # bisect_right from `start`
-        j = start
-        while j < n and x[j] <= sv:
-            j += 1
-        idx = j
+        # the reference's binary_search (searchsorted.rs:19-37): a lower
+        # bound over [start, n-1] plus a single +1 adjustment when
+        # arr[pos] <= sv.  It assumes duplicate-free x, so when duplicates
+        # equal the edge exactly only the FIRST one stays in this bin
+        # (plain bisect_right would take them all — NOT what the Rust does).
+        lo, hi = start, n - 1
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if x[mid] < sv:
+                lo = mid + 1
+            else:
+                hi = mid
+        idx = lo + 1 if x[lo] <= sv else lo
         bins.append((start, idx))
     return bins
 

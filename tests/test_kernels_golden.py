@@ -112,6 +112,45 @@ class TestEquidistantBins:
         nonempty = [int(s) for s, e in zip(starts, ends) if e > s]
         assert nonempty == [0, 4, 7]
 
+    def test_int_edge_trailing_point_dropped(self):
+        # searchsorted.rs:112-118: a point sitting exactly on a truncated
+        # integer edge makes its bin empty (x[start] >= search_value) — here
+        # the LAST point: [0,1,2,3,10] into 2 bins, edges trunc to (5, 10);
+        # bin 1 starts at x=10 == edge 10 -> empty, trailing point DROPPED.
+        from tsdownsample_spark.kernels.binning import equidistant_bins
+
+        x = np.array([0, 1, 2, 3, 10], dtype=np.int64)
+        starts, ends = equidistant_bins(x, 2)
+        assert starts.tolist() == [0, 4]
+        assert ends.tolist() == [4, 4]  # second bin empty -> x=10 nowhere
+
+    def test_int_edge_point_pushed_to_next_bin(self):
+        # [4,4,9] into 2 bins: edges trunc to (6, 9); bin 1 starts at x=9
+        # == edge -> empty; the reference pushes/drops rather than keeping
+        # the edge-equal point in the current bin.
+        from tsdownsample_spark.kernels.binning import equidistant_bins
+
+        x = np.array([4, 4, 9], dtype=np.int64)
+        starts, ends = equidistant_bins(x, 2)
+        assert (starts.tolist(), ends.tolist()) == ([0, 2], [2, 2])
+
+    def test_int64_beyond_float53_matches_naive(self):
+        # edges are cast into the x dtype before comparison (T::from_f64);
+        # a pure-float64 searchsorted can misplace >2^53 neighbors
+        from tsdownsample_spark.kernels.binning import equidistant_bins
+
+        from naive_oracle import naive_equidistant_bins
+
+        base = np.int64(1) << np.int64(60)
+        x = base + np.cumsum(
+            np.random.default_rng(5).integers(1, 7, size=500, dtype=np.int64)
+        )
+        starts, ends = equidistant_bins(x, 16)
+        got = [(int(s), int(e)) for s, e in zip(starts, ends) if e > s]
+        exp = [b for b in naive_equidistant_bins(x, 16) if b is not None]
+        assert got == [(int(a), int(b)) for a, b in exp]
+
+
 
 class TestEveryNth:
     def test_goldens(self):

@@ -44,8 +44,12 @@ def _check_arrays(args):
 
 
 def _check_x_dtype(x: np.ndarray) -> None:
-    if x.dtype.kind not in _X_DTYPES or (
-        x.dtype.kind in "iu" and x.dtype.itemsize == 1
+    # reference x allowlist (_rust_dtypes, downsampling_interface.py:143-156):
+    # no <=8-bit ints and no float16 (f16 is y-only there)
+    if (
+        x.dtype.kind not in _X_DTYPES
+        or (x.dtype.kind in "iu" and x.dtype.itemsize == 1)
+        or (x.dtype.kind == "f" and x.dtype.itemsize == 2)
     ):
         raise ValueError(f"unsupported x dtype {x.dtype} (reference allowlist)")
 

@@ -62,13 +62,31 @@ def equidistant_bins(x: np.ndarray, m: int) -> tuple[np.ndarray, np.ndarray]:
     half = np.arange(1, m + 1, dtype=np.float64) / 2.0
     edges = x0 + step * half + step * half + _EPSILON
     if np.issubdtype(x.dtype, np.integer):
-        # Rust casts the f64 search value into the integer x dtype, which
-        # truncates toward zero — replicate before comparing.
-        edges = np.trunc(edges)
+        # Rust casts the f64 search value into the integer x dtype
+        # (T::from_f64 truncates toward zero) and compares in T — cast so
+        # >2^53 values and exact-equality cases compare like the reference.
+        edges = np.trunc(edges).astype(x.dtype)
     elif x.dtype == np.float32:
         edges = edges.astype(np.float32)
-    ends = np.searchsorted(x, edges, side="right").astype(np.int64)
+
+    # Reference rule (searchsorted.rs:112-127), replicated exactly:
+    #   start = previous end; the bin is EMPTY (emits nothing, end stays) if
+    #   x[start] >= search_value — so a point exactly on a truncated edge is
+    #   pushed to the NEXT bin, and a trailing point can be dropped entirely;
+    #   otherwise end = bisect_right clamped to [start, n-1]: the insertion
+    #   point after the FIRST element equal to the edge (the reference
+    #   assumes duplicate-free x), or n when everything remaining is < edge.
+    lb = np.searchsorted(x, edges, side="left").astype(np.int64)
+    lbc = np.minimum(lb, n - 1)
+    cand = np.where(lb < n, np.where(x[lbc] == edges, lb + 1, lb), n)
     starts = np.empty(m, dtype=np.int64)
-    starts[0] = 0
-    starts[1:] = ends[:-1]
+    ends = np.empty(m, dtype=np.int64)
+    prev = 0
+    for i in range(m):  # O(m) — m = n_out/k, tiny next to the data passes
+        starts[i] = prev
+        if prev >= n or prev >= lb[i]:
+            ends[i] = prev  # empty bin
+        else:
+            prev = int(cand[i])
+            ends[i] = prev
     return starts, ends
