@@ -146,6 +146,30 @@ def _first_hit(hit: np.ndarray, bin_of: np.ndarray, nbins: int) -> np.ndarray:
     return first
 
 
+def _ragged_emit(
+    vs: np.ndarray,
+    ve: np.ndarray,
+    small: np.ndarray,
+    big_slots: list[np.ndarray],
+) -> np.ndarray:
+    """Assemble the with-x output without a per-bin Python loop: small bins
+    emit all their points (vs..ve), big bins emit ``big_slots`` (k fixed
+    slots per bin, already in index order)."""
+    k = len(big_slots)
+    counts = ve - vs
+    lens = np.where(small, counts, k)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    offs = np.zeros(len(vs) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    bin_of = np.repeat(np.arange(len(vs), dtype=np.int64), lens)
+    j = np.arange(total, dtype=np.int64) - offs[bin_of]
+    slots = np.stack(big_slots)  # (k, nbins)
+    big_vals = slots[np.minimum(j, k - 1), bin_of]
+    return np.where(small[bin_of], vs[bin_of] + j, big_vals)
+
+
 def _interleave_pairs(argmins: np.ndarray, argmaxs: np.ndarray) -> np.ndarray:
     """Emit (min, max) per bin *in index order* (minmax.rs:123-130)."""
     lo = np.minimum(argmins, argmaxs)
@@ -188,15 +212,7 @@ def minmax(
     # (min, max) pair in index order — bin order preserved.
     lo = np.minimum(argmins, argmaxs)
     hi = np.maximum(argmins, argmaxs)
-    pieces = []
-    for i in range(len(vs)):
-        if small[i]:
-            pieces.append(np.arange(vs[i], ve[i], dtype=np.int64))
-        else:
-            pieces.append(np.array([lo[i], hi[i]], dtype=np.int64))
-    if not pieces:
-        return np.empty(0, dtype=np.int64)
-    return np.concatenate(pieces)
+    return _ragged_emit(vs, ve, small, [lo, hi])
 
 
 def m4(
@@ -234,15 +250,7 @@ def m4(
     small = counts <= 4
     lo = np.minimum(argmins, argmaxs)
     hi = np.maximum(argmins, argmaxs)
-    pieces = []
-    for i in range(len(vs)):
-        if small[i]:
-            pieces.append(np.arange(vs[i], ve[i], dtype=np.int64))
-        else:
-            pieces.append(np.array([vs[i], lo[i], hi[i], ve[i] - 1], dtype=np.int64))
-    if not pieces:
-        return np.empty(0, dtype=np.int64)
-    return np.concatenate(pieces)
+    return _ragged_emit(vs, ve, small, [vs, lo, hi, ve - 1])
 
 
 def _abs_bits(area: np.ndarray) -> np.ndarray:

@@ -49,7 +49,10 @@ def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
         (mid, KINDS[kind], bytearray(MAGIC + struct.pack("<BIIB", kind, w, h, c) + payload))
         for mid, kind, w, h, c, payload in media_params(n, seed)
     ]
-    return spark.createDataFrame(rows, "media_id string, kind string, data binary")
+    df = spark.createDataFrame(rows, "media_id string, kind string, data binary")
+    # a tiny table sliced across every core spawns 2x|cores| Python workers
+    # for the two mapInPandas stages — batch a few rows per task instead
+    return df.coalesce(max(1, min(8, n // 8)))
 
 
 def _parse_header(blob: bytes) -> tuple[int, int, int, int]:
