@@ -24,6 +24,17 @@ from pyspark.sql import functions as F
 
 from tsdownsample_spark.operators.text import _shingles_expr
 
+# MinHash hash family: ONE md5 per shingle (the only hash both engines
+# share), then k universal-hash transforms h_j(b) = (A[j]*b + B[j]) mod P
+# over its first 8 hex digits — 16x fewer md5 passes than hashing per j,
+# which dominates the signature cost at scale.  30-bit odd multipliers keep
+# A[j]*b < 2^62 (no BIGINT overflow); P is the largest 32-bit prime.
+MINHASH_P = 4294967291
+_rng = __import__("numpy").random.default_rng(99)
+MINHASH_A = [int(a) | 1 for a in _rng.integers(1 << 20, 1 << 30, size=64)]
+MINHASH_B = [int(b) for b in _rng.integers(0, 1 << 30, size=64)]
+del _rng
+
 
 def dedup_exact(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -53,16 +64,21 @@ def minhash_signatures(
     k: int = 16,
     shingle: int = 3,
 ) -> DataFrame:
-    """(id, sig: array<string>[k]) — MinHash over word-``shingle``-grams with
-    k independent hash functions md5(j || ':' || s)."""
+    """(id, sig: array<bigint>[k]) — MinHash over word-``shingle``-grams:
+    one md5 per shingle -> 32-bit base, k universal-hash minima."""
+    if k > len(MINHASH_A):
+        raise ValueError(f"k <= {len(MINHASH_A)} supported")
     sh = _shingles_expr(text_col, shingle)
-    sig = (
-        f"transform(sequence(0, {k - 1}), "
-        "j -> array_min(transform(_sh, s -> md5(concat(CAST(j AS STRING), ':', s)))))"
+    base = "transform(_sh, s -> CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT))"
+    mins = ", ".join(
+        f"array_min(transform(_b, b -> ({MINHASH_A[j]}L * b + {MINHASH_B[j]}L) % {MINHASH_P}L))"
+        for j in range(k)
     )
-    # materialize the shingle array once per row; the k hash passes reuse it
-    return df.select(F.col(id_col), F.expr(sh).alias("_sh")).select(
-        F.col(id_col), F.expr(sig).alias("sig")
+    # materialize the shingle/base arrays once per row; k passes reuse them
+    return (
+        df.select(F.col(id_col), F.expr(sh).alias("_sh"))
+        .select(F.col(id_col), F.expr(base).alias("_b"))
+        .select(F.col(id_col), F.expr(f"array({mins})").alias("sig"))
     )
 
 
@@ -76,7 +92,8 @@ def lsh_candidate_pairs(
     (id_a < id_b, distinct)."""
     band_expr = (
         f"transform(sequence(0, {bands - 1}), "
-        f"b -> md5(concat_ws('|', slice(sig, b * {rows} + 1, {rows}))))"
+        f"b -> md5(concat_ws('|', transform(slice(sig, b * {rows} + 1, {rows}), "
+        f"v -> CAST(v AS STRING)))))"
     )
     banded = sig_df.select(
         F.col(id_col), F.posexplode(F.expr(band_expr)).alias("band_idx", "band_hash")

@@ -146,11 +146,23 @@ SELECT doc_id, md5(text) AS content_hash,
 FROM documents
 """
 
-_DUCK_SIG = (
-    "list_transform(range(16), j -> list_min(list_transform("
-    + _DUCK_SHINGLES
-    + ", s -> md5(j::VARCHAR || ':' || s))))"
-)
+def _duck_sig(k: int = 16) -> str:
+    """Mirror of minhash_signatures: one md5 -> 32-bit base, k universal
+    hashes (same A/B/P constants as the Spark operator)."""
+    from tsdownsample_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    base = (
+        "list_transform(" + _DUCK_SHINGLES + ", s -> "
+        "CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT))"
+    )
+    mins = ", ".join(
+        f"list_min(list_transform(_b, b -> ({MINHASH_A[j]} * b + {MINHASH_B[j]}) % {MINHASH_P}))"
+        for j in range(k)
+    )
+    return base, mins
+
+
+_DUCK_BASE, _DUCK_MINS = _duck_sig(16)
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,8 +174,11 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_MINHASH_LSH = f"""
-WITH sig AS (
-    SELECT doc_id, {_DUCK_SIG} AS sig FROM documents
+WITH bases AS (
+    SELECT doc_id, {_DUCK_BASE} AS _b FROM documents
+),
+sig AS (
+    SELECT doc_id, [{_DUCK_MINS}] AS sig FROM bases
 ),
 banded AS (
     SELECT doc_id, b AS band_idx,
@@ -187,8 +202,11 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_JACCARD = f"""
-WITH sig AS (
-    SELECT doc_id, {_DUCK_SIG} AS sig FROM documents
+WITH bases AS (
+    SELECT doc_id, {_DUCK_BASE} AS _b FROM documents
+),
+sig AS (
+    SELECT doc_id, [{_DUCK_MINS}] AS sig FROM bases
 ),
 banded AS (
     SELECT doc_id, b AS band_idx,
