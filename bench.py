@@ -89,9 +89,13 @@ def main() -> None:
     # so the first timed query doesn't absorb session start-up (r01 showed
     # q_everynth at 9.4 s purely from warm-up folded into the measurement).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from tsdownsample_spark.operators.downsample import downsample_tokens as _dt
     from tsdownsample_spark.queries import event_series
 
-    event_series(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    # also spin up the Arrow-Python worker pool (first mapInArrow is slow)
+    _dt(event_series(spark, SF_DIR), 100, algo="minmax", tokens_col="vals").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     # Part 1 — headline queries at SF_DIR
     for name, fn in E.queries().items():

@@ -719,7 +719,7 @@ def _q_compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gorilla + delta-of-delta round-trip: decompress(compress(events)) must
     equal the raw table bit-for-bit (the oracle is a plain SELECT).
 
-    Compression uses 1-hour chunks (the scale path: bounded segment rows,
+    Compression uses 1-day chunks (the scale path: bounded segment rows,
     no whole-series arrays) — the round-trip result is identical."""
     from tsdownsample_spark.operators.compress import (
         compress_series,
@@ -728,7 +728,7 @@ def _q_compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events").select("event_type", "ts", "value")
     comp = compress_series(
-        ev, x_col="ts", y_col="value", by=["event_type"], chunk_span=3_600_000_000
+        ev, x_col="ts", y_col="value", by=["event_type"], chunk_span=86_400_000_000
     )
     return decompress_series(
         comp, by=["event_type", "chunk_id"], x_col="ts", y_col="value"
