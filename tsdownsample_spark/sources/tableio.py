@@ -103,3 +103,65 @@ class SnapshotTable:
     def fingerprint(self) -> str | None:
         """Stable identity of the current table state (for resume checks)."""
         return self.current_snapshot_id()
+
+
+# ------------------------------------------------------------ format seam
+#
+# The engine codes against these two functions; whether a table is a real
+# Iceberg table (jar present, identifier like "cat.db.tbl") or the local
+# SnapshotTable stand-in (filesystem path) is decided here and nowhere else.
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an Iceberg catalog/runtime is on the session classpath."""
+    try:  # pragma: no cover - jar absent in this sandbox
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.SparkTable"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def write_table(
+    df: DataFrame,
+    target: str,
+    fmt: str = "auto",
+    summary: dict | None = None,
+) -> str | None:
+    """Append ``df`` to ``target``.
+
+    fmt="iceberg": ``df.writeTo(target).using("iceberg").append()`` —
+    ``target`` is a catalog identifier; returns None (Iceberg tracks its own
+    snapshot ids).  fmt="snapshot": the local stand-in; ``target`` is a
+    directory; returns the new snapshot id.  fmt="auto" picks iceberg when
+    the runtime is present, else snapshot.
+    """
+    spark = df.sparkSession
+    if fmt == "auto":
+        fmt = "iceberg" if iceberg_available(spark) else "snapshot"
+    if fmt == "iceberg":  # pragma: no cover - exercised via seam test mock
+        df.writeTo(target).using("iceberg").append()
+        return None
+    if fmt == "snapshot":
+        return SnapshotTable(target).append(df, summary=summary)
+    raise ValueError(f"unknown table format {fmt!r}")
+
+
+def read_table(
+    spark: SparkSession,
+    target: str,
+    fmt: str = "auto",
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """Read ``target`` (optionally time-traveling to ``snapshot_id``)."""
+    if fmt == "auto":
+        fmt = "iceberg" if iceberg_available(spark) else "snapshot"
+    if fmt == "iceberg":  # pragma: no cover - exercised via seam test mock
+        reader = spark.read.format("iceberg")
+        if snapshot_id is not None:
+            reader = reader.option("snapshot-id", snapshot_id)
+        return reader.load(target)
+    if fmt == "snapshot":
+        return SnapshotTable(target).read(spark, snapshot_id=snapshot_id)
+    raise ValueError(f"unknown table format {fmt!r}")
