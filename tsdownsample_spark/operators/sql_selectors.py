@@ -221,6 +221,169 @@ def everynth_long(
     )
 
 
+def _x_edge_tmpl(m: int, x_is_int: bool) -> str:
+    """Edge-i expression template over columns (x0, xn): the reference's
+    sequential_add_mul edge (searchsorted.rs:80-88,112-116), truncated for
+    integer x like T::from_f64."""
+    step = f"((xn / CAST({m} AS DOUBLE)) - (x0 / CAST({m} AS DOUBLE)))"
+    half = "((CAST({i} AS DOUBLE) + 1) / 2.0)"
+    raw = f"(x0 + {step} * {half} + {step} * {half} + 1e-12)"
+    return f"CAST(FLOOR({raw}) AS DOUBLE)" if x_is_int else raw
+
+
+def _x_bin_expr(m: int, x_is_int: bool) -> str:
+    """Equidistant x-value bin of a point (xv, x0, xn), closed form.
+
+    The linear inverse floor((xv-x0)/step) is corrected +-1 against the
+    forward edge formula; a point at/past the LAST edge yields m (handled by
+    the caller: the reference keeps the first point exactly equal to the
+    last edge in bin m-1 and drops the rest).
+
+    PRECONDITION (documented, tested): no point sits exactly on a truncated
+    INTERIOR edge.  Interior collisions trigger the reference's sequential
+    empty-bin push behavior, which is order-dependent — the kernel path
+    (operators/downsample.py) is the arbiter there.  For continuous x
+    (floats, microsecond timestamps) interior collisions do not occur; the
+    last-edge case IS common for integer x and is handled exactly.
+    """
+    edge = _x_edge_tmpl(m, x_is_int)
+    step = f"((xn / CAST({m} AS DOUBLE)) - (x0 / CAST({m} AS DOUBLE)))"
+    i0 = (
+        f"GREATEST(CAST(0 AS BIGINT), LEAST(CAST({m} AS BIGINT) - 1, "
+        f"CAST(FLOOR((xv - x0) / {step}) AS BIGINT)))"
+    )
+    e_at = lambda i: edge.format(i=i)  # noqa: E731
+    return (
+        f"CASE WHEN {i0} >= 1 AND xv < {e_at(f'({i0} - 1)')} "
+        f"THEN {i0} - 1 "
+        f"WHEN xv >= {e_at(i0)} THEN {i0} + 1 "
+        f"ELSE {i0} END"
+    )
+
+
+def _downsample_x_long(
+    df: DataFrame,
+    n_out: int,
+    k: int,
+    x_col: str,
+    by: Sequence[str],
+    y_col: str,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Shared body for minmax_x_long (k=2) / m4_x_long (k=4): equidistant
+    x-value bins computed per point, grouped aggregation per (series, bin);
+    bins with <= k points pass all points through; empty bins emit nothing.
+    Output matches the kernel queries: (by..., sel_idx, x_col, y_col).
+    """
+    by = list(by)
+    m = n_out // k
+    order = [x_col, *tiebreak]
+    wo = Window.partitionBy(*by).orderBy(*order)
+    wp = Window.partitionBy(*by)
+    x_is_int = df.schema[x_col].dataType.simpleString() in (
+        "bigint", "int", "smallint", "date", "timestamp", "timestamp_ntz"
+    )
+    pts = df.select(
+        *by,
+        F.col(x_col),
+        (F.row_number().over(wo) - 1).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+        F.col(x_col).cast("double").alias("xv"),
+        F.min(F.col(x_col).cast("double")).over(wp).alias("x0"),
+        F.max(F.col(x_col).cast("double")).over(wp).alias("xn"),
+        F.col(y_col).cast("double").alias("v"),
+    )
+    small_series = pts.filter(F.col("n") <= n_out).select(
+        *by, F.col("rn").cast("long").alias("sel_idx"), F.col(x_col), F.col("v").alias(y_col)
+    )
+    big = pts.filter(F.col("n") > n_out).withColumn(
+        "bin", F.expr(_x_bin_expr(m, x_is_int))
+    )
+    # last-edge rule: for integer x the series maximum routinely sits exactly
+    # on the truncated last edge; the reference keeps the FIRST such point in
+    # bin m-1 (bisect's +1-after-equal) and drops later duplicates / anything
+    # past the edge.
+    last_edge = _x_edge_tmpl(m, x_is_int).format(i=m - 1)
+    weq = Window.partitionBy(*by, "xv").orderBy("rn")
+    big = (
+        big.withColumn("_le", F.expr(last_edge))
+        .withColumn("_eqr", F.row_number().over(weq))
+        .withColumn(
+            "bin",
+            F.when(
+                F.col("bin") >= m,
+                F.when(
+                    (F.col("xv") == F.col("_le")) & (F.col("_eqr") == 1),
+                    F.lit(m - 1),
+                ).otherwise(F.lit(m)),
+            ).otherwise(F.col("bin")),
+        )
+        .filter(F.col("bin") < m)
+        .drop("_le", "_eqr")
+    )
+    wb = Window.partitionBy(*by, "bin")
+    big = big.withColumn("cnt", F.count("*").over(wb))
+    passthrough = big.filter(F.col("cnt") <= k).select(
+        *by, F.col("rn").cast("long").alias("sel_idx"), F.col(x_col), F.col("v").alias(y_col)
+    )
+    binned = (
+        big.filter(F.col("cnt") > k)
+        .groupBy(*by, "bin")
+        .agg(
+            F.min(F.struct(F.col("v"), F.col("rn"))).alias("mn"),
+            F.max(F.struct(F.col("v"), (-F.col("rn")).alias("nrn"))).alias("mx"),
+            F.min(F.struct(F.col("rn"), F.col("v"))).alias("fst"),
+            F.max(F.struct(F.col("rn"), F.col("v"))).alias("lst"),
+        )
+        .withColumn("mn_rn", F.col("mn.rn"))
+        .withColumn("mx_rn", -F.col("mx.nrn"))
+    )
+    lo, hi = _minmax_slots()
+    slots = [lo, hi]
+    if k == 4:
+        first = F.struct(F.col("fst.rn").alias("rn"), F.col("fst.v").alias("v"))
+        last = F.struct(F.col("lst.rn").alias("rn"), F.col("lst.v").alias("v"))
+        slots = [first, lo, hi, last]
+    sel = (
+        binned.withColumn("_slots", F.array(*slots))
+        .select(*by, F.explode("_slots").alias("_s"))
+        .select(*by, F.col("_s.rn").cast("long").alias("sel_idx"), F.col("_s.v").alias(y_col))
+    )
+    # rejoin x for the emitted indices (values already carried; x needs the
+    # original column dtype, not the double view)
+    xs = pts.select(*by, F.col("rn").cast("long").alias("sel_idx"), F.col(x_col))
+    sel = sel.join(xs, by + ["sel_idx"]).select(*by, "sel_idx", x_col, y_col)
+    return sel.unionByName(passthrough).unionByName(small_series)
+
+
+def minmax_x_long(
+    df: DataFrame,
+    n_out: int,
+    x_col: str,
+    by: Sequence[str],
+    y_col: str = "value",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Distributed with-x MinMax (equidistant bins, bounded per-task state)."""
+    if n_out % 2:
+        raise ValueError("n_out must be a multiple of 2")
+    return _downsample_x_long(df, n_out, 2, x_col, by, y_col, tiebreak)
+
+
+def m4_x_long(
+    df: DataFrame,
+    n_out: int,
+    x_col: str,
+    by: Sequence[str],
+    y_col: str = "value",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Distributed with-x M4 (equidistant bins, bounded per-task state)."""
+    if n_out % 4:
+        raise ValueError("n_out must be a multiple of 4")
+    return _downsample_x_long(df, n_out, 4, x_col, by, y_col, tiebreak)
+
+
 def minmaxlttb_long(
     df: DataFrame,
     n_out: int,
