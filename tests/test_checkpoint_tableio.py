@@ -129,8 +129,6 @@ def test_iceberg_seam_write_read(spark, tmp_path, monkeypatch):
     and read.format('iceberg').option('snapshot-id', ...) — verified with a
     recorder since the sandbox has no Iceberg jar — and fall back to the
     SnapshotTable stand-in under fmt='auto'."""
-    from pyspark.sql import DataFrame
-
     from tsdownsample_spark.sources.tableio import (
         SnapshotTable,
         iceberg_available,
@@ -141,9 +139,10 @@ def test_iceberg_seam_write_read(spark, tmp_path, monkeypatch):
     df = synth_token_table(spark, n_docs=8, seed=1)
     assert not iceberg_available(spark)  # sandbox: no jar
 
-    # --- iceberg write path (recorded, not executed)
+    # --- iceberg write path (recorded, not executed); patch the CONCRETE
+    # class (pyspark 4: pyspark.sql.DataFrame is a facade over .classic)
     log = []
-    monkeypatch.setattr(DataFrame, "writeTo", lambda self, t: (
+    monkeypatch.setattr(type(df), "writeTo", lambda self, t: (
         log.append(("writeTo", t)) or _RecordingWriter(log)
     ))
     assert write_table(df, "cat.db.tokens", fmt="iceberg") is None

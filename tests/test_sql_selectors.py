@@ -114,3 +114,44 @@ def test_minmax_long_bounded_plan(long_df):
     )
     assert "collect_list" not in plan
     assert "partial_min" in plan or "partial" in plan
+
+
+@pytest.mark.parametrize("algo", ["minmax", "m4"])
+def test_x_long_matches_kernel(spark, algo):
+    """Distributed equidistant (with-x) selectors vs the kernel on: float x,
+    gapped int x (empty bins), and int arange (max exactly on the truncated
+    last edge — the common integer-x collision)."""
+    from tsdownsample_spark.operators.sql_selectors import m4_x_long, minmax_x_long
+
+    rng = np.random.default_rng(23)
+    series = {}
+    n = 997
+    xf = np.sort(rng.uniform(0, 1e6, size=n))
+    series["float"] = (xf, rng.normal(size=n).round(6))
+    xg = np.arange(n, dtype=np.int64)
+    xg[: n // 2] += 10 * n  # large gap -> empty bins
+    xg = np.sort(xg + 3 * np.arange(n))  # strictly increasing, uneven
+    series["gapint"] = (xg.astype(np.float64), rng.normal(size=n).round(6))
+    xa = np.arange(2_000, dtype=np.int64) * 7  # last edge == max (trunc)
+    series["arange"] = (xa.astype(np.float64), rng.normal(size=2_000).round(6))
+
+    frames = []
+    for key, (x, y) in series.items():
+        frames.append(
+            pd.DataFrame({"series": key, "x": x.astype(np.int64), "value": y})
+        )
+    pdf = pd.concat(frames, ignore_index=True)
+    df = spark.createDataFrame(pdf.sample(frac=1.0, random_state=1)).repartition(8)
+
+    fn = minmax_x_long if algo == "minmax" else m4_x_long
+    got = sorted(
+        (r["series"], r["sel_idx"]) for r in
+        fn(df, 40, x_col="x", by=["series"], y_col="value").collect()
+    )
+    exp = []
+    for key, (x, y) in series.items():
+        idx = downsample_array(
+            np.asarray(y), 40, algo=algo, x=np.asarray(x).astype(np.int64)
+        )
+        exp.extend((key, int(i)) for i in idx)
+    assert got == sorted(exp)

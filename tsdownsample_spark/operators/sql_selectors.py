@@ -235,16 +235,19 @@ def _x_bin_expr(m: int, x_is_int: bool) -> str:
     """Equidistant x-value bin of a point (xv, x0, xn), closed form.
 
     The linear inverse floor((xv-x0)/step) is corrected +-1 against the
-    forward edge formula; a point at/past the LAST edge yields m (handled by
-    the caller: the reference keeps the first point exactly equal to the
-    last edge in bin m-1 and drops the rest).
+    forward edge formula.  bin b = smallest i with xv <= edge(i): a point
+    exactly EQUAL to a truncated edge belongs to the LOWER bin (the
+    reference's bisect is +1-after-first-equal — searchsorted.rs:31-36), and
+    this covers the common integer-x collision where the series max sits
+    exactly on the truncated last edge.  A point strictly past the last edge
+    yields m and is dropped by the caller (the reference's trailing-drop).
 
-    PRECONDITION (documented, tested): no point sits exactly on a truncated
-    INTERIOR edge.  Interior collisions trigger the reference's sequential
-    empty-bin push behavior, which is order-dependent — the kernel path
-    (operators/downsample.py) is the arbiter there.  For continuous x
-    (floats, microsecond timestamps) interior collisions do not occur; the
-    last-edge case IS common for integer x and is handled exactly.
+    PRECONDITION (documented, tested): unique x per series, and no
+    edge-equal point that is also its bin's FIRST point — that sub-case
+    triggers the reference's sequential empty-bin push, which is order-
+    dependent; the kernel path (operators/downsample.py) is the arbiter
+    there.  For continuous x (floats, microsecond timestamps) edge
+    collisions do not occur at all.
     """
     edge = _x_edge_tmpl(m, x_is_int)
     step = f"((xn / CAST({m} AS DOUBLE)) - (x0 / CAST({m} AS DOUBLE)))"
@@ -254,9 +257,9 @@ def _x_bin_expr(m: int, x_is_int: bool) -> str:
     )
     e_at = lambda i: edge.format(i=i)  # noqa: E731
     return (
-        f"CASE WHEN {i0} >= 1 AND xv < {e_at(f'({i0} - 1)')} "
+        f"CASE WHEN {i0} >= 1 AND xv <= {e_at(f'({i0} - 1)')} "
         f"THEN {i0} - 1 "
-        f"WHEN xv >= {e_at(i0)} THEN {i0} + 1 "
+        f"WHEN xv > {e_at(i0)} THEN {i0} + 1 "
         f"ELSE {i0} END"
     )
 
@@ -299,28 +302,10 @@ def _downsample_x_long(
     big = pts.filter(F.col("n") > n_out).withColumn(
         "bin", F.expr(_x_bin_expr(m, x_is_int))
     )
-    # last-edge rule: for integer x the series maximum routinely sits exactly
-    # on the truncated last edge; the reference keeps the FIRST such point in
-    # bin m-1 (bisect's +1-after-equal) and drops later duplicates / anything
-    # past the edge.
-    last_edge = _x_edge_tmpl(m, x_is_int).format(i=m - 1)
-    weq = Window.partitionBy(*by, "xv").orderBy("rn")
-    big = (
-        big.withColumn("_le", F.expr(last_edge))
-        .withColumn("_eqr", F.row_number().over(weq))
-        .withColumn(
-            "bin",
-            F.when(
-                F.col("bin") >= m,
-                F.when(
-                    (F.col("xv") == F.col("_le")) & (F.col("_eqr") == 1),
-                    F.lit(m - 1),
-                ).otherwise(F.lit(m)),
-            ).otherwise(F.col("bin")),
-        )
-        .filter(F.col("bin") < m)
-        .drop("_le", "_eqr")
-    )
+    # bin == m means strictly past the truncated last edge -> the reference
+    # drops the point (trailing-drop); edge-EQUAL points already landed in
+    # bin m-1 via the <=-rule in _x_bin_expr.
+    big = big.filter(F.col("bin") < m)
     wb = Window.partitionBy(*by, "bin")
     big = big.withColumn("cnt", F.count("*").over(wb))
     passthrough = big.filter(F.col("cnt") <= k).select(

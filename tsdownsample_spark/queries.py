@@ -87,6 +87,28 @@ def _long_query(algo: str, n_out: int = N_OUT):
     return q
 
 
+def _x_long_query(algo: str, n_out: int = N_OUT):
+    """Distributed with-x (equidistant) variant over sql_selectors; same
+    output shape and oracle as the kernel _q_downsample_x queries."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from tsdownsample_spark.operators import sql_selectors as S
+
+        fn = {"minmax": S.minmax_x_long, "m4": S.m4_x_long}[algo]
+        ev = load(spark, sf_dir, "events").select(
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "value",
+            "event_id",
+        )
+        return fn(
+            ev, n_out, x_col="ts_us", by=["event_type"], y_col="value",
+            tiebreak=["event_id"],
+        ).select("event_type", "sel_idx", "ts_us", "value")
+
+    return q
+
+
 # ---------------------------------------------------------------- oracles
 
 def _ord_cte(nan: bool = False) -> str:
@@ -755,6 +777,8 @@ def queries() -> dict:
         "q_m4_long": _long_query("m4"),
         "q_everynth_long": _long_query("everynth"),
         "q_minmaxlttb_long": _long_query("minmaxlttb"),
+        "q_minmax_x_long": _x_long_query("minmax"),
+        "q_m4_x_long": _x_long_query("m4"),
         "q_minmax_x": _q_downsample_x("minmax"),
         "q_m4_x": _q_downsample_x("m4"),
         "q_rollup_1m": _q_rollup("1m"),
@@ -787,6 +811,8 @@ def oracle_sql() -> dict:
         "q_m4_long": _oracle_m4(),
         "q_everynth_long": _oracle_everynth(),
         "q_minmaxlttb_long": _oracle_minmaxlttb(n_out=N_OUT, ratio=4),
+        "q_minmax_x_long": _oracle_downsample_x(2),
+        "q_m4_x_long": _oracle_downsample_x(4),
         "q_minmax_x": _oracle_downsample_x(2),
         "q_m4_x": _oracle_downsample_x(4),
         "q_rollup_1m": _oracle_rollup("1m"),
