@@ -143,6 +143,80 @@ def bucket_expr(vec_col: str, planes: list[list[float]]) -> str:
     return " + ".join(terms)
 
 
+def ivf_centroids(dim: int, n_cells: int, seed: int = 11) -> list[list[float]]:
+    """Deterministic coarse-quantizer centroids (seeded, rounded so they
+    serialize exactly into SQL on any engine).  A trained quantizer would
+    come from k-means over a sample; the *plumbing* — cell assignment,
+    partition-pruned probe, in-cell ranking — is identical and is what the
+    engine owns."""
+    rng = np.random.default_rng(seed)
+    return [
+        [round(float(v), 6) for v in rng.standard_normal(dim)]
+        for _ in range(n_cells)
+    ]
+
+
+def cell_expr(vec_col: str, centroids: list[list[float]]) -> str:
+    """SQL expression: index of the nearest centroid by dot product (cosine
+    against unit-ish random centroids; deterministic ties -> lowest index)."""
+    dots = []
+    for c in centroids:
+        arr = "array(" + ",".join(f"CAST({v} AS DOUBLE)" for v in c) + ")"
+        dots.append(_dot_expr(vec_col, arr))
+    scored = ", ".join(f"named_struct('d', {d}, 'i', {i})" for i, d in enumerate(dots))
+    # max over (d, -i): highest dot, lowest index on ties
+    return (
+        f"aggregate(array({scored}), named_struct('d', CAST('-Infinity' AS DOUBLE), 'i', -1), "
+        "(acc, s) -> IF(s.d > acc.d, s, acc)).i"
+    )
+
+
+def ivf_ann_topk(
+    vectors: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    dim: int = 64,
+    seed: int = 11,
+) -> DataFrame:
+    """IVF-style approximate top-k: vectors are bucketed by nearest coarse
+    centroid; each probe searches only its own cell (nprobe=1).
+
+    Scale shape: ``cell`` is a partition/bucketing key for the stored
+    table, so a probe is a partition-pruned scan of ~1/n_cells of the
+    corpus; the probe side broadcasts (small by contract).
+    """
+    ce = cell_expr(vec_col, ivf_centroids(dim, n_cells, seed))
+    v = vectors.withColumn("cell", F.expr(ce))
+    p = probes.withColumn("cell", F.expr(ce)).select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec"), "cell"
+    )
+    joined = v.alias("v").join(
+        F.broadcast(p).alias("p"),
+        (F.col("v.cell") == F.col("p.cell"))
+        & (F.col(f"v.{id_col}") != F.col("p.probe_id")),
+    )
+    scored = with_cosine(joined, "probe_vec", f"v.{vec_col}", "cosine").withColumn(
+        "cos_r", F.round("cosine", 6)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_r"), F.asc(f"v.{id_col}"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            "rank",
+            F.col(f"v.{id_col}").alias("neighbor_id"),
+            "cos_r",
+            F.col("v.cell").alias("cell"),
+        )
+    )
+
+
 def lsh_ann_topk(
     vectors: DataFrame,
     probes: DataFrame,

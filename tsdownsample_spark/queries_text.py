@@ -334,6 +334,52 @@ SELECT id_a, id_b, cos_r FROM scored WHERE cos_r >= 0.28
 """
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsdownsample_spark.operators.similarity import ivf_ann_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8)
+    return ivf_ann_topk(emb, probes, k=10, n_cells=8, dim=64, seed=11)
+
+
+def _oracle_ann_ivf() -> str:
+    from tsdownsample_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(64, 8, 11)
+    dots = []
+    for c in cents:
+        arr = "[" + ",".join(f"CAST({v} AS DOUBLE)" for v in c) + "]"
+        dots.append(_DUCK_DOT.format(a="embedding", b=arr))
+    dcols = ", ".join(f"{d} AS d{i}" for i, d in enumerate(dots))
+    m = "greatest(" + ", ".join(f"d{i}" for i in range(len(cents))) + ")"
+    # first index equal to the max = lowest-index tie, same as the Spark fold
+    cell = (
+        "CASE "
+        + " ".join(f"WHEN d{i} = m THEN {i}" for i in range(len(cents)))
+        + " END"
+    )
+    return f"""
+WITH d AS (SELECT vec_id, embedding, {dcols} FROM embeddings),
+e AS (
+    SELECT vec_id, embedding, {cell} AS cell
+    FROM (SELECT *, {m} AS m FROM d)
+),
+p AS (SELECT vec_id AS probe_id, embedding AS pe, cell FROM e WHERE vec_id < 8),
+scored AS (
+    SELECT p.probe_id, e.vec_id AS neighbor_id, e.cell,
+           ROUND({_duck_cos('p.pe', 'e.embedding')}, 6) AS cos_r
+    FROM p JOIN e ON e.cell = p.cell AND e.vec_id != p.probe_id
+),
+ranked AS (
+    SELECT probe_id, neighbor_id, cell, cos_r,
+           ROW_NUMBER() OVER (PARTITION BY probe_id
+                              ORDER BY cos_r DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT probe_id, rank, neighbor_id, cos_r, cell FROM ranked WHERE rank <= 10
+"""
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 8)
@@ -493,6 +539,7 @@ def queries() -> dict:
         "q_simhash": q_simhash,
         "q_ann_topk": q_ann_topk,
         "q_ann_lsh": q_ann_lsh,
+        "q_ann_ivf": q_ann_ivf,
         "q_embed_neardup": q_embed_neardup,
         "q_tokenize": q_tokenize,
         "q_doc_downsample": q_doc_downsample,
@@ -510,6 +557,7 @@ def oracle_sql() -> dict:
         "q_simhash": _ORACLE_SIMHASH,
         "q_ann_topk": _ORACLE_ANN_TOPK,
         "q_ann_lsh": _oracle_ann_lsh(),
+        "q_ann_ivf": _oracle_ann_ivf(),
         "q_embed_neardup": _ORACLE_EMBED_NEARDUP,
         "q_tokenize": _ORACLE_TOKENIZE,
         "q_doc_downsample": _ORACLE_DOC_DOWNSAMPLE,
