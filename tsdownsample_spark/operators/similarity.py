@@ -123,6 +123,90 @@ def near_dup_pairs(
     )
 
 
+def near_dup_pairs_blocked(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs cosine near-dups via BLOCKED comparison — the scalable
+    form of the O(n^2) verifier: vectors are hashed into ``n_blocks`` blocks,
+    each unordered block pair (bi <= bj) becomes one task that compares two
+    bounded vector blocks with vectorized NumPy.
+
+    Cost model: every vector is replicated n_blocks times (the standard
+    blocked cross-join trade: replication O(n*B) vs task state O((n/B)^2));
+    per-task memory is two blocks, never the corpus.
+
+    Numeric parity: the dot product is accumulated SEQUENTIALLY over the
+    dimensions (vectorized across pairs) — the same left-to-right float64
+    fold as the SQL `aggregate(zip_with(...))` expression and the DuckDB
+    oracle, so cos_r is bit-identical to `near_dup_pairs`, not merely close
+    (a BLAS matmul would differ in the last ulp and flip round() boundaries).
+    """
+    import pandas as pd
+
+    B = int(n_blocks)
+    blk = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).alias("_b"),
+    )
+    # replicate each row to every block pair it participates in
+    rep = blk.select(
+        "_id", "_v", "_b",
+        F.explode(F.expr(f"sequence(0, {B - 1})")).alias("_o"),
+    ).select(
+        "_id", "_v", "_b",
+        F.least("_b", "_o").alias("bi"),
+        F.greatest("_b", "_o").alias("bj"),
+    ).dropDuplicates(["_id", "bi", "bj"])
+
+    thr = float(threshold)
+
+    def _compare(pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        same = bi == bj
+        a = pdf[pdf["_b"] == bi]
+        b = pdf[pdf["_b"] == bj] if not same else a
+        if a.empty or b.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        ida = a["_id"].to_numpy()
+        idb = b["_id"].to_numpy()
+        va = np.stack(a["_v"].to_numpy()).astype(np.float64)
+        vb = np.stack(b["_v"].to_numpy()).astype(np.float64)
+        dim = va.shape[1]
+        # sequential fold over dims (the SQL aggregate's exact add order),
+        # vectorized across the pair matrix — bit-identical doubles
+        dot = np.zeros((len(va), len(vb)))
+        na = np.zeros(len(va))
+        nb = np.zeros(len(vb))
+        for d in range(dim):
+            dot += va[:, d][:, None] * vb[None, :, d]
+            na += va[:, d] * va[:, d]
+            nb += vb[:, d] * vb[:, d]
+        cos = dot / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
+        # slack prefilter only — the contract-grade round+threshold happens
+        # Spark-side with the same round() as the unblocked operator
+        mask = cos >= thr - 1e-9
+        if same:
+            mask &= np.tri(len(va), len(vb), k=-1, dtype=bool).T  # i < j positions
+        ii, jj = np.where(mask)
+        lo = np.minimum(ida[ii], idb[jj])
+        hi = np.maximum(ida[ii], idb[jj])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": cos[ii, jj]})
+
+    pairs = rep.groupBy("bi", "bj").applyInPandas(
+        _compare, "id_a long, id_b long, cos double"
+    )
+    return (
+        pairs.withColumn("cos_r", F.round("cos", 6))
+        .filter(F.col("cos_r") >= thr)
+        .select("id_a", "id_b", "cos_r")
+    )
+
+
 def lsh_planes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     """Deterministic hyperplanes, rounded so they serialize exactly in SQL."""
     rng = np.random.default_rng(seed)

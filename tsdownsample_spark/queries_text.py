@@ -309,13 +309,13 @@ SELECT probe_id, rank, neighbor_id, cos_r FROM ranked WHERE rank <= 10
 
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (threshold tuned to the
-    synthetic embedding distribution: random normals peak near cos ~0.3)."""
-    from tsdownsample_spark.operators.similarity import near_dup_pairs
+    synthetic embedding distribution: random normals peak near cos ~0.3),
+    via the BLOCKED all-pairs verifier: block-pair tasks with bounded state
+    and a NumPy fold that is bit-identical to the SQL dot product."""
+    from tsdownsample_spark.operators.similarity import near_dup_pairs_blocked
 
-    # bounded shard: exact O(n^2) near-dup is the verifier path; the scale
-    # path goes through LSH candidates (near_dup_pairs(candidates=...))
     emb = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
-    return near_dup_pairs(emb, threshold=0.28)
+    return near_dup_pairs_blocked(emb, threshold=0.28, n_blocks=8)
 
 
 _ORACLE_EMBED_NEARDUP = f"""
