@@ -154,3 +154,53 @@ def test_gapfill_reverses_downsample_gaps(spark):
     )
     for r in check:
         assert r.n == r.expected
+
+
+def test_continuous_rollup_incremental(spark, tmp_path, sf_dir):
+    """Delta-append continuous aggregate: two raw appends, two maintenance
+    runs -> read-side merged tier equals a full recompute; a third run with
+    no new data is a no-op."""
+    from pyspark.sql import functions as F
+
+    from tsdownsample_spark.operators.rollup import (
+        continuous_rollup,
+        merge_tier_partials,
+        rollup_raw,
+    )
+    from tsdownsample_spark.sources.tableio import SnapshotTable
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", F.col("ts").cast("timestamp").alias("ts"), "value")
+        # unique (event_type, ts) so first/last merges are order-free across
+        # deltas (cross-delta ts ties are resolved by ts alone, by design)
+        .dropDuplicates(["event_type", "ts"])
+    )
+    raw = SnapshotTable(str(tmp_path / "raw"))
+    tier = SnapshotTable(str(tmp_path / "t1m"))
+    a, b = ev.randomSplit([0.6, 0.4], seed=7)
+
+    raw.append(a)
+    s1 = continuous_rollup(spark, raw, tier, "1m", by=["event_type"])
+    assert s1 is not None
+    raw.append(b)
+    s2 = continuous_rollup(spark, raw, tier, "1m", by=["event_type"])
+    assert s2 is not None and s2 != s1
+    # no new data -> no commit
+    assert continuous_rollup(spark, raw, tier, "1m", by=["event_type"]) is None
+
+    cols = ["event_type", "bucket_ts", "agg_cnt", "agg_sum", "agg_min",
+            "agg_max", "first_ts", "first_val", "last_ts", "last_val"]
+    got = sorted(
+        tuple(r) for r in
+        merge_tier_partials(tier.read(spark), by=["event_type"]).select(*cols).collect()
+    )
+    exp = sorted(
+        tuple(r) for r in
+        rollup_raw(ev, "1m", by=["event_type"]).select(*cols).collect()
+    )
+    assert got == exp
+    # incrementality is structural: the 2nd commit's delta only contains
+    # partials for buckets present in batch b
+    added = spark.read.parquet(*tier.snapshot(s2)["added_files"])
+    assert added.count() <= rollup_raw(b, "1m", by=["event_type"]).count()

@@ -110,3 +110,69 @@ def retention_tiers(
 def with_derived(df: DataFrame) -> DataFrame:
     """Attach derived metrics (avg) to a tier table."""
     return df.withColumn("agg_avg", F.col("agg_sum") / F.col("agg_cnt"))
+
+
+def merge_tier_partials(df: DataFrame, by: Sequence[str]) -> DataFrame:
+    """Fold multiple PARTIAL rows of the same (keys, bucket_ts) into one —
+    the read-side merge of a delta-append continuous aggregate.  Identical
+    decomposable fold as rollup_cascade, grouping on the exact bucket."""
+    return df.groupBy(*by, "bucket_ts").agg(
+        F.sum("agg_cnt").alias("agg_cnt"),
+        F.sum("agg_sum").alias("agg_sum"),
+        F.min("agg_min").alias("agg_min"),
+        F.max("agg_max").alias("agg_max"),
+        F.min("first_ts").alias("first_ts"),
+        F.min_by("first_val", "first_ts").alias("first_val"),
+        F.max("last_ts").alias("last_ts"),
+        F.max_by("last_val", "last_ts").alias("last_val"),
+    )
+
+
+def continuous_rollup(
+    spark,
+    raw_table,
+    tier_table,
+    tier: str = "1m",
+    x_col: str = "ts",
+    y_col: str = "value",
+    by: Sequence[str] = ("series_key",),
+    uid_col: str | None = None,
+) -> str | None:
+    """One incremental maintenance step of a continuous aggregate.
+
+    Reads ONLY the raw files appended since the last processed raw snapshot
+    (recorded in the tier table's own commit summaries — resume state rides
+    the same atomic snapshot mechanism as the data), aggregates the delta,
+    and APPENDS the partial rows.  Readers fold duplicates per bucket with
+    ``merge_tier_partials`` (all aggregates are decomposable, so append +
+    read-side merge == full recompute — tested); a periodic compaction can
+    rewrite partials without changing results.  On Iceberg this append is
+    the same `writeTo(...).append()`; the delta-segment pattern is how
+    continuous aggregates stay O(new data), not O(history), per refresh.
+
+    Returns the new tier snapshot id, or None when there is nothing new
+    (idempotent: re-running without new raw data commits nothing).
+    """
+    cur = raw_table.current_snapshot_id()
+    done = None
+    hist = tier_table.history()
+    if hist:
+        done = hist[-1]["summary"].get("raw_snapshot")
+    if cur is None or cur == done:
+        return None
+    # collect added files of raw snapshots after `done`
+    new_files: list[str] = []
+    for snap in raw_table.history():
+        if done is None or snap["snapshot_id"] > done:
+            new_files.extend(snap["added_files"])
+    if not new_files:
+        return None
+    delta = rollup_raw(
+        spark.read.parquet(*new_files),
+        tier,
+        x_col=x_col,
+        y_col=y_col,
+        by=by,
+        uid_col=uid_col,
+    )
+    return tier_table.append(delta, summary={"raw_snapshot": cur})
