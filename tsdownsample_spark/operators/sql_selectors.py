@@ -311,33 +311,53 @@ def _downsample_x_long(
     passthrough = big.filter(F.col("cnt") <= k).select(
         *by, F.col("rn").cast("long").alias("sel_idx"), F.col(x_col), F.col("v").alias(y_col)
     )
+    # x rides inside the aggregate structs (after rn, which is unique per
+    # series, so it never affects the ordering) — no rejoin shuffle needed
     binned = (
         big.filter(F.col("cnt") > k)
         .groupBy(*by, "bin")
         .agg(
-            F.min(F.struct(F.col("v"), F.col("rn"))).alias("mn"),
-            F.max(F.struct(F.col("v"), (-F.col("rn")).alias("nrn"))).alias("mx"),
-            F.min(F.struct(F.col("rn"), F.col("v"))).alias("fst"),
-            F.max(F.struct(F.col("rn"), F.col("v"))).alias("lst"),
+            F.min(F.struct(F.col("v"), F.col("rn"), F.col(x_col).alias("x"))).alias("mn"),
+            F.max(
+                F.struct(F.col("v"), (-F.col("rn")).alias("nrn"), F.col(x_col).alias("x"))
+            ).alias("mx"),
+            F.min(F.struct(F.col("rn"), F.col("v"), F.col(x_col).alias("x"))).alias("fst"),
+            F.max(F.struct(F.col("rn"), F.col("v"), F.col(x_col).alias("x"))).alias("lst"),
         )
         .withColumn("mn_rn", F.col("mn.rn"))
         .withColumn("mx_rn", -F.col("mx.nrn"))
     )
-    lo, hi = _minmax_slots()
+    lo = F.when(
+        F.col("mn_rn") <= F.col("mx_rn"),
+        F.struct(F.col("mn_rn").alias("rn"), F.col("mn.v").alias("v"), F.col("mn.x").alias("x")),
+    ).otherwise(
+        F.struct(F.col("mx_rn").alias("rn"), F.col("mx.v").alias("v"), F.col("mx.x").alias("x"))
+    )
+    hi = F.when(
+        F.col("mn_rn") <= F.col("mx_rn"),
+        F.struct(F.col("mx_rn").alias("rn"), F.col("mx.v").alias("v"), F.col("mx.x").alias("x")),
+    ).otherwise(
+        F.struct(F.col("mn_rn").alias("rn"), F.col("mn.v").alias("v"), F.col("mn.x").alias("x"))
+    )
     slots = [lo, hi]
     if k == 4:
-        first = F.struct(F.col("fst.rn").alias("rn"), F.col("fst.v").alias("v"))
-        last = F.struct(F.col("lst.rn").alias("rn"), F.col("lst.v").alias("v"))
+        first = F.struct(
+            F.col("fst.rn").alias("rn"), F.col("fst.v").alias("v"), F.col("fst.x").alias("x")
+        )
+        last = F.struct(
+            F.col("lst.rn").alias("rn"), F.col("lst.v").alias("v"), F.col("lst.x").alias("x")
+        )
         slots = [first, lo, hi, last]
     sel = (
         binned.withColumn("_slots", F.array(*slots))
         .select(*by, F.explode("_slots").alias("_s"))
-        .select(*by, F.col("_s.rn").cast("long").alias("sel_idx"), F.col("_s.v").alias(y_col))
+        .select(
+            *by,
+            F.col("_s.rn").cast("long").alias("sel_idx"),
+            F.col("_s.x").alias(x_col),
+            F.col("_s.v").alias(y_col),
+        )
     )
-    # rejoin x for the emitted indices (values already carried; x needs the
-    # original column dtype, not the double view)
-    xs = pts.select(*by, F.col("rn").cast("long").alias("sel_idx"), F.col(x_col))
-    sel = sel.join(xs, by + ["sel_idx"]).select(*by, "sel_idx", x_col, y_col)
     return sel.unionByName(passthrough).unionByName(small_series)
 
 
