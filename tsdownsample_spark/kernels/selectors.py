@@ -344,7 +344,11 @@ def minmaxlttb(
     result back to original indices; otherwise plain LTTB.
     """
     if minmax_ratio <= 1:
-        raise ValueError("minmax_ratio must be > 1")
+        # The reference's Python layer only asserts ratio > 0
+        # (downsamplers.py:110-116); ratio == 1 then PANICS in Rust
+        # (minmaxlttb.rs:134 `assert!(minmax_ratio > 1)`, before any n
+        # checks).  We raise the equivalent error eagerly at the same spot.
+        raise ValueError("minmax_ratio must be > 1 (reference minmaxlttb.rs:134)")
     y = _as_float_view(np.asarray(y))
     n = len(y)
     if n_out >= n:

@@ -165,14 +165,25 @@ def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
 ) -> DataFrame:
     """Per-doc SimHash: bit j is set iff the sum over words of
-    (2*bit_j(h32(word)) - 1) is >= 0, h32 = first 8 md5 hex digits."""
+    (2*bit_j(h32(word)) - 1) is >= 0, h32 = first 8 md5 hex digits.
+
+    Single pass: word hashes materialize once, then ONE fold accumulates all
+    ``bits`` counters per word (the naive nested form re-evaluates the md5
+    transform once per bit — 32x the hashing).
+    """
     hs = (
         f"transform(split({text_col}, ' '), "
         f"w -> CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT))"
     )
-    sim = (
-        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, j) -> acc + "
-        f"CASE WHEN aggregate({hs}, 0L, (a, h) -> a + 2 * ((h div CAST(pow(2, j) AS LONG)) % 2) - 1) >= 0 "
-        f"THEN CAST(pow(2, j) AS LONG) ELSE 0L END)"
+    counts = (
+        f"aggregate(_hs, array_repeat(0L, {bits}), (acc, h) -> "
+        f"zip_with(acc, sequence(0, {bits - 1}), "
+        f"(a, j) -> a + 2 * ((h div shiftleft(1L, j)) % 2) - 1))"
     )
-    return df.select(F.col(id_col), F.expr(sim).alias("simhash"))
+    sim = (
+        f"aggregate(zip_with({counts}, sequence(0, {bits - 1}), "
+        f"(c, j) -> IF(c >= 0, shiftleft(1L, j), 0L)), 0L, (a, b) -> a + b)"
+    )
+    return df.select(F.col(id_col), F.expr(hs).alias("_hs")).select(
+        F.col(id_col), F.expr(sim).alias("simhash")
+    )
