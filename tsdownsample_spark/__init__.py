@@ -19,6 +19,16 @@ Re-expresses the operator semantics of ``predict-idlab/tsdownsample``
 
 __version__ = "0.1.0"
 
+from tsdownsample_spark.compat import (  # noqa: F401
+    EveryNthDownsampler,
+    LTTBDownsampler,
+    M4Downsampler,
+    MinMaxDownsampler,
+    MinMaxLTTBDownsampler,
+    NaNM4Downsampler,
+    NaNMinMaxDownsampler,
+    NaNMinMaxLTTBDownsampler,
+)
 from tsdownsample_spark.kernels.selectors import (  # noqa: F401
     downsample_array,
     everynth,
@@ -27,3 +37,22 @@ from tsdownsample_spark.kernels.selectors import (  # noqa: F401
     minmax,
     minmaxlttb,
 )
+
+# the reference's public __all__ (tsdownsample/__init__.py), verbatim, plus
+# the kernel-level functional API
+__all__ = [
+    "EveryNthDownsampler",
+    "MinMaxDownsampler",
+    "M4Downsampler",
+    "LTTBDownsampler",
+    "MinMaxLTTBDownsampler",
+    "NaNMinMaxDownsampler",
+    "NaNM4Downsampler",
+    "NaNMinMaxLTTBDownsampler",
+    "downsample_array",
+    "minmax",
+    "m4",
+    "lttb",
+    "minmaxlttb",
+    "everynth",
+]
