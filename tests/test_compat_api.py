@@ -144,3 +144,64 @@ def test_x_dtype_matrix(xdtype):
         x = np.arange(2_000, dtype=xdtype)
     idx = MinMaxDownsampler().downsample(x, y, n_out=100)
     np.testing.assert_array_equal(idx, MinMaxDownsampler().downsample(y, n_out=100))
+
+
+def test_reference_error_messages():
+    """The reference's OWN test suite asserts on these exact substrings
+    (tests/test_tsdownsample.py:288-334) — a drop-in engine must keep them."""
+    import numpy as np
+    import pytest
+
+    from tsdownsample_spark.compat import MinMaxDownsampler
+
+    arr = np.random.randint(0, 100, size=10_000)
+    with pytest.raises(ValueError, match="takes 1 or 2 positional arguments"):
+        MinMaxDownsampler().downsample(n_out=100, parallel=True)
+    with pytest.raises(ValueError, match="takes 1 or 2 positional arguments"):
+        MinMaxDownsampler().downsample(arr, arr, arr, n_out=100, parallel=True)
+    with pytest.raises(ValueError, match="y must be 1D"):
+        MinMaxDownsampler().downsample(arr.reshape(5, 2_000), n_out=100)
+    with pytest.raises(ValueError, match="x must be 1D"):
+        MinMaxDownsampler().downsample(arr.reshape(5, 2_000), arr, n_out=100)
+    with pytest.raises(ValueError, match="x and y must have the same length"):
+        MinMaxDownsampler().downsample(arr, arr[:-1], n_out=100)
+    with pytest.raises(ValueError, match="n_out must be even"):
+        MinMaxDownsampler().downsample(arr.astype(np.float64), n_out=33)
+
+
+def test_non_contiguous_rejected_except_everynth():
+    """Rust-backed reference selectors raise on non-contiguous input
+    (downsampling_interface.py:28-38); EveryNth (pure Python) accepts it
+    (tests/test_tsdownsample.py:316-335)."""
+    import numpy as np
+    import pytest
+
+    from tsdownsample_spark.compat import EveryNthDownsampler, MinMaxDownsampler
+
+    arr = np.random.randint(0, 100, size=10_000).astype(np.float32)[::2]
+    assert not arr.flags["C_CONTIGUOUS"]
+    with pytest.raises(ValueError, match="must be contiguous"):
+        MinMaxDownsampler().downsample(arr, n_out=100)
+    s = EveryNthDownsampler().downsample(arr, n_out=100)
+    assert s[0] == 0 and s[-1] == 4950
+
+
+def test_lttb_average_is_f64_fold():
+    """The shipped reference source folds EVERY dtype's bucket average in
+    f64 (downsample_rs/src/helpers.rs:26-33), so f32 input must select the
+    same indices as f64 even at magnitudes where an f32 accumulator would
+    overflow.  (The reference's test file still asserts the opposite for
+    2e38 — stale vs the shipped blanket impl, flagged there with 'TODO :('.)
+    """
+    import numpy as np
+
+    from tsdownsample_spark.compat import LTTBDownsampler
+
+    for scale in (2e5, 2e38):
+        base = np.random.default_rng(3).standard_normal(10_000) * scale
+        s64 = LTTBDownsampler().downsample(base, n_out=100)
+        s32 = LTTBDownsampler().downsample(
+            base.astype(np.float32).astype(np.float64), n_out=100
+        )
+        s32b = LTTBDownsampler().downsample(base.astype(np.float32), n_out=100)
+        assert np.all(s32 == s32b), scale  # f32 values, f64 accumulation

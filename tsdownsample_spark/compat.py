@@ -31,16 +31,33 @@ _X_DTYPES = "fiuMm"  # float, int, uint, datetime64, timedelta64
 _Y_EXTRA = {np.dtype(np.float16), np.dtype(np.int8), np.dtype(np.uint8), np.dtype(bool)}
 
 
-def _check_arrays(args):
-    if not (1 <= len(args) <= 2):
-        raise ValueError("downsample takes 1 or 2 positional arrays (y) or (x, y)")
-    arrs = [np.asarray(a) for a in args]
-    for a in arrs:
-        if a.ndim != 1:
-            raise ValueError("input arrays must be 1-dimensional")
-    if len(arrs) == 2 and len(arrs[0]) != len(arrs[1]):
-        raise ValueError("x and y must have the same length")
-    return (None, arrs[0]) if len(arrs) == 1 else (arrs[0], arrs[1])
+def _check_arrays(args, check_contiguous: bool = True):
+    """Reference-exact arg validation incl. error MESSAGES — the reference's
+    own test suite asserts on the text (_check_valid_downsample_args,
+    downsampling_interface.py:56-84; contiguity :28-38, which the Rust layer
+    requires because it takes as_slice())."""
+    if len(args) == 2:
+        x, y = np.asarray(args[0]), np.asarray(args[1])
+    elif len(args) == 1:
+        x, y = None, np.asarray(args[0])
+    else:
+        raise ValueError(
+            "downsample() takes 1 or 2 positional arguments but "
+            f"{len(args)} were given"
+        )
+    if y.ndim != 1:
+        raise ValueError("y must be 1D array")
+    if x is not None:
+        if x.ndim != 1:
+            raise ValueError("x must be 1D array")
+        if len(x) != len(y):
+            raise ValueError("x and y must have the same length")
+    if check_contiguous:
+        if not y.flags["C_CONTIGUOUS"]:
+            raise ValueError("y array must be contiguous.")
+        if x is not None and not x.flags["C_CONTIGUOUS"]:
+            raise ValueError("x array must be contiguous.")
+    return x, y
 
 
 def _check_x_dtype(x: np.ndarray) -> None:
@@ -68,7 +85,8 @@ class AbstractDownsampler:
         if not isinstance(n_out, (int, np.integer)):
             raise TypeError("n_out must be an int")
         if n_out <= 0:
-            raise ValueError("n_out must be > 0")
+            # reference message (downsampling_interface.py:86-89)
+            raise ValueError("n_out must be greater than 0")
 
     def downsample(self, *args, n_out: int, parallel: bool = False, **kwargs):
         self._check_n_out(n_out)
@@ -92,7 +110,7 @@ class MinMaxDownsampler(AbstractDownsampler):
     def _check_n_out(self, n_out):
         super()._check_n_out(n_out)
         if n_out % 2 != 0:
-            raise ValueError("n_out must be a multiple of 2")
+            raise ValueError("n_out must be even")  # downsamplers.py:31
 
 
 class NaNMinMaxDownsampler(MinMaxDownsampler):
@@ -121,7 +139,7 @@ class MinMaxLTTBDownsampler(AbstractDownsampler):
     _algo = "minmaxlttb"
 
     def downsample(self, *args, n_out: int, minmax_ratio: int = 4, parallel=False):
-        assert minmax_ratio > 0, "minmax_ratio must be > 0"
+        assert minmax_ratio > 0, "minmax_ratio must be greater than 0"
         return super().downsample(
             *args, n_out=n_out, parallel=parallel, minmax_ratio=minmax_ratio
         )
@@ -136,7 +154,9 @@ class EveryNthDownsampler(AbstractDownsampler):
 
     def downsample(self, *args, n_out: int, parallel: bool = False, **kwargs):
         self._check_n_out(n_out)
-        x, y = _check_arrays(args)
+        # pure-Python selector: the reference does NOT require contiguity
+        # here (check_contiguous=False, downsamplers.py:141-147)
+        x, y = _check_arrays(args, check_contiguous=False)
         if x is not None:
             warnings.warn(
                 "x is passed to downsample method of EveryNthDownsampler, but is "
