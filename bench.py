@@ -31,12 +31,15 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # min-of-5: the VM's co-tenant bursts regularly poison 2-3 consecutive reps
 REPS = int(os.environ.get("BENCH_REPS", "5"))
 
-# shape -> (docs, tokens/doc, n_out): "many" is the training-data shape
-# (plot-sized n_out per medium series); "wide" mirrors the reference
-# notebook (few huge series, n_out=2000 — BASELINE.md).
+# shape -> (docs, tokens/doc, n_out, reps): "many" is the training-data
+# shape (plot-sized n_out per medium series); "wide" mirrors the reference
+# notebook (few huge series, n_out=2000 — BASELINE.md); "big" (200M points)
+# amortizes per-job latency to expose steady-state throughput — the number
+# that extrapolates to a long-running 100 TB scan.
 SHAPES = {
-    "many": (2000, 20_000, 100),
-    "wide": (32, 1_250_000, 2000),
+    "many": (2000, 20_000, 100, REPS),
+    "wide": (32, 1_250_000, 2000, REPS),
+    "big": (160, 1_250_000, 2000, min(3, REPS)),
 }
 
 
@@ -108,8 +111,14 @@ def main() -> None:
     from tsdownsample_spark.operators.downsample import downsample_tokens
 
     throughput: dict[str, float] = {}
-    for shape, (docs, ntok, n_out) in SHAPES.items():
+    for shape, (docs, ntok, n_out, shape_reps) in SHAPES.items():
         path, total_points = bench_tokens_path(docs, ntok)
+        # tiny files need small splits for parallelism; the big file wants
+        # bigger splits so per-task overhead doesn't dominate
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes",
+            str((8 if shape == "big" else 2) * 1024 * 1024),
+        )
         df = spark.read.parquet(path)
         df.select(F.sum(F.size("tokens"))).collect()  # warm page cache
         # warm the exact path under test (Arrow round-trip + kernel JIT)
@@ -118,7 +127,7 @@ def main() -> None:
         ).collect()
         for algo in ("minmax", "m4", "minmaxlttb", "lttb", "everynth"):
             reps = []
-            for _ in range(REPS):
+            for _ in range(shape_reps):
                 t0 = time.time()
                 out = downsample_tokens(df, n_out, algo=algo)
                 out.select(F.sum(F.size("sel_idx"))).collect()
