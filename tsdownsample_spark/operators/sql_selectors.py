@@ -24,7 +24,16 @@ state is bounded by a *bin*, never a series:
 
 Selected-index parity with kernels.selectors is exact (same binning rule,
 same first-occurrence ties, same LTTB float op order — tested in
-tests/test_sql_selectors.py).  NaN policy: these operators implement the
+tests/test_sql_selectors.py).
+
+Plan shape (audited via .explain): the identity/pass-through branches are
+plain UNIONs, so the source is scanned 2x (3x for with-x) — Catalyst does
+not share subtrees across union branches.  That is a deliberate trade:
+scans are the cheap part (columnar, pruned) and the expensive parts stay
+single: ONE rank exchange (which collapses entirely when the source table
+is bucketed by the series key — plans/partitioning.py) and ONE partially-
+aggregated groupBy.  Persisting the ranked frame would trade the rescan for
+materialization — worth it only when the source is remote/expensive.  NaN policy: these operators implement the
 default nan="ignore" family for NaN-free y (filter NaNs upstream); the NaN-
 return variants live in the kernel path.
 
