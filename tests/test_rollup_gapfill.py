@@ -204,3 +204,48 @@ def test_continuous_rollup_incremental(spark, tmp_path, sf_dir):
     # partials for buckets present in batch b
     added = spark.read.parquet(*tier.snapshot(s2)["added_files"])
     assert added.count() <= rollup_raw(b, "1m", by=["event_type"]).count()
+
+
+def test_continuous_rollup_resume_marker_survives_compaction(spark, tmp_path, sf_dir):
+    """Code-review regressions: (a) a tier commit WITHOUT a raw_snapshot
+    marker (compaction) must not reset the resume cursor; (b) raw snapshots
+    are consumed by parent-chain position, not id string order."""
+    from pyspark.sql import functions as F
+
+    from tsdownsample_spark.operators.rollup import (
+        continuous_rollup,
+        merge_tier_partials,
+        rollup_raw,
+    )
+    from tsdownsample_spark.sources.tableio import SnapshotTable
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", F.col("ts").cast("timestamp").alias("ts"), "value")
+        .dropDuplicates(["event_type", "ts"])
+    )
+    raw = SnapshotTable(str(tmp_path / "raw"))
+    tier = SnapshotTable(str(tmp_path / "t1m"))
+    a, b = ev.randomSplit([0.5, 0.5], seed=3)
+    raw.append(a)
+    continuous_rollup(spark, raw, tier, "1m", by=["event_type"])
+    # compaction: rewrite the merged partials WITHOUT a raw_snapshot marker
+    compacted = merge_tier_partials(tier.read(spark), by=["event_type"])
+    tier.append(compacted, summary={"compaction": True})
+    # no new raw data -> still a no-op (marker found past the compaction)
+    assert continuous_rollup(spark, raw, tier, "1m", by=["event_type"]) is None
+    raw.append(b)
+    assert continuous_rollup(spark, raw, tier, "1m", by=["event_type"]) is not None
+    # NOTE the tier now holds batch-a partials TWICE (pre- and post-
+    # compaction commit) — real compaction replaces files; this stand-in
+    # only checks the resume cursor, so compare against a mirror with the
+    # same duplication
+    cols = ["event_type", "bucket_ts", "agg_min", "agg_max"]
+    got = sorted(
+        tuple(r) for r in
+        merge_tier_partials(tier.read(spark), by=["event_type"]).select(*cols).collect()
+    )
+    exp = sorted(
+        tuple(r) for r in rollup_raw(ev, "1m", by=["event_type"]).select(*cols).collect()
+    )
+    assert got == exp

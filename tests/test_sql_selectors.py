@@ -155,3 +155,35 @@ def test_x_long_matches_kernel(spark, algo):
         )
         exp.extend((key, int(i)) for i in idx)
     assert got == sorted(exp)
+
+
+@pytest.mark.parametrize("algo", ["minmax", "m4"])
+def test_x_long_negative_and_constant_x(spark, algo):
+    """Code-review regressions: (a) integer edges must truncate toward ZERO
+    (floor is off by one for negative x, e.g. pre-epoch timestamps);
+    (b) constant-x series follow the kernel's all-in-bin-0 / all-dropped
+    outcome instead of dividing by a zero step."""
+    from tsdownsample_spark.operators.sql_selectors import m4_x_long, minmax_x_long
+
+    rng = np.random.default_rng(31)
+    series = {}
+    xneg = np.sort(rng.choice(np.arange(-50_000, -10, dtype=np.int64), 800, replace=False))
+    series["neg"] = (xneg, rng.normal(size=800).round(6))
+    series["constpos"] = (np.full(90, 123456, dtype=np.int64), rng.normal(size=90).round(6))
+    series["constneg"] = (np.full(90, -777, dtype=np.int64), rng.normal(size=90).round(6))
+
+    frames = [
+        pd.DataFrame({"series": k, "x": x, "seq": np.arange(len(x)), "value": y})
+        for k, (x, y) in series.items()
+    ]
+    df = spark.createDataFrame(pd.concat(frames, ignore_index=True)).repartition(4)
+    fn = minmax_x_long if algo == "minmax" else m4_x_long
+    got = sorted(
+        (r["series"], r["sel_idx"]) for r in
+        fn(df, 40, x_col="x", by=["series"], y_col="value", tiebreak=["seq"]).collect()
+    )
+    exp = []
+    for key, (x, y) in series.items():
+        idx = downsample_array(np.asarray(y), 40, algo=algo, x=np.asarray(x))
+        exp.extend((key, int(i)) for i in idx)
+    assert got == sorted(exp)

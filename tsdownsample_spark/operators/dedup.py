@@ -2,10 +2,11 @@
 
 Every operator is native Spark SQL (no UDF) with an exact ANSI-SQL mirror:
 
-* **exact**        — content-hash groupBy; keeper = min(doc_id) per hash.
-* **MinHash**      — word-shingle signatures: sig[j] = min over shingles of
-  md5(j || ':' || shingle); banded LSH turns signatures into candidate
-  pairs with one self-join on (band_idx, band_hash).
+* **exact**        — one window over the content hash; keeper = min(doc_id).
+* **MinHash**      — word-shingle signatures: ONE md5 per shingle yields a
+  32-bit base b; sig[j] = min over shingles of (A[j]*b + B[j]) mod P
+  (universal hashing); banded LSH turns signatures into candidate pairs
+  with one self-join on (band_idx, band_hash).
 * **Jaccard**      — verification of candidate pairs on distinct-shingle
   sets (array_intersect/array_union sizes).
 * **SimHash**      — 32-bit majority-vote hash over word hashes; equal
@@ -19,6 +20,7 @@ band join is the canonical MinHash-LSH layout (shuffle on band_hash).
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -30,7 +32,7 @@ from tsdownsample_spark.operators.text import _shingles_expr
 # which dominates the signature cost at scale.  30-bit odd multipliers keep
 # A[j]*b < 2^62 (no BIGINT overflow); P is the largest 32-bit prime.
 MINHASH_P = 4294967291
-_rng = __import__("numpy").random.default_rng(99)
+_rng = np.random.default_rng(99)
 MINHASH_A = [int(a) | 1 for a in _rng.integers(1 << 20, 1 << 30, size=64)]
 MINHASH_B = [int(b) for b in _rng.integers(0, 1 << 30, size=64)]
 del _rng

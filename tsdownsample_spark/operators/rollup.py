@@ -154,17 +154,27 @@ def continuous_rollup(
     (idempotent: re-running without new raw data commits nothing).
     """
     cur = raw_table.current_snapshot_id()
+    # resume marker: the LATEST tier commit that carries one — commits
+    # without it (e.g. a compaction rewrite) must not reset the cursor
     done = None
-    hist = tier_table.history()
-    if hist:
-        done = hist[-1]["summary"].get("raw_snapshot")
+    for snap in reversed(tier_table.history()):
+        if snap["summary"].get("raw_snapshot"):
+            done = snap["summary"]["raw_snapshot"]
+            break
     if cur is None or cur == done:
         return None
-    # collect added files of raw snapshots after `done`
+    # everything strictly AFTER `done` in the raw parent chain (positional —
+    # snapshot ids are not reliably ordered when commits share a timestamp)
+    chain = raw_table.history()
+    start = 0
+    if done is not None:
+        for i, snap in enumerate(chain):
+            if snap["snapshot_id"] == done:
+                start = i + 1
+                break
     new_files: list[str] = []
-    for snap in raw_table.history():
-        if done is None or snap["snapshot_id"] > done:
-            new_files.extend(snap["added_files"])
+    for snap in chain[start:]:
+        new_files.extend(snap["added_files"])
     if not new_files:
         return None
     delta = rollup_raw(

@@ -148,6 +148,7 @@ def near_dup_pairs_blocked(
     import pandas as pd
 
     B = int(n_blocks)
+    id_type = vectors.schema[id_col].dataType.simpleString()
     blk = vectors.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
@@ -188,8 +189,10 @@ def near_dup_pairs_blocked(
             nb += vb[:, d] * vb[:, d]
         cos = dot / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
         # slack prefilter only — the contract-grade round+threshold happens
-        # Spark-side with the same round() as the unblocked operator
-        mask = cos >= thr - 1e-9
+        # Spark-side with the same round() as the unblocked operator.  The
+        # slack must exceed HALF THE ROUNDING QUANTUM (0.5e-6): a raw cos of
+        # thr - 4e-7 still rounds UP to thr and must survive the prefilter.
+        mask = cos >= thr - 5.1e-7
         if same:
             mask &= np.tri(len(va), len(vb), k=-1, dtype=bool).T  # i < j positions
         ii, jj = np.where(mask)
@@ -198,7 +201,7 @@ def near_dup_pairs_blocked(
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": cos[ii, jj]})
 
     pairs = rep.groupBy("bi", "bj").applyInPandas(
-        _compare, "id_a long, id_b long, cos double"
+        _compare, f"id_a {id_type}, id_b {id_type}, cos double"
     )
     return (
         pairs.withColumn("cos_r", F.round("cos", 6))

@@ -237,7 +237,9 @@ def _x_edge_tmpl(m: int, x_is_int: bool) -> str:
     step = f"((xn / CAST({m} AS DOUBLE)) - (x0 / CAST({m} AS DOUBLE)))"
     half = "((CAST({i} AS DOUBLE) + 1) / 2.0)"
     raw = f"(x0 + {step} * {half} + {step} * {half} + 1e-12)"
-    return f"CAST(FLOOR({raw}) AS DOUBLE)" if x_is_int else raw
+    # truncate toward ZERO like np.trunc / Rust T::from_f64 — FLOOR would be
+    # off by one for negative integer x (CAST double->bigint truncates)
+    return f"CAST(CAST({raw} AS BIGINT) AS DOUBLE)" if x_is_int else raw
 
 
 def _x_bin_expr(m: int, x_is_int: bool) -> str:
@@ -265,8 +267,17 @@ def _x_bin_expr(m: int, x_is_int: bool) -> str:
         f"CAST(FLOOR((xv - x0) / {step}) AS BIGINT)))"
     )
     e_at = lambda i: edge.format(i=i)  # noqa: E731
+    # constant-x series (step = 0): the 0/0 inverse is NaN, but the kernel
+    # semantics stay well-defined — every edge equals edge(0), so the series
+    # is either entirely in bin 0 (x0 < edge) or entirely dropped (the
+    # x[start] >= edge empty-bin rule).  Evaluate with the SAME edge
+    # expression: integer truncation makes the outcome sign/magnitude
+    # dependent (trunc(x0 + eps) can land above, on, or below x0).
     return (
-        f"CASE WHEN {i0} >= 1 AND xv <= {e_at(f'({i0} - 1)')} "
+        f"CASE WHEN xn = x0 THEN "
+        f"(CASE WHEN xv < {e_at('0')} THEN CAST(0 AS BIGINT) "
+        f"ELSE CAST({m} AS BIGINT) END) "
+        f"WHEN {i0} >= 1 AND xv <= {e_at(f'({i0} - 1)')} "
         f"THEN {i0} - 1 "
         f"WHEN xv > {e_at(i0)} THEN {i0} + 1 "
         f"ELSE {i0} END"

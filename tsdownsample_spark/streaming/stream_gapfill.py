@@ -77,8 +77,12 @@ def stream_locf(
         if last_val is not None:
             filled = filled.fillna(last_val)
         if (~was_null).any():
-            last_ts = int(pdf["ts_us"][~was_null].iloc[-1])
-            last_val = float(vals[~was_null].iloc[-1])
+            new_ts = int(pdf["ts_us"][~was_null].iloc[-1])
+            # monotonic guard: a LATE batch (all rows before the state's
+            # last observation) must not regress the carried value
+            if last_ts is None or new_ts >= last_ts:
+                last_ts = new_ts
+                last_val = float(vals[~was_null].iloc[-1])
         if last_val is not None:
             state.update((last_ts, last_val))
         out = pd.DataFrame({c: pdf[c] for c in by})
