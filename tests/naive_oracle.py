@@ -235,11 +235,14 @@ def naive_minmaxlttb(y, n_out, x=None, minmax_ratio=4, nan="ignore"):
 
 
 def naive_everynth(y, n_out):
+    # reference: np.arange(0, n - 0.1, step) (downsamplers.py:157) — arange
+    # fills float ranges by MULTIPLY (start + k*step), not accumulation;
+    # v += step drifts off it at FP boundaries (hypothesis-found)
     n = len(y)
     step = max(1.0, n / n_out)
     out = []
-    v = 0.0
-    while v < n - 0.1:
-        out.append(int(v))
-        v += step
+    k = 0
+    while k * step < n - 0.1:
+        out.append(int(k * step))
+        k += 1
     return np.array(out, dtype=np.int64)

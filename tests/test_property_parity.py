@@ -74,3 +74,34 @@ def test_minmax_with_int_x_property(xs, n_out):
     np.testing.assert_array_equal(
         K.minmax(y, n_out, x=x), O.naive_minmax(y, n_out, x=x)
     )
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=500),
+    st.integers(min_value=1, max_value=300),
+)
+def test_everynth_property(n, n_out):
+    y = np.arange(n, dtype=np.float64)
+    got = K.everynth(y, n_out)
+    exp = O.naive_everynth(y, n_out)
+    np.testing.assert_array_equal(got, exp)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=3, max_size=600),
+    st.integers(min_value=3, max_value=40),
+    st.integers(min_value=2, max_value=6),
+)
+def test_minmaxlttb_property(ys, n_out, ratio):
+    from hypothesis import assume
+
+    # odd n_out*ratio panics in the reference too (the prefetch hits
+    # minmax.rs's assert_eq!(n_out % 2, 0)); only even products are defined
+    assume((n_out * ratio) % 2 == 0)
+    y = np.asarray(ys, dtype=np.float64)
+    np.testing.assert_array_equal(
+        K.minmaxlttb(y, n_out, minmax_ratio=ratio),
+        O.naive_minmaxlttb(y, n_out, minmax_ratio=ratio),
+    )
