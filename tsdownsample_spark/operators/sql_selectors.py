@@ -30,9 +30,10 @@ Plan shape (audited via .explain): the identity/pass-through branches are
 plain UNIONs, so the source is scanned 2x (3x for with-x) — Catalyst does
 not share subtrees across union branches.  That is a deliberate trade:
 scans are the cheap part (columnar, pruned) and the expensive parts stay
-single: ONE rank exchange (which collapses entirely when the source table
-is bucketed by the series key — plans/partitioning.py) and ONE partially-
-aggregated groupBy.  Persisting the ranked frame would trade the rescan for
+single: ONE rank exchange and ONE partially-aggregated groupBy — and BOTH
+disappear when the source table is bucketed+sorted by the series key
+(verified: tests/test_plans.py::test_long_selector_shuffle_free_on_bucketed_source
+shows a zero-Exchange plan with identical results).  Persisting the ranked frame would trade the rescan for
 materialization — worth it only when the source is remote/expensive.  NaN policy: these operators implement the
 default nan="ignore" family for NaN-free y (filter NaNs upstream); the NaN-
 return variants live in the kernel path.
