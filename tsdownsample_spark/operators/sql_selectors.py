@@ -53,7 +53,14 @@ from pyspark.sql import functions as F
 
 from tsdownsample_spark.kernels.selectors import lttb
 
-__all__ = ["minmax_long", "m4_long", "everynth_long", "minmaxlttb_long"]
+__all__ = [
+    "minmax_long",
+    "m4_long",
+    "everynth_long",
+    "minmaxlttb_long",
+    "minmax_x_long",
+    "m4_x_long",
+]
 
 
 def _ranked(
