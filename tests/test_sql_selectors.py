@@ -187,3 +187,38 @@ def test_x_long_negative_and_constant_x(spark, algo):
         idx = downsample_array(np.asarray(y), 40, algo=algo, x=np.asarray(x))
         exp.extend((key, int(i)) for i in idx)
     assert got == sorted(exp)
+
+
+@pytest.mark.parametrize("fn_algo", [("minmax", "nanminmax"), ("m4", "nanm4")])
+def test_long_nan_return_matches_kernel(long_df, fn_algo):
+    """nan='return' on the distributed selectors: first NaN per bin wins
+    both min/max slots, exactly like the kernel NaN* variants."""
+    base, algo = fn_algo
+    from tsdownsample_spark.operators.sql_selectors import m4_long, minmax_long
+
+    df, pdf = long_df
+    pdf = pdf.copy()
+    pdf.loc[pdf.index % 13 == 0, "value"] = float("nan")
+    import pyspark.sql.functions as SF
+
+    # createDataFrame converts pandas NaN -> NULL; restore real NaN doubles
+    sdf = (
+        df.sparkSession.createDataFrame(pdf)
+        .withColumn("value", SF.coalesce("value", SF.expr("CAST('NaN' AS DOUBLE)")))
+        .repartition(8)
+    )
+    fn = minmax_long if base == "minmax" else m4_long
+    out = fn(sdf, N_OUT, order=["seq"], by=["series"], y_col="value", nan="return")
+    got = sorted(
+        (r["series"], r["pos"], r["sel_idx"],
+         "NaN" if r["sel_value"] != r["sel_value"] else r["sel_value"])
+        for r in out.collect()
+    )
+    exp = []
+    for key, grp in pdf.sort_values(["series", "seq"]).groupby("series"):
+        y = grp["value"].to_numpy()
+        idx = downsample_array(y, N_OUT, algo=algo)
+        for pos, i in enumerate(idx):
+            v = float(y[i])
+            exp.append((key, pos, int(i), "NaN" if v != v else v))
+    assert got == sorted(exp)

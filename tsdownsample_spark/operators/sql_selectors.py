@@ -34,9 +34,12 @@ single: ONE rank exchange and ONE partially-aggregated groupBy — and BOTH
 disappear when the source table is bucketed+sorted by the series key
 (verified: tests/test_plans.py::test_long_selector_shuffle_free_on_bucketed_source
 shows a zero-Exchange plan with identical results).  Persisting the ranked frame would trade the rescan for
-materialization — worth it only when the source is remote/expensive.  NaN policy: these operators implement the
-default nan="ignore" family for NaN-free y (filter NaNs upstream); the NaN-
-return variants live in the kernel path.
+materialization — worth it only when the source is remote/expensive.
+
+NaN policy: minmax_long/m4_long accept nan="return" (exact NaNMinMax/NaNM4
+semantics via a first-NaN-per-bin aggregate); the default expects NaN-free
+y.  nan="ignore" WITH NaNs present is kernel-path-only (struct max ordering
+treats NaN as greatest, which would corrupt the max slot).
 
 Reference: predict-idlab/tsdownsample downsample_rs/src/minmax.rs:98-222,
 m4.rs:102-234, minmaxlttb.rs:125-207, tsdownsample/downsamplers.py:148-158.
@@ -97,15 +100,20 @@ def _bin_expr(m: int) -> str:
 
 
 def _binned_minmax(
-    pts: DataFrame, by: Sequence[str], m: int, rn_col: str = "rn"
+    pts: DataFrame, by: Sequence[str], m: int, rn_col: str = "rn",
+    nan: str = "forbid",
 ) -> DataFrame:
     """Per (series, bin): first-occurrence argmin/argmax of v, plus the bin's
     first/last positions — grouped aggregation, map-side combinable.
 
     First occurrence is embedded in the aggregate ordering: min(struct(v, rn))
     picks (min v, min rn); max(struct(v, -rn)) picks (max v, min rn).
+
+    ``nan="return"`` adds the NaN-return rule (NaN* selectors): a bin with
+    any NaN returns its FIRST NaN index for both slots — one extra
+    decomposable aggregate (min rn over NaN rows), no extra shuffle.
     """
-    return (
+    binned = (
         pts.withColumn("bin", F.expr(_bin_expr(m)))
         # FP edge: floor(bs*m)+1 can land at n-1, in which case the kernel's
         # bins end BEFORE the last point and it is dropped (equal_count_bins
@@ -118,10 +126,30 @@ def _binned_minmax(
             F.max(F.struct(F.col("v"), (-F.col(rn_col)).alias("nrn"))).alias("mx"),
             F.min(F.struct(F.col(rn_col).alias("rn"), F.col("v"))).alias("fst"),
             F.max(F.struct(F.col(rn_col).alias("rn"), F.col("v"))).alias("lst"),
+            F.min(F.when(F.isnan("v"), F.col(rn_col))).alias("nan_rn"),
         )
         .withColumn("mn_rn", F.col("mn.rn"))
         .withColumn("mx_rn", -F.col("mx.nrn"))
     )
+    if nan == "return":
+        nan_v = F.expr("CAST('NaN' AS DOUBLE)")
+        has = F.col("nan_rn").isNotNull()
+        binned = (
+            binned.withColumn("mn_rn", F.when(has, F.col("nan_rn")).otherwise(F.col("mn_rn")))
+            .withColumn("mx_rn", F.when(has, F.col("nan_rn")).otherwise(F.col("mx_rn")))
+            .withColumn(
+                "mn",
+                F.when(has, F.struct(nan_v.alias("v"), F.col("nan_rn").alias("rn"))).otherwise(F.col("mn")),
+            )
+            .withColumn(
+                "mx",
+                F.when(
+                    has,
+                    F.struct(nan_v.alias("v"), (-F.col("nan_rn")).alias("nrn")),
+                ).otherwise(F.col("mx")),
+            )
+        )
+    return binned
 
 
 def _emit(binned: DataFrame, by: Sequence[str], slots: list, k: int) -> DataFrame:
@@ -167,15 +195,19 @@ def minmax_long(
     order: Sequence[str],
     by: Sequence[str],
     y_col: str = "value",
+    nan: str = "forbid",
 ) -> DataFrame:
-    """Distributed MinMax (no-x): (by..., pos, sel_idx, sel_value)."""
+    """Distributed MinMax (no-x): (by..., pos, sel_idx, sel_value).
+
+    ``nan="return"`` gives the NaNMinMax selector (first NaN per bin wins
+    both slots); the default expects NaN-free y (see module docstring)."""
     if n_out % 2:
         raise ValueError("n_out must be a multiple of 2")
     by = list(by)
     pts = _ranked(df, by, order, y_col)
     big = pts.filter(F.col("n") > n_out)
     lo, hi = _minmax_slots()
-    sel = _emit(_binned_minmax(big, by, n_out // 2), by, [lo, hi], 2)
+    sel = _emit(_binned_minmax(big, by, n_out // 2, nan=nan), by, [lo, hi], 2)
     return sel.unionByName(_identity_small(pts, by, n_out))
 
 
@@ -185,8 +217,11 @@ def m4_long(
     order: Sequence[str],
     by: Sequence[str],
     y_col: str = "value",
+    nan: str = "forbid",
 ) -> DataFrame:
-    """Distributed M4 (no-x): per bin (first, min, max, last) in index order."""
+    """Distributed M4 (no-x): per bin (first, min, max, last) in index order.
+
+    ``nan="return"`` gives NaNM4 (first/last slots stay positional)."""
     if n_out % 4:
         raise ValueError("n_out must be a multiple of 4")
     by = list(by)
@@ -195,7 +230,7 @@ def m4_long(
     lo, hi = _minmax_slots()
     first = F.struct(F.col("fst.rn").alias("rn"), F.col("fst.v").alias("v"))
     last = F.struct(F.col("lst.rn").alias("rn"), F.col("lst.v").alias("v"))
-    sel = _emit(_binned_minmax(big, by, n_out // 4), by, [first, lo, hi, last], 4)
+    sel = _emit(_binned_minmax(big, by, n_out // 4, nan=nan), by, [first, lo, hi, last], 4)
     return sel.unionByName(_identity_small(pts, by, n_out))
 
 

@@ -65,7 +65,7 @@ def _downsample_query(algo: str, n_out: int = N_OUT, nan_inject: bool = False):
     return q
 
 
-def _long_query(algo: str, n_out: int = N_OUT):
+def _long_query(algo: str, n_out: int = N_OUT, nan_inject: bool = False):
     """Distributed long-form variant: same semantics as _downsample_query but
     via operators/sql_selectors.py — bounded per-task state, no whole-series
     arrays (the 100 TB path).  Shares the kernel queries' oracles."""
@@ -78,10 +78,14 @@ def _long_query(algo: str, n_out: int = N_OUT):
             "m4": S.m4_long,
             "everynth": S.everynth_long,
             "minmaxlttb": S.minmaxlttb_long,
-        }[algo]
+        }[algo.removeprefix("nan")]
         ev = load(spark, sf_dir, "events")
+        if nan_inject:
+            ev = ev.withColumn("value", F.expr(_NAN_INJECT_SPARK))
+        kw = {"nan": "return"} if algo.startswith("nan") else {}
         return fn(
-            ev, n_out, order=["ts", "event_id"], by=["event_type"], y_col="value"
+            ev, n_out, order=["ts", "event_id"], by=["event_type"], y_col="value",
+            **kw,
         ).select("event_type", "pos", "sel_idx", "sel_value")
 
     return q
@@ -779,6 +783,8 @@ def queries() -> dict:
         "q_minmaxlttb_long": _long_query("minmaxlttb"),
         "q_minmax_x_long": _x_long_query("minmax"),
         "q_m4_x_long": _x_long_query("m4"),
+        "q_nanminmax_long": _long_query("nanminmax", nan_inject=True),
+        "q_nanm4_long": _long_query("nanm4", nan_inject=True),
         "q_minmax_x": _q_downsample_x("minmax"),
         "q_m4_x": _q_downsample_x("m4"),
         "q_rollup_1m": _q_rollup("1m"),
@@ -813,6 +819,8 @@ def oracle_sql() -> dict:
         "q_minmaxlttb_long": _oracle_minmaxlttb(n_out=N_OUT, ratio=4),
         "q_minmax_x_long": _oracle_downsample_x(2),
         "q_m4_x_long": _oracle_downsample_x(4),
+        "q_nanminmax_long": _oracle_minmax(nan=True),
+        "q_nanm4_long": _oracle_m4(nan=True),
         "q_minmax_x": _oracle_downsample_x(2),
         "q_m4_x": _oracle_downsample_x(4),
         "q_rollup_1m": _oracle_rollup("1m"),
