@@ -189,6 +189,54 @@ def test_x_long_negative_and_constant_x(spark, algo):
     assert got == sorted(exp)
 
 
+@pytest.mark.parametrize("algo", ["minmax", "m4"])
+def test_x_long_nan_return_matches_kernel(spark, algo):
+    """nan='return' on the distributed WITH-X selectors: first NaN per bin
+    wins both slots; passthrough (small) bins emit NaN points unchanged —
+    exactly the kernel NaN* with-x variants (minmax.rs:72-74, m4.rs:70-72)."""
+    from tsdownsample_spark.operators.sql_selectors import m4_x_long, minmax_x_long
+
+    rng = np.random.default_rng(43)
+    series = {}
+    n = 997
+    xf = np.sort(rng.uniform(0, 1e6, size=n)).astype(np.int64)
+    yf = rng.normal(size=n).round(6)
+    yf[::13] = np.nan  # hits big bins and (via the gap case) small bins
+    series["float"] = (xf, yf)
+    xg = np.arange(n, dtype=np.int64)
+    xg[: n // 2] += 10 * n
+    xg = np.sort(xg + 3 * np.arange(n))
+    yg = rng.normal(size=n).round(6)
+    yg[::7] = np.nan
+    series["gapint"] = (xg, yg)
+
+    frames = [
+        pd.DataFrame({"series": k, "x": x, "seq": np.arange(len(x)), "value": y})
+        for k, (x, y) in series.items()
+    ]
+    pdf = pd.concat(frames, ignore_index=True)
+    sdf = (
+        spark.createDataFrame(pdf.sample(frac=1.0, random_state=5))
+        .withColumn("value", F.coalesce("value", F.expr("CAST('NaN' AS DOUBLE)")))
+        .repartition(8)
+    )
+    fn = minmax_x_long if algo == "minmax" else m4_x_long
+    out = fn(sdf, 40, x_col="x", by=["series"], y_col="value",
+             tiebreak=["seq"], nan="return")
+    got = sorted(
+        (r["series"], r["sel_idx"],
+         "NaN" if r["value"] != r["value"] else r["value"])
+        for r in out.collect()
+    )
+    exp = []
+    for key, (x, y) in series.items():
+        idx = downsample_array(np.asarray(y), 40, algo="nan" + algo, x=np.asarray(x))
+        exp.extend(
+            (key, int(i), "NaN" if y[i] != y[i] else float(y[i])) for i in idx
+        )
+    assert got == sorted(exp)
+
+
 @pytest.mark.parametrize("fn_algo", [("minmax", "nanminmax"), ("m4", "nanm4")])
 def test_long_nan_return_matches_kernel(long_df, fn_algo):
     """nan='return' on the distributed selectors: first NaN per bin wins

@@ -183,6 +183,14 @@ def downsample_series(
         idx = downsample_array(y, n_out, algo=algo, x=x, **kw)
         out = pdf.iloc[idx][by + [x_col, y_col]].copy()
         out.insert(len(by), "sel_idx", idx)
+        if out[y_col].dtype.kind == "f":
+            # pandas->Arrow treats float NaN as the NA sentinel and would
+            # return NULL for NaN y (breaking the NaN* selectors' contract);
+            # a masked FloatingArray with an all-false mask keeps NaN a VALUE.
+            vals = out[y_col].to_numpy()
+            out[y_col] = pd.arrays.FloatingArray(
+                vals.copy(), np.zeros(len(vals), dtype=bool)
+            )
         return out
 
     return df.groupBy(*by).applyInPandas(_fn, schema)

@@ -63,7 +63,29 @@ __all__ = [
     "minmaxlttb_long",
     "minmax_x_long",
     "m4_x_long",
+    "minmaxlttb_x_long",
 ]
+
+
+def _x_numeric(df: DataFrame, x_col: str):
+    """Numeric (double) view of the x column for binning + the kernel's
+    integer-edge-truncation flag.  Timestamps bin on the INTEGER microsecond
+    view (the kernel's datetime64->int64 view, selectors.py:_as_float_view) —
+    CAST(ts AS DOUBLE) would be fractional seconds and truncate edges at
+    second granularity.  Dates are rejected (CAST(date AS DOUBLE) is not a
+    valid Spark cast); pre-convert with unix_date."""
+    x_dtype = df.schema[x_col].dataType.simpleString()
+    if x_dtype == "date":
+        raise ValueError(
+            "date x_col is not supported by the long-form with-x selectors; "
+            "pre-convert to an integer day/microsecond column (e.g. "
+            "unix_date/unix_micros) like queries._x_long_query does"
+        )
+    if x_dtype.startswith("timestamp"):
+        return F.unix_micros(F.col(x_col).cast("timestamp")).cast("double"), True
+    return F.col(x_col).cast("double"), x_dtype in (
+        "bigint", "int", "smallint", "tinyint"
+    )
 
 
 def _ranked(
@@ -335,28 +357,34 @@ def _downsample_x_long(
     by: Sequence[str],
     y_col: str,
     tiebreak: Sequence[str] = (),
+    nan: str = "forbid",
 ) -> DataFrame:
     """Shared body for minmax_x_long (k=2) / m4_x_long (k=4): equidistant
     x-value bins computed per point, grouped aggregation per (series, bin);
     bins with <= k points pass all points through; empty bins emit nothing.
     Output matches the kernel queries: (by..., sel_idx, x_col, y_col).
+
+    ``nan="return"`` gives the NaN* with-x semantics (reference instantiates
+    NaN with-x kernels at minmax.rs:72-74 / m4.rs:70-72): a bin with any NaN
+    returns its FIRST NaN for both the min and max slot — the same
+    decomposable min-rn-over-NaN aggregate as the no-x path, here carrying
+    (rn, x) so the x value rides along.  Passthrough bins (<= k points) emit
+    all points regardless of NaN, exactly like the kernel's small-bin rule.
     """
     by = list(by)
     m = n_out // k
     order = [x_col, *tiebreak]
     wo = Window.partitionBy(*by).orderBy(*order)
     wp = Window.partitionBy(*by)
-    x_is_int = df.schema[x_col].dataType.simpleString() in (
-        "bigint", "int", "smallint", "date", "timestamp", "timestamp_ntz"
-    )
+    x_num, x_is_int = _x_numeric(df, x_col)
     pts = df.select(
         *by,
         F.col(x_col),
         (F.row_number().over(wo) - 1).alias("rn"),
         F.count("*").over(wp).alias("n"),
-        F.col(x_col).cast("double").alias("xv"),
-        F.min(F.col(x_col).cast("double")).over(wp).alias("x0"),
-        F.max(F.col(x_col).cast("double")).over(wp).alias("xn"),
+        x_num.alias("xv"),
+        F.min(x_num).over(wp).alias("x0"),
+        F.max(x_num).over(wp).alias("xn"),
         F.col(y_col).cast("double").alias("v"),
     )
     small_series = pts.filter(F.col("n") <= n_out).select(
@@ -386,10 +414,42 @@ def _downsample_x_long(
             ).alias("mx"),
             F.min(F.struct(F.col("rn"), F.col("v"), F.col(x_col).alias("x"))).alias("fst"),
             F.max(F.struct(F.col("rn"), F.col("v"), F.col(x_col).alias("x"))).alias("lst"),
+            F.min(
+                F.when(F.isnan("v"), F.struct(F.col("rn"), F.col(x_col).alias("x")))
+            ).alias("nanfst"),
         )
         .withColumn("mn_rn", F.col("mn.rn"))
         .withColumn("mx_rn", -F.col("mx.nrn"))
     )
+    if nan == "return":
+        nan_v = F.expr("CAST('NaN' AS DOUBLE)")
+        has = F.col("nanfst").isNotNull()
+        binned = (
+            binned.withColumn("mn_rn", F.when(has, F.col("nanfst.rn")).otherwise(F.col("mn_rn")))
+            .withColumn("mx_rn", F.when(has, F.col("nanfst.rn")).otherwise(F.col("mx_rn")))
+            .withColumn(
+                "mn",
+                F.when(
+                    has,
+                    F.struct(
+                        nan_v.alias("v"),
+                        F.col("nanfst.rn").alias("rn"),
+                        F.col("nanfst.x").alias("x"),
+                    ),
+                ).otherwise(F.col("mn")),
+            )
+            .withColumn(
+                "mx",
+                F.when(
+                    has,
+                    F.struct(
+                        nan_v.alias("v"),
+                        (-F.col("nanfst.rn")).alias("nrn"),
+                        F.col("nanfst.x").alias("x"),
+                    ),
+                ).otherwise(F.col("mx")),
+            )
+        )
     lo = F.when(
         F.col("mn_rn") <= F.col("mx_rn"),
         F.struct(F.col("mn_rn").alias("rn"), F.col("mn.v").alias("v"), F.col("mn.x").alias("x")),
@@ -431,11 +491,14 @@ def minmax_x_long(
     by: Sequence[str],
     y_col: str = "value",
     tiebreak: Sequence[str] = (),
+    nan: str = "forbid",
 ) -> DataFrame:
-    """Distributed with-x MinMax (equidistant bins, bounded per-task state)."""
+    """Distributed with-x MinMax (equidistant bins, bounded per-task state).
+
+    ``nan="return"`` gives NaNMinMax-with-x (reference minmax.rs:72-74)."""
     if n_out % 2:
         raise ValueError("n_out must be a multiple of 2")
-    return _downsample_x_long(df, n_out, 2, x_col, by, y_col, tiebreak)
+    return _downsample_x_long(df, n_out, 2, x_col, by, y_col, tiebreak, nan=nan)
 
 
 def m4_x_long(
@@ -445,11 +508,14 @@ def m4_x_long(
     by: Sequence[str],
     y_col: str = "value",
     tiebreak: Sequence[str] = (),
+    nan: str = "forbid",
 ) -> DataFrame:
-    """Distributed with-x M4 (equidistant bins, bounded per-task state)."""
+    """Distributed with-x M4 (equidistant bins, bounded per-task state).
+
+    ``nan="return"`` gives NaNM4-with-x (reference m4.rs:70-72)."""
     if n_out % 4:
         raise ValueError("n_out must be a multiple of 4")
-    return _downsample_x_long(df, n_out, 4, x_col, by, y_col, tiebreak)
+    return _downsample_x_long(df, n_out, 4, x_col, by, y_col, tiebreak, nan=nan)
 
 
 def minmaxlttb_long(

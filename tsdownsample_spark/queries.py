@@ -91,23 +91,29 @@ def _long_query(algo: str, n_out: int = N_OUT, nan_inject: bool = False):
     return q
 
 
-def _x_long_query(algo: str, n_out: int = N_OUT):
+def _x_long_query(algo: str, n_out: int = N_OUT, nan_inject: bool = False):
     """Distributed with-x (equidistant) variant over sql_selectors; same
-    output shape and oracle as the kernel _q_downsample_x queries."""
+    output shape and oracle as the kernel _q_downsample_x queries.  An
+    algo prefixed ``nan`` runs the NaN-return variant over NaN-injected
+    values (NaNMinMax/NaNM4 with-x — reference minmax.rs:72-74, m4.rs:70-72)."""
 
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from tsdownsample_spark.operators import sql_selectors as S
 
-        fn = {"minmax": S.minmax_x_long, "m4": S.m4_x_long}[algo]
-        ev = load(spark, sf_dir, "events").select(
+        fn = {"minmax": S.minmax_x_long, "m4": S.m4_x_long}[algo.removeprefix("nan")]
+        ev = load(spark, sf_dir, "events")
+        if nan_inject:
+            ev = ev.withColumn("value", F.expr(_NAN_INJECT_SPARK))
+        ev = ev.select(
             "event_type",
             F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
             "value",
             "event_id",
         )
+        kw = {"nan": "return"} if algo.startswith("nan") else {}
         return fn(
             ev, n_out, x_col="ts_us", by=["event_type"], y_col="value",
-            tiebreak=["event_id"],
+            tiebreak=["event_id"], **kw,
         ).select("event_type", "sel_idx", "ts_us", "value")
 
     return q
@@ -473,15 +479,19 @@ FROM sel s JOIN ord o ON o.event_type = s.event_type AND o.rn = s.sel_idx
 # ------------------------------------------- with-x (equidistant bins) mode
 
 
-def _q_downsample_x(algo: str, n_out: int = N_OUT):
+def _q_downsample_x(algo: str, n_out: int = N_OUT, nan_inject: bool = False):
     """Long-form "with x" mode over (event_type, ts[us], value): equidistant
     x-value bins (searchsorted rule, EPSILON=1e-12, empty bins emit nothing,
-    small bins pass through — downsample_rs/src/searchsorted.rs:92-129)."""
+    small bins pass through — downsample_rs/src/searchsorted.rs:92-129).
+    ``nan_inject`` + a nan* algo exercises the NaN-return with-x kernels."""
 
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from tsdownsample_spark.operators.downsample import downsample_series
 
-        ev = load(spark, sf_dir, "events").select(
+        ev = load(spark, sf_dir, "events")
+        if nan_inject:
+            ev = ev.withColumn("value", F.expr(_NAN_INJECT_SPARK))
+        ev = ev.select(
             "event_type",
             F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
             "value",
@@ -501,14 +511,18 @@ def _q_downsample_x(algo: str, n_out: int = N_OUT):
     return q
 
 
-def _oracle_downsample_x(k: int, n_out: int = N_OUT) -> str:
+def _oracle_downsample_x(k: int, n_out: int = N_OUT, nan: bool = False) -> str:
     """Mirror of the equidistant binning: edge_i = trunc(x0 + step*(i/2) +
     step*(i/2) + 1e-12) for i = 1..m (int x truncates toward zero); a point
     belongs to bin = count of interior edges it exceeds; bins with <= k
     points pass all through, larger bins emit argmin+argmax (k=2) or
-    first/argmin/argmax/last (k=4)."""
+    first/argmin/argmax/last (k=4).  ``nan=True`` -> NaN-return semantics
+    over NaN-injected values (first NaN per bin wins both min/max slots via
+    the isnan-first sort key; first/last/passthrough stay positional)."""
     m = n_out // k
     emit_small = f"cnt <= {k}"
+    val = _NAN_INJECT_DUCK if nan else "value"
+    nk = "isnan(v) DESC, " if nan else ""
     if k == 2:
         quad = """
     SELECT doc_key, bin, rn, x, v FROM mins WHERE r = 1
@@ -523,7 +537,7 @@ def _oracle_downsample_x(k: int, n_out: int = N_OUT) -> str:
 """
     return f"""
 WITH ord AS (
-    SELECT event_type AS doc_key, epoch_us(ts) AS x, value AS v,
+    SELECT event_type AS doc_key, epoch_us(ts) AS x, {val} AS v,
            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS rn,
            COUNT(*) OVER (PARTITION BY event_type) AS n
     FROM events
@@ -555,12 +569,12 @@ binned2 AS (
 ),
 mins AS (
     SELECT doc_key, bin, rn, x, v,
-           ROW_NUMBER() OVER (PARTITION BY doc_key, bin ORDER BY v ASC, rn ASC) AS r
+           ROW_NUMBER() OVER (PARTITION BY doc_key, bin ORDER BY {nk}v ASC, rn ASC) AS r
     FROM binned2
 ),
 maxs AS (
     SELECT doc_key, bin, rn, x, v,
-           ROW_NUMBER() OVER (PARTITION BY doc_key, bin ORDER BY v DESC, rn ASC) AS r
+           ROW_NUMBER() OVER (PARTITION BY doc_key, bin ORDER BY {nk}v DESC, rn ASC) AS r
     FROM binned2
 ),
 small AS (
@@ -787,6 +801,11 @@ def queries() -> dict:
         "q_nanm4_long": _long_query("nanm4", nan_inject=True),
         "q_minmax_x": _q_downsample_x("minmax"),
         "q_m4_x": _q_downsample_x("m4"),
+        # NaN-return x (equidistant-bin) combos — kernel + distributed twins
+        "q_nanminmax_x": _q_downsample_x("nanminmax", nan_inject=True),
+        "q_nanm4_x": _q_downsample_x("nanm4", nan_inject=True),
+        "q_nanminmax_x_long": _x_long_query("nanminmax", nan_inject=True),
+        "q_nanm4_x_long": _x_long_query("nanm4", nan_inject=True),
         "q_rollup_1m": _q_rollup("1m"),
         "q_rollup_1h": _q_rollup("1h"),
         "q_rollup_1d": _q_rollup("1d"),
@@ -823,6 +842,10 @@ def oracle_sql() -> dict:
         "q_nanm4_long": _oracle_m4(nan=True),
         "q_minmax_x": _oracle_downsample_x(2),
         "q_m4_x": _oracle_downsample_x(4),
+        "q_nanminmax_x": _oracle_downsample_x(2, nan=True),
+        "q_nanm4_x": _oracle_downsample_x(4, nan=True),
+        "q_nanminmax_x_long": _oracle_downsample_x(2, nan=True),
+        "q_nanm4_x_long": _oracle_downsample_x(4, nan=True),
         "q_rollup_1m": _oracle_rollup("1m"),
         "q_rollup_1h": _oracle_rollup("1h"),
         "q_rollup_1d": _oracle_rollup("1d"),
