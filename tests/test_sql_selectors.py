@@ -189,6 +189,49 @@ def test_x_long_negative_and_constant_x(spark, algo):
     assert got == sorted(exp)
 
 
+def test_minmaxlttb_x_long_matches_kernel(spark):
+    """Distributed with-x MinMaxLTTB vs the kernel across every branch:
+    identity (n <= n_out), plain with-x LTTB (n//n_out <= ratio), and the
+    equidistant prefetch (float x, gapped int x with empty bins, and the
+    arange edge-collision shape)."""
+    from tsdownsample_spark.operators.sql_selectors import minmaxlttb_x_long
+
+    rng = np.random.default_rng(29)
+    series = {}
+    for key, n in [("ident", 15), ("just", 25), ("plain", 79)]:
+        x = np.sort(rng.uniform(0, 1e6, size=n)).astype(np.int64)
+        series[key] = (x, rng.normal(size=n).round(6))
+    n = 997
+    series["preflt"] = (
+        np.sort(rng.uniform(0, 1e6, size=n)).astype(np.int64),
+        rng.normal(size=n).round(6),
+    )
+    xg = np.arange(n, dtype=np.int64)
+    xg[: n // 2] += 10 * n
+    xg = np.sort(xg + 3 * np.arange(n))
+    series["gapint"] = (xg, rng.normal(size=n).round(6))
+    xa = np.arange(2_000, dtype=np.int64) * 7
+    series["arange"] = (xa, rng.normal(size=2_000).round(6))
+
+    frames = [
+        pd.DataFrame({"series": k, "x": x, "seq": np.arange(len(x)), "value": y})
+        for k, (x, y) in series.items()
+    ]
+    pdf = pd.concat(frames, ignore_index=True)
+    df = spark.createDataFrame(pdf.sample(frac=1.0, random_state=9)).repartition(8)
+    got = sorted(
+        (r["series"], r["sel_idx"], r["x"], r["value"])
+        for r in minmaxlttb_x_long(
+            df, 20, x_col="x", by=["series"], y_col="value", tiebreak=["seq"]
+        ).collect()
+    )
+    exp = []
+    for key, (x, y) in series.items():
+        idx = downsample_array(np.asarray(y), 20, algo="minmaxlttb", x=np.asarray(x))
+        exp.extend((key, int(i), int(x[i]), float(y[i])) for i in idx)
+    assert got == sorted(exp)
+
+
 @pytest.mark.parametrize("algo", ["minmax", "m4"])
 def test_x_long_nan_return_matches_kernel(spark, algo):
     """nan='return' on the distributed WITH-X selectors: first NaN per bin

@@ -585,3 +585,119 @@ def minmaxlttb_long(
 
     sel = grouped.groupBy(*by).applyInPandas(_tail, schema)
     return sel.unionByName(_identity_small(pts, by, n_out))
+
+
+def minmaxlttb_x_long(
+    df: DataFrame,
+    n_out: int,
+    x_col: str,
+    by: Sequence[str],
+    y_col: str = "value",
+    tiebreak: Sequence[str] = (),
+    ratio: int = 4,
+) -> DataFrame:
+    """Distributed with-x MinMaxLTTB (reference minmaxlttb.rs:125-171):
+    equidistant-bin MinMax prefetch over the interior x range feeds the
+    sequential LTTB tail *with the original x values* — unbounded series,
+    bounded per-task state.
+
+    Series on the prefetch branch (``n // n_out > ratio``) contribute at
+    most ``n_out*ratio + 2`` candidate rows to the grouped tail regardless
+    of length (empty equidistant bins only shrink that); plain-branch series
+    are bounded by ``(ratio+1)*n_out`` rows.  Both branches run the SAME
+    with-x LTTB call (unlike the no-x twin, where the plain branch uses
+    index-x) — the kernel does too (minmaxlttb.rs:158-171).
+
+    Output matches the other with-x operators: (by..., sel_idx, x_col, y_col).
+    """
+    if ratio <= 1:
+        raise ValueError("minmax_ratio must be > 1")
+    by = list(by)
+    m = n_out * ratio // 2
+    order = [x_col, *tiebreak]
+    wo = Window.partitionBy(*by).orderBy(*order)
+    wp = Window.partitionBy(*by)
+    x_num, x_is_int = _x_numeric(df, x_col)
+    pts = df.select(
+        *by,
+        F.col(x_col),
+        (F.row_number().over(wo) - 1).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+        x_num.alias("xv"),
+        F.col(y_col).cast("double").alias("v"),
+    )
+    small_series = pts.filter(F.col("n") <= n_out).select(
+        *by, F.col("rn").cast("long").alias("sel_idx"),
+        F.col(x_col), F.col("v").alias(y_col),
+    )
+    big = pts.filter(F.col("n") > n_out)
+    plain = big.filter((F.col("n") / n_out).cast("long") <= ratio)
+    pre = big.filter((F.col("n") / n_out).cast("long") > ratio)
+
+    # --- prefetch: interior equidistant MinMax (kernel: minmax(y[1:n-1],
+    # n_out*ratio, x=x[1:n-1])) — bin edges span the INTERIOR x range
+    is_int = (F.col("rn") >= 1) & (F.col("rn") < F.col("n") - 1)
+    interior = (
+        pre.withColumn("x0", F.min(F.when(is_int, F.col("xv"))).over(wp))
+        .withColumn("xn", F.max(F.when(is_int, F.col("xv"))).over(wp))
+        .filter(is_int)
+        .withColumn("bin", F.expr(_x_bin_expr(m, x_is_int)))
+        .filter(F.col("bin") < m)
+    )
+    wb = Window.partitionBy(*by, "bin")
+    interior = interior.withColumn("cnt", F.count("*").over(wb))
+    passthrough = interior.filter(F.col("cnt") <= 2).select(*by, "rn", "xv", F.col(x_col), "v")
+    binned = (
+        interior.filter(F.col("cnt") > 2)
+        .groupBy(*by, "bin")
+        .agg(
+            F.min(
+                F.struct(F.col("v"), F.col("rn"), F.col("xv"), F.col(x_col).alias("x"))
+            ).alias("mn"),
+            F.max(
+                F.struct(
+                    F.col("v"), (-F.col("rn")).alias("nrn"), F.col("xv"),
+                    F.col(x_col).alias("x"),
+                )
+            ).alias("mx"),
+        )
+    )
+    cand_inner = binned.select(
+        *by,
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("mn.rn").alias("rn"), F.col("mn.xv").alias("xv"),
+                    F.col("mn.x").alias("x"), F.col("mn.v").alias("v"),
+                ),
+                F.struct(
+                    (-F.col("mx.nrn")).alias("rn"), F.col("mx.xv").alias("xv"),
+                    F.col("mx.x").alias("x"), F.col("mx.v").alias("v"),
+                ),
+            )
+        ).alias("_s"),
+    ).select(*by, "_s.rn", "_s.xv", F.col("_s.x").alias(x_col), "_s.v")
+    endpoints = pre.filter(
+        (F.col("rn") == 0) | (F.col("rn") == F.col("n") - 1)
+    ).select(*by, "rn", "xv", F.col(x_col), "v")
+    plain_pts = plain.select(*by, "rn", "xv", F.col(x_col), "v")
+    grouped = cand_inner.unionByName(passthrough).unionByName(endpoints).unionByName(plain_pts)
+
+    key_fields = ", ".join(f"{c} {df.schema[c].dataType.simpleString()}" for c in by)
+    x_dtype = df.schema[x_col].dataType.simpleString()
+    schema = f"{key_fields}, sel_idx long, {x_col} {x_dtype}, {y_col} double"
+
+    def _tail(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rn", kind="mergesort", ignore_index=True)
+        y = pdf["v"].to_numpy()
+        xf = pdf["xv"].to_numpy()
+        sel = lttb(y, n_out, x=xf)
+        out = pdf.iloc[sel][list(by) + [x_col]].copy()
+        out.insert(len(by), "sel_idx", pdf["rn"].to_numpy()[sel])
+        out[y_col] = pd.arrays.FloatingArray(
+            y[sel].copy(), np.zeros(len(sel), dtype=bool)
+        )
+        return out
+
+    sel = grouped.groupBy(*by).applyInPandas(_tail, schema)
+    return sel.unionByName(small_series)

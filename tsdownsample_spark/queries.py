@@ -100,7 +100,11 @@ def _x_long_query(algo: str, n_out: int = N_OUT, nan_inject: bool = False):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from tsdownsample_spark.operators import sql_selectors as S
 
-        fn = {"minmax": S.minmax_x_long, "m4": S.m4_x_long}[algo.removeprefix("nan")]
+        fn = {
+            "minmax": S.minmax_x_long,
+            "m4": S.m4_x_long,
+            "minmaxlttb": S.minmaxlttb_x_long,
+        }[algo.removeprefix("nan")]
         ev = load(spark, sf_dir, "events")
         if nan_inject:
             ev = ev.withColumn("value", F.expr(_NAN_INJECT_SPARK))
@@ -122,9 +126,12 @@ def _x_long_query(algo: str, n_out: int = N_OUT, nan_inject: bool = False):
 # ---------------------------------------------------------------- oracles
 
 def _ord_cte(nan: bool = False) -> str:
+    # MATERIALIZED: ord is referenced inside recursive-CTE steps (the LTTB
+    # pick subqueries); inlined it would re-run its window functions at
+    # EVERY recursion step (measured 10-40x slowdowns at sf0.01).
     val = _NAN_INJECT_DUCK if nan else "value"
     return f"""
-ord AS (
+ord AS MATERIALIZED (
     SELECT event_type, {val} AS value,
            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS rn,
            COUNT(*) OVER (PARTITION BY event_type) AS n
@@ -330,7 +337,7 @@ def _lttb_rec_no_x(
                 ELSE b.n END AS e
     FROM {p}big b, UNNEST(range({n_out} - 2)) AS t(i)
 ),
-{p}avgs AS (
+{p}avgs AS MATERIALIZED (
     SELECT bu.event_type, bu.i, bu.ro, bu.s AS rt,
            list_sum(list(o.{val} ORDER BY o.rn)) / (bu.e - bu.s) AS avg_y,
            (bu.s + bu.e - 1) / 2.0 AS avg_x
@@ -426,7 +433,7 @@ cand_rn AS (
     UNION ALL SELECT event_type, 0 FROM pref
     UNION ALL SELECT event_type, n - 1 FROM pref
 ),
-cand AS (
+cand AS MATERIALIZED (
     SELECT c.event_type, o.value AS v,
            CAST(c.rn AS DOUBLE) AS x, c.rn,
            ROW_NUMBER() OVER (PARTITION BY c.event_type ORDER BY c.rn) - 1 AS crn,
@@ -443,7 +450,7 @@ xbuckets AS (
                 ELSE b.m END AS e
     FROM cm b, UNNEST(range({n_out} - 2)) AS t(i)
 ),
-xavgs AS (
+xavgs AS MATERIALIZED (
     SELECT bu.event_type, bu.i, bu.ro, bu.s AS rt,
            list_sum(list(c.v ORDER BY c.crn)) / (bu.e - bu.s) AS avg_y,
            (max(CASE WHEN c.crn = bu.e - 1 THEN c.x END)
@@ -473,6 +480,132 @@ sel AS (
 )
 SELECT s.event_type, s.pos, s.sel_idx, o.value AS sel_value
 FROM sel s JOIN ord o ON o.event_type = s.event_type AND o.rn = s.sel_idx
+"""
+
+
+def _oracle_minmaxlttb_x(n_out: int = N_OUT, ratio: int = 4) -> str:
+    """Exact DuckDB mirror of WITH-X MinMaxLTTB (minmaxlttb.rs:125-171):
+    equidistant-bin MinMax prefetch over the interior x range (searchsorted
+    rule — count-of-edges-exceeded binning like _oracle_downsample_x, small
+    bins pass through), endpoints kept, then with-x LTTB over the candidates
+    using the ORIGINAL x values.  Unlike the no-x oracle, the plain branch
+    (n // n_out <= ratio) runs the SAME with-x recursion — its candidate set
+    is simply the whole series — so one unified recursion covers both.
+    """
+    m = n_out * ratio // 2
+    xarea = (
+        "abs(((c.v * (r.ax - g.avg_x)) + (c.x * (g.avg_y - r.ay)))"
+        " - (((r.ax - g.avg_x) * r.ay) + ((g.avg_y - r.ay) * r.ax)))"
+    )
+    xpick = (
+        "(SELECT c.{col} FROM cand c"
+        " WHERE c.event_type = r.event_type AND c.crn >= g.ro AND c.crn < g.rt"
+        f" ORDER BY {xarea} DESC, c.crn ASC LIMIT 1)"
+    )
+    return f"""
+WITH RECURSIVE ord AS (
+    SELECT event_type, epoch_us(ts) AS x, value AS v,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+),
+types AS (SELECT DISTINCT event_type, n FROM ord),
+pl AS (SELECT event_type, n FROM types WHERE n > {n_out} AND n // {n_out} <= {ratio}),
+pref AS (SELECT event_type, n FROM types WHERE n > {n_out} AND n // {n_out} > {ratio}),
+ibounds AS (
+    SELECT o.event_type, CAST(MIN(o.x) AS DOUBLE) AS x0, CAST(MAX(o.x) AS DOUBLE) AS xn
+    FROM ord o JOIN pref p USING (event_type)
+    WHERE o.rn >= 1 AND o.rn < o.n - 1
+    GROUP BY 1
+),
+iedges AS (
+    SELECT event_type, i,
+           trunc(x0 + (xn / {m}.0 - x0 / {m}.0) * (i / 2.0)
+                    + (xn / {m}.0 - x0 / {m}.0) * (i / 2.0) + 1e-12) AS edge
+    FROM ibounds, UNNEST(range(1, {m})) AS t(i)
+),
+ibinned AS (
+    SELECT o.event_type, o.rn, o.v,
+           (SELECT COUNT(*) FROM iedges e
+             WHERE e.event_type = o.event_type AND o.x > e.edge) AS bin
+    FROM ord o JOIN pref p USING (event_type)
+    WHERE o.rn >= 1 AND o.rn < o.n - 1
+),
+istats AS (SELECT event_type, bin, COUNT(*) AS cnt FROM ibinned GROUP BY 1, 2),
+ibig AS (
+    SELECT b.event_type, b.bin, b.rn, b.v
+    FROM ibinned b JOIN istats s USING (event_type, bin) WHERE s.cnt > 2
+),
+imins AS (
+    SELECT event_type, rn,
+           ROW_NUMBER() OVER (PARTITION BY event_type, bin ORDER BY v ASC, rn ASC) AS r
+    FROM ibig
+),
+imaxs AS (
+    SELECT event_type, rn,
+           ROW_NUMBER() OVER (PARTITION BY event_type, bin ORDER BY v DESC, rn ASC) AS r
+    FROM ibig
+),
+cand_rn AS (
+    SELECT b.event_type, b.rn
+    FROM ibinned b JOIN istats s USING (event_type, bin) WHERE s.cnt <= 2
+    UNION ALL SELECT event_type, rn FROM imins WHERE r = 1
+    UNION ALL SELECT event_type, rn FROM imaxs WHERE r = 1
+    UNION ALL SELECT event_type, 0 FROM pref
+    UNION ALL SELECT event_type, n - 1 FROM pref
+),
+cand AS MATERIALIZED (
+    SELECT c.event_type, o.v, CAST(o.x AS DOUBLE) AS x, c.rn,
+           ROW_NUMBER() OVER (PARTITION BY c.event_type ORDER BY c.rn) - 1 AS crn,
+           COUNT(*) OVER (PARTITION BY c.event_type) AS m
+    FROM cand_rn c JOIN ord o ON o.event_type = c.event_type AND o.rn = c.rn
+    UNION ALL
+    SELECT o.event_type, o.v, CAST(o.x AS DOUBLE) AS x, o.rn,
+           o.rn AS crn, o.n AS m
+    FROM ord o JOIN pl p USING (event_type)
+),
+cm AS (
+    SELECT DISTINCT event_type, m, (m - 2.0) / ({n_out} - 2) AS every
+    FROM cand WHERE m > {n_out}
+),
+xbuckets AS (
+    SELECT b.event_type, t.i,
+           CAST(FLOOR(b.every * t.i) AS BIGINT) + 1 AS ro,
+           CAST(FLOOR(b.every * (t.i + 1)) AS BIGINT) + 1 AS s,
+           CASE WHEN t.i + 2 <= {n_out} - 2
+                THEN CAST(FLOOR(b.every * (t.i + 2)) AS BIGINT) + 1
+                ELSE b.m END AS e
+    FROM cm b, UNNEST(range({n_out} - 2)) AS t(i)
+),
+xavgs AS MATERIALIZED (
+    SELECT bu.event_type, bu.i, bu.ro, bu.s AS rt,
+           list_sum(list(c.v ORDER BY c.crn)) / (bu.e - bu.s) AS avg_y,
+           (max(CASE WHEN c.crn = bu.e - 1 THEN c.x END)
+            + max(CASE WHEN c.crn = bu.s THEN c.x END)) / 2.0 AS avg_x
+    FROM xbuckets bu
+    JOIN cand c ON c.event_type = bu.event_type AND c.crn >= bu.s AND c.crn < bu.e
+    GROUP BY bu.event_type, bu.i, bu.ro, bu.s, bu.e
+),
+xrec(event_type, i, arn, ax, ay) AS (
+    SELECT c.event_type, -1, c.rn, c.x, c.v
+    FROM cand c JOIN cm USING (event_type) WHERE c.crn = 0
+    UNION ALL
+    SELECT r.event_type, r.i + 1,
+        {xpick.format(col="rn")},
+        {xpick.format(col="x")},
+        {xpick.format(col="v")}
+    FROM xrec r JOIN xavgs g ON g.event_type = r.event_type AND g.i = r.i + 1
+),
+sel AS (
+    SELECT c.event_type, c.rn FROM cand c JOIN cm USING (event_type) WHERE c.crn = 0
+    UNION ALL SELECT event_type, arn FROM xrec WHERE i >= 0
+    UNION ALL SELECT c.event_type, c.rn
+    FROM cand c JOIN cm USING (event_type) WHERE c.crn = c.m - 1
+    UNION ALL SELECT c.event_type, c.rn FROM cand c WHERE c.m <= {n_out}
+    UNION ALL SELECT event_type, rn FROM ord WHERE n <= {n_out}
+)
+SELECT s.event_type, s.rn AS sel_idx, o.x AS ts_us, o.v AS value
+FROM sel s JOIN ord o ON o.event_type = s.event_type AND o.rn = s.rn
 """
 
 
@@ -797,6 +930,7 @@ def queries() -> dict:
         "q_minmaxlttb_long": _long_query("minmaxlttb"),
         "q_minmax_x_long": _x_long_query("minmax"),
         "q_m4_x_long": _x_long_query("m4"),
+        "q_minmaxlttb_x_long": _x_long_query("minmaxlttb"),
         "q_nanminmax_long": _long_query("nanminmax", nan_inject=True),
         "q_nanm4_long": _long_query("nanm4", nan_inject=True),
         "q_minmax_x": _q_downsample_x("minmax"),
@@ -838,6 +972,7 @@ def oracle_sql() -> dict:
         "q_minmaxlttb_long": _oracle_minmaxlttb(n_out=N_OUT, ratio=4),
         "q_minmax_x_long": _oracle_downsample_x(2),
         "q_m4_x_long": _oracle_downsample_x(4),
+        "q_minmaxlttb_x_long": _oracle_minmaxlttb_x(),
         "q_nanminmax_long": _oracle_minmax(nan=True),
         "q_nanm4_long": _oracle_m4(nan=True),
         "q_minmax_x": _oracle_downsample_x(2),
