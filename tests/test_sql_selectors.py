@@ -189,6 +189,60 @@ def test_x_long_negative_and_constant_x(spark, algo):
     assert got == sorted(exp)
 
 
+def test_x_long_edge_collision_fallback(spark):
+    """Series hitting the closed-form-vs-sequential divergence (the former
+    documented precondition of _x_bin_expr) now reroute to the kernel:
+
+    * 'push': an edge-equal point that is its bin's first point — the
+      reference's order-dependent empty-bin push (x=50 == edge 50 with no
+      point in (25, 50): sequential drops bin 1 and places 50 in bin 2;
+      the closed form alone would put it in bin 1);
+    * 'dup': duplicate x exactly on an edge — bisect consumes only the
+      first equal element into the lower bin;
+    * 'stress': dense random integer x with many duplicates (collisions
+      everywhere) for all three with-x operators.
+    """
+    from tsdownsample_spark.operators.sql_selectors import (
+        m4_x_long,
+        minmax_x_long,
+        minmaxlttb_x_long,
+    )
+
+    rng = np.random.default_rng(37)
+    series = {
+        "push": (np.array([0, 5, 10, 20, 50, 55, 60, 70, 100], dtype=np.int64),
+                 rng.normal(size=9).round(6)),
+        "dup": (np.array([0, 10, 20, 50, 50, 60, 80, 90, 100], dtype=np.int64),
+                rng.normal(size=9).round(6)),
+        "stress": (np.sort(rng.integers(0, 40, size=120)).astype(np.int64),
+                   rng.normal(size=120).round(6)),
+        "clean": (np.sort(rng.uniform(0, 1e6, size=120)).astype(np.int64),
+                  rng.normal(size=120).round(6)),
+    }
+    frames = [
+        pd.DataFrame({"series": k, "x": x, "seq": np.arange(len(x)), "value": y})
+        for k, (x, y) in series.items()
+    ]
+    df = spark.createDataFrame(pd.concat(frames, ignore_index=True)).repartition(4)
+
+    for fn, algo in [
+        (minmax_x_long, "minmax"),
+        (m4_x_long, "m4"),
+        (minmaxlttb_x_long, "minmaxlttb"),
+    ]:
+        got = sorted(
+            (r["series"], r["sel_idx"], r["x"], r["value"])
+            for r in fn(
+                df, 8, x_col="x", by=["series"], y_col="value", tiebreak=["seq"]
+            ).collect()
+        )
+        exp = []
+        for key, (x, y) in series.items():
+            idx = downsample_array(np.asarray(y), 8, algo=algo, x=np.asarray(x))
+            exp.extend((key, int(i), int(x[i]), float(y[i])) for i in idx)
+        assert got == sorted(exp), algo
+
+
 def test_minmaxlttb_x_long_matches_kernel(spark):
     """Distributed with-x MinMaxLTTB vs the kernel across every branch:
     identity (n <= n_out), plain with-x LTTB (n//n_out <= ratio), and the

@@ -318,12 +318,13 @@ def _x_bin_expr(m: int, x_is_int: bool) -> str:
     exactly on the truncated last edge.  A point strictly past the last edge
     yields m and is dropped by the caller (the reference's trailing-drop).
 
-    PRECONDITION (documented, tested): unique x per series, and no
-    edge-equal point that is also its bin's FIRST point — that sub-case
-    triggers the reference's sequential empty-bin push, which is order-
-    dependent; the kernel path (operators/downsample.py) is the arbiter
-    there.  For continuous x (floats, microsecond timestamps) edge
-    collisions do not occur at all.
+    The closed form matches the reference's sequential assignment EXCEPT
+    for series containing an edge-equal point that is its bin's first point
+    (the order-dependent empty-bin push, searchsorted.rs:112-127) or a
+    duplicate x sitting exactly on an edge (bisect consumes only the FIRST
+    equal element).  Callers detect those series (_collision_flag) and
+    reroute them to the kernel; for continuous x (floats, microsecond
+    timestamps) edge collisions do not occur at all.
     """
     edge = _x_edge_tmpl(m, x_is_int)
     step = f"((xn / CAST({m} AS DOUBLE)) - (x0 / CAST({m} AS DOUBLE)))"
@@ -349,6 +350,27 @@ def _x_bin_expr(m: int, x_is_int: bool) -> str:
     )
 
 
+def _collision_flag(m: int, x_is_int: bool):
+    """Per-point detector for the two closed-form-vs-sequential divergence
+    sources (searchsorted.rs:112-127), evaluated on a frame carrying
+    (bin, xv, prev_xv, rn, bin_min_rn):
+
+    * an edge-equal point that is its (closed-form) bin's FIRST point — at
+      the first divergence in a series the sequentially-pushed point is
+      exactly that, so flagging it catches the series before any push;
+    * a duplicate x exactly on an edge (the reference's bisect consumes only
+      the first equal element; later duplicates are rank-adjacent, so a
+      lag over the rank order sees them).
+
+    max() of this over the series window = route the series to the kernel.
+    """
+    edge_at_bin = _x_edge_tmpl(m, x_is_int).format(i="bin")
+    is_eq = (F.col("bin") < m) & (F.col("xv") == F.expr(edge_at_bin))
+    return is_eq & (
+        (F.col("rn") == F.col("bin_min_rn")) | (F.col("prev_xv") == F.col("xv"))
+    )
+
+
 def _downsample_x_long(
     df: DataFrame,
     n_out: int,
@@ -358,11 +380,20 @@ def _downsample_x_long(
     y_col: str,
     tiebreak: Sequence[str] = (),
     nan: str = "forbid",
+    collision_policy: str = "auto",
 ) -> DataFrame:
     """Shared body for minmax_x_long (k=2) / m4_x_long (k=4): equidistant
     x-value bins computed per point, grouped aggregation per (series, bin);
     bins with <= k points pass all points through; empty bins emit nothing.
     Output matches the kernel queries: (by..., sel_idx, x_col, y_col).
+
+    ``collision_policy`` controls edge-collision handling (see
+    _collision_flag): "auto" (default) detects and kernel-reroutes collided
+    series when x is integer-typed — where truncated edges make collisions
+    realistic — and skips detection for continuous x; "exact" always
+    detects; "assume_clean" never does (the detection windows are free, but
+    the fallback union branch re-shuffles the source once more on
+    non-bucketed inputs, so continuous-x callers shouldn't pay it).
 
     ``nan="return"`` gives the NaN* with-x semantics (reference instantiates
     NaN with-x kernels at minmax.rs:72-74 / m4.rs:70-72): a bin with any NaN
@@ -383,6 +414,7 @@ def _downsample_x_long(
         (F.row_number().over(wo) - 1).alias("rn"),
         F.count("*").over(wp).alias("n"),
         x_num.alias("xv"),
+        F.lag(x_num).over(wo).alias("prev_xv"),
         F.min(x_num).over(wp).alias("x0"),
         F.max(x_num).over(wp).alias("xn"),
         F.col(y_col).cast("double").alias("v"),
@@ -393,12 +425,29 @@ def _downsample_x_long(
     big = pts.filter(F.col("n") > n_out).withColumn(
         "bin", F.expr(_x_bin_expr(m, x_is_int))
     )
+    wb = Window.partitionBy(*by, "bin")
+    big = big.withColumn("cnt", F.count("*").over(wb))
+    detect = collision_policy == "exact" or (
+        collision_policy == "auto" and x_is_int
+    )
+    collided = None
+    if detect:
+        # Edge-collision detection: series where the closed form would
+        # diverge from the reference's sequential push are routed whole to
+        # the kernel (normally ZERO series — the flag windows ride the
+        # existing hash(by) distribution, no extra exchange for detection).
+        big = big.withColumn("bin_min_rn", F.min("rn").over(wb)).withColumn(
+            "_dvg",
+            F.max(
+                F.coalesce(_collision_flag(m, x_is_int).cast("int"), F.lit(0))
+            ).over(wp),
+        )
+        collided = big.filter(F.col("_dvg") == 1)
+        big = big.filter(F.col("_dvg") == 0)
     # bin == m means strictly past the truncated last edge -> the reference
     # drops the point (trailing-drop); edge-EQUAL points already landed in
     # bin m-1 via the <=-rule in _x_bin_expr.
     big = big.filter(F.col("bin") < m)
-    wb = Window.partitionBy(*by, "bin")
-    big = big.withColumn("cnt", F.count("*").over(wb))
     passthrough = big.filter(F.col("cnt") <= k).select(
         *by, F.col("rn").cast("long").alias("sel_idx"), F.col(x_col), F.col("v").alias(y_col)
     )
@@ -481,7 +530,57 @@ def _downsample_x_long(
             F.col("_s.v").alias(y_col),
         )
     )
-    return sel.unionByName(passthrough).unionByName(small_series)
+    out = sel.unionByName(passthrough).unionByName(small_series)
+    if collided is not None:
+        out = out.unionByName(
+            _kernel_x_fallback(
+                collided, by, n_out, x_col, y_col, df.schema, x_is_int,
+                algo=("nan" if nan == "return" else "")
+                + ("minmax" if k == 2 else "m4"),
+            )
+        )
+    return out
+
+
+def _kernel_x_fallback(
+    collided: DataFrame,
+    by: list,
+    n_out: int,
+    x_col: str,
+    y_col: str,
+    src_schema,
+    x_is_int: bool,
+    algo: str,
+    kw: dict | None = None,
+) -> DataFrame:
+    """Whole-series kernel path for edge-collision series (normally empty):
+    the sequential empty-bin push is order-dependent, so these run through
+    the exact NumPy kernel via applyInPandas.  Input frame must carry
+    (by..., rn, xv, x_col, v)."""
+    from tsdownsample_spark.kernels.selectors import downsample_array
+
+    kw = kw or {}
+    key_fields = ", ".join(
+        f"{c} {src_schema[c].dataType.simpleString()}" for c in by
+    )
+    x_dtype = src_schema[x_col].dataType.simpleString()
+    schema = f"{key_fields}, sel_idx long, {x_col} {x_dtype}, {y_col} double"
+
+    def _fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rn", kind="mergesort", ignore_index=True)
+        y = pdf["v"].to_numpy()
+        xarr = pdf["xv"].to_numpy()
+        if x_is_int:
+            xarr = xarr.astype(np.int64)
+        idx = downsample_array(y, n_out, algo=algo, x=xarr, **kw)
+        out = pdf.iloc[idx][list(by) + [x_col]].copy()
+        out.insert(len(by), "sel_idx", pdf["rn"].to_numpy()[idx])
+        out[y_col] = pd.arrays.FloatingArray(
+            y[idx].copy(), np.zeros(len(idx), dtype=bool)
+        )
+        return out
+
+    return collided.groupBy(*by).applyInPandas(_fn, schema)
 
 
 def minmax_x_long(
@@ -492,13 +591,17 @@ def minmax_x_long(
     y_col: str = "value",
     tiebreak: Sequence[str] = (),
     nan: str = "forbid",
+    collision_policy: str = "auto",
 ) -> DataFrame:
     """Distributed with-x MinMax (equidistant bins, bounded per-task state).
 
     ``nan="return"`` gives NaNMinMax-with-x (reference minmax.rs:72-74)."""
     if n_out % 2:
         raise ValueError("n_out must be a multiple of 2")
-    return _downsample_x_long(df, n_out, 2, x_col, by, y_col, tiebreak, nan=nan)
+    return _downsample_x_long(
+        df, n_out, 2, x_col, by, y_col, tiebreak, nan=nan,
+        collision_policy=collision_policy,
+    )
 
 
 def m4_x_long(
@@ -509,13 +612,17 @@ def m4_x_long(
     y_col: str = "value",
     tiebreak: Sequence[str] = (),
     nan: str = "forbid",
+    collision_policy: str = "auto",
 ) -> DataFrame:
     """Distributed with-x M4 (equidistant bins, bounded per-task state).
 
     ``nan="return"`` gives NaNM4-with-x (reference m4.rs:70-72)."""
     if n_out % 4:
         raise ValueError("n_out must be a multiple of 4")
-    return _downsample_x_long(df, n_out, 4, x_col, by, y_col, tiebreak, nan=nan)
+    return _downsample_x_long(
+        df, n_out, 4, x_col, by, y_col, tiebreak, nan=nan,
+        collision_policy=collision_policy,
+    )
 
 
 def minmaxlttb_long(
@@ -595,6 +702,7 @@ def minmaxlttb_x_long(
     y_col: str = "value",
     tiebreak: Sequence[str] = (),
     ratio: int = 4,
+    collision_policy: str = "auto",
 ) -> DataFrame:
     """Distributed with-x MinMaxLTTB (reference minmaxlttb.rs:125-171):
     equidistant-bin MinMax prefetch over the interior x range feeds the
@@ -624,6 +732,7 @@ def minmaxlttb_x_long(
         (F.row_number().over(wo) - 1).alias("rn"),
         F.count("*").over(wp).alias("n"),
         x_num.alias("xv"),
+        F.lag(x_num).over(wo).alias("prev_xv"),
         F.col(y_col).cast("double").alias("v"),
     )
     small_series = pts.filter(F.col("n") <= n_out).select(
@@ -635,17 +744,34 @@ def minmaxlttb_x_long(
     pre = big.filter((F.col("n") / n_out).cast("long") > ratio)
 
     # --- prefetch: interior equidistant MinMax (kernel: minmax(y[1:n-1],
-    # n_out*ratio, x=x[1:n-1])) — bin edges span the INTERIOR x range
+    # n_out*ratio, x=x[1:n-1])) — bin edges span the INTERIOR x range.
+    # Edge-collision series (closed-form bin vs sequential push divergence)
+    # are detected exactly like _downsample_x_long and rerouted whole to the
+    # kernel MinMaxLTTB (normally zero series, no extra exchange).
     is_int = (F.col("rn") >= 1) & (F.col("rn") < F.col("n") - 1)
-    interior = (
+    pre2 = (
         pre.withColumn("x0", F.min(F.when(is_int, F.col("xv"))).over(wp))
         .withColumn("xn", F.max(F.when(is_int, F.col("xv"))).over(wp))
-        .filter(is_int)
-        .withColumn("bin", F.expr(_x_bin_expr(m, x_is_int)))
-        .filter(F.col("bin") < m)
+        .withColumn("bin", F.when(is_int, F.expr(_x_bin_expr(m, x_is_int))))
     )
     wb = Window.partitionBy(*by, "bin")
-    interior = interior.withColumn("cnt", F.count("*").over(wb))
+    detect = collision_policy == "exact" or (
+        collision_policy == "auto" and x_is_int
+    )
+    collided = None
+    if detect:
+        pre2 = pre2.withColumn("bin_min_rn", F.min("rn").over(wb)).withColumn(
+            "_dvg",
+            F.max(
+                F.coalesce(_collision_flag(m, x_is_int).cast("int"), F.lit(0))
+            ).over(wp),
+        )
+        collided = pre2.filter(F.col("_dvg") == 1)
+        pre2 = pre2.filter(F.col("_dvg") == 0)
+    pre_clean = pre2
+    interior = pre_clean.filter(is_int & (F.col("bin") < m)).withColumn(
+        "cnt", F.count("*").over(wb)
+    )
     passthrough = interior.filter(F.col("cnt") <= 2).select(*by, "rn", "xv", F.col(x_col), "v")
     binned = (
         interior.filter(F.col("cnt") > 2)
@@ -677,7 +803,7 @@ def minmaxlttb_x_long(
             )
         ).alias("_s"),
     ).select(*by, "_s.rn", "_s.xv", F.col("_s.x").alias(x_col), "_s.v")
-    endpoints = pre.filter(
+    endpoints = pre_clean.filter(
         (F.col("rn") == 0) | (F.col("rn") == F.col("n") - 1)
     ).select(*by, "rn", "xv", F.col(x_col), "v")
     plain_pts = plain.select(*by, "rn", "xv", F.col(x_col), "v")
@@ -700,4 +826,12 @@ def minmaxlttb_x_long(
         return out
 
     sel = grouped.groupBy(*by).applyInPandas(_tail, schema)
-    return sel.unionByName(small_series)
+    out = sel.unionByName(small_series)
+    if collided is not None:
+        out = out.unionByName(
+            _kernel_x_fallback(
+                collided, by, n_out, x_col, y_col, df.schema, x_is_int,
+                algo="minmaxlttb", kw={"minmax_ratio": ratio},
+            )
+        )
+    return out
