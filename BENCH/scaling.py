@@ -36,7 +36,7 @@ ALGOS = ("minmax", "m4", "minmaxlttb", "lttb")
 N_OUT = 100
 DOCS = int(os.environ.get("BENCH_SCALE_DOCS", "4000"))
 NTOK = int(os.environ.get("BENCH_SCALE_NTOK", "20000"))
-# 60k docs keeps the dedup job compute-dominated after the round-2
+# 40k docs keeps the dedup job compute-dominated after the round-2
 # MinHash/SimHash single-pass rewrites (fixed overheads ~2-4s/level)
 DEDUP_DOCS = int(os.environ.get("BENCH_DEDUP_DOCS", "40000"))
 

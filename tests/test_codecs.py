@@ -99,8 +99,9 @@ def test_spark_roundtrip(spark):
     frames = []
     for d in range(5):
         n = int(rng.integers(100, 2_000))
+        # steps up to ~200 s so every series spans multiple day-chunks
         ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
-            np.cumsum(rng.integers(1, 10_000_000, size=n)), "us"
+            np.cumsum(rng.integers(1, 200_000_000, size=n)), "us"
         )
         frames.append(
             pd.DataFrame(
@@ -112,9 +113,32 @@ def test_spark_roundtrip(spark):
     comp = compress_series(df, x_col="ts", y_col="value", by=["doc_id"])
     rows = comp.collect()
     assert {r.doc_id for r in rows} == {f"d{d}" for d in range(5)}
-    # compressed segments should be smaller than raw 16 B/point
+    # the DEFAULT shape is bounded: day chunks, so chunk_id exists and no
+    # row holds a whole multi-day series
+    assert "chunk_id" in comp.columns
+    assert len(rows) > 5  # more segments than series
+    # compressed series should be smaller than raw 16 B/point (summed per
+    # series — a 1-point trailing chunk alone can exceed it via headers)
+    import collections
+
+    tot = collections.Counter()
     for r in rows:
-        assert len(r.ts_blob) + len(r.val_blob) < 16 * r.n
+        tot[r.doc_id] += len(r.ts_blob) + len(r.val_blob) - 16 * r.n
+    assert all(v < 0 for v in tot.values())
+
+    # unbounded (one row per series) is an explicit opt-in
+    unb = compress_series(
+        df, x_col="ts", y_col="value", by=["doc_id"], chunk_span=None
+    )
+    assert "chunk_id" not in unb.columns
+    assert unb.count() == 5
+    # 'auto' refuses raw-integer x instead of silently going unbounded
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="auto"):
+        compress_series(
+            df.withColumn("xi", df.ts.cast("long")), x_col="xi", by=["doc_id"]
+        )
 
     back = decompress_series(comp, by=["doc_id"], x_col="ts", y_col="value")
     got = back.toPandas().sort_values(["doc_id", "ts"]).reset_index(drop=True)

@@ -205,3 +205,7 @@ def test_lttb_average_is_f64_fold():
         )
         s32b = LTTBDownsampler().downsample(base.astype(np.float32), n_out=100)
         assert np.all(s32 == s32b), scale  # f32 values, f64 accumulation
+        if scale == 2e5:
+            # overflow-free magnitude: f32 rounding of the inputs does not
+            # move any selection, so f32 == f64 indices outright
+            assert np.all(s64 == s32b)

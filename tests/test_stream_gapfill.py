@@ -91,3 +91,68 @@ def test_stream_locf_matches_batch(spark, tmp_path, sf_dir):
         tuple(r) for r in exp_df.select("event_type", "ts_us", "value", "was_null").collect()
     )
     assert got == exp
+
+
+@pytest.mark.slow
+def test_stream_locf_nan_is_a_value_not_a_gap(spark, tmp_path):
+    """NULL-vs-NaN discipline across batches: a NaN payload is an
+    observation (never was_null, carried forward into later NULLs — even
+    across the micro-batch boundary via state), while unfillable leading
+    NULLs stay NULL."""
+    import math
+    import os
+    import time as _time
+
+    rows = "SELECT * FROM VALUES {} AS t(event_type, us, value)"
+    b1 = spark.sql(rows.format(
+        "('a', 1, CAST(NULL AS DOUBLE)), ('a', 2, 5.0D), "
+        "('a', 3, CAST('NaN' AS DOUBLE)), ('a', 4, CAST(NULL AS DOUBLE))"
+    ))
+    b2 = spark.sql(rows.format(
+        "('a', 5, CAST(NULL AS DOUBLE)), ('a', 6, 7.0D), "
+        "('a', 7, CAST(NULL AS DOUBLE))"
+    ))
+    src = [b.select("event_type", F.timestamp_micros("us").alias("ts"), "value")
+           for b in (b1, b2)]
+    flat = str(tmp_path / "in")
+    os.makedirs(flat)
+    now = _time.time()
+    for j, b in enumerate(src):
+        sub = tmp_path / f"b{j}"
+        b.coalesce(1).write.mode("overwrite").parquet(str(sub))
+        import shutil
+
+        for f in sorted(os.listdir(sub)):
+            if f.endswith(".parquet"):
+                dst = f"{flat}/{j:04d}.parquet"
+                shutil.copy(str(sub / f), dst)
+                os.utime(dst, (now - 120 + 60 * j,) * 2)
+
+    stream = (
+        spark.readStream.schema(src[0].schema)
+        .option("maxFilesPerTrigger", 1).parquet(flat)
+    )
+    out = stream_locf(stream, x_col="ts", y_col="value", by=["event_type"])
+    q = (
+        out.writeStream.format("memory").queryName("locf_nan")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["ts_us"]: (
+            "NaN" if r["value"] is not None and math.isnan(r["value"]) else r["value"],
+            r["was_null"],
+        )
+        for r in spark.table("locf_nan").collect()
+    }
+    assert got == {
+        1: (None, True),     # leading NULL, no state -> stays NULL
+        2: (5.0, False),
+        3: ("NaN", False),   # NaN payload is an observation, NOT a gap
+        4: ("NaN", True),    # NULL filled with the carried NaN observation
+        5: ("NaN", True),    # ...across the micro-batch boundary via state
+        6: (7.0, False),
+        7: (7.0, True),
+    }

@@ -47,25 +47,32 @@ def _dec_val(col: pd.Series) -> pd.Series:
     return col.map(lambda b: None if b is None else decode_gorilla(bytes(b)))
 
 
+DAY_US = 86_400_000_000
+
+
 def compress_series(
     df: DataFrame,
     x_col: str = "ts",
     y_col: str = "value",
     by: Sequence[str] = ("series_key",),
-    chunk_span: int | None = None,
+    chunk_span: int | str | None = "auto",
 ) -> DataFrame:
-    """Long-form points -> one compressed segment row per series (or per
-    (series, time chunk)): (keys..., [chunk_id,] n, ts_blob, val_blob).
+    """Long-form points -> one compressed segment row per (series, time
+    chunk): (keys..., chunk_id, n, ts_blob, val_blob).
 
     Timestamps are encoded as int64 (microseconds if x is a timestamp).
 
     ``chunk_span`` (in encoded-x units, e.g. 3_600_000_000 for 1 h of
     microseconds) bounds every segment to a time window — the Gorilla-paper
-    block design.  Without it a whole series becomes ONE row, which breaks
-    past Spark's 2 GiB array/Arrow row limit on long series; with it the
-    per-row state is bounded by the chunk's point count regardless of series
-    length, and chunk_id needs no window/sort — it's a narrow projection, so
-    the only shuffle is the groupBy itself.
+    block design.  The default ``"auto"`` picks 1 day for timestamp x and
+    refuses raw-integer x (pass a span in x units).  The per-row state is
+    then bounded by the chunk's point count regardless of series length,
+    and chunk_id needs no window/sort — it's a narrow projection, so the
+    only shuffle is the groupBy itself.
+
+    ``chunk_span=None`` is the explicit OPT-IN to the unbounded shape (one
+    row per whole series) — it breaks past Spark's 2 GiB array/Arrow row
+    limit on long series, so it is never the default.
     """
     by = list(by)
     x_dtype = df.schema[x_col].dataType.simpleString()
@@ -74,6 +81,14 @@ def compress_series(
         x_as_long = F.unix_micros(F.col(x_col).cast("timestamp"))
     else:
         x_as_long = F.col(x_col).cast("long")
+    if chunk_span == "auto":
+        if not x_dtype.startswith("timestamp"):
+            raise ValueError(
+                "chunk_span='auto' needs a timestamp x_col; pass an explicit "
+                "span in x units, or chunk_span=None to opt in to one "
+                "unbounded row per series"
+            )
+        chunk_span = DAY_US
     pts = df.select(*by, x_as_long.alias("_x"), F.col(y_col).cast("double").alias("_y"))
     keys = by
     if chunk_span:

@@ -892,17 +892,15 @@ def _q_compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gorilla + delta-of-delta round-trip: decompress(compress(events)) must
     equal the raw table bit-for-bit (the oracle is a plain SELECT).
 
-    Compression uses 1-day chunks (the scale path: bounded segment rows,
-    no whole-series arrays) — the round-trip result is identical."""
+    Compression uses the DEFAULT 1-day chunks (the scale path: bounded
+    segment rows, no whole-series arrays) — the round-trip is identical."""
     from tsdownsample_spark.operators.compress import (
         compress_series,
         decompress_series,
     )
 
     ev = load(spark, sf_dir, "events").select("event_type", "ts", "value")
-    comp = compress_series(
-        ev, x_col="ts", y_col="value", by=["event_type"], chunk_span=86_400_000_000
-    )
+    comp = compress_series(ev, x_col="ts", y_col="value", by=["event_type"])
     return decompress_series(
         comp, by=["event_type", "chunk_id"], x_col="ts", y_col="value"
     ).drop("chunk_id")

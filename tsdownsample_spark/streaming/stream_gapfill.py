@@ -43,6 +43,10 @@ def stream_locf(
     """Fill null ``y_col`` values per key with the last non-null observation,
     carrying the fill state across micro-batches.
 
+    NULL-vs-NaN discipline matches the batch engine: only SQL NULL is a gap;
+    a NaN payload is a real observation (it is carried forward like any
+    value, and is never reported was_null).
+
     Returns (keys..., ts_us, <y_col> filled, was_null).
     """
     by = list(by)
@@ -64,6 +68,8 @@ def stream_locf(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         last_ts, last_val = state.get if state.exists else (None, None)
         # the runtime hands the key's rows as ARBITRARY chunks — gather and
         # sort once so fills respect global event-time order in the batch
@@ -71,23 +77,36 @@ def stream_locf(
         pdf = (
             pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
         ).sort_values("ts_us", kind="mergesort", ignore_index=True)
-        vals = pdf[y_col].astype("float64")
-        was_null = vals.isna()
-        filled = vals.ffill()
+        vals = pdf[y_col].astype("float64").to_numpy()
+        # NULL-vs-NaN: Arrow hands NULL y as NaN in the float column, so the
+        # gap flag is computed JVM-side (_isnull) BEFORE the stateful op — a
+        # genuine NaN payload is an observation, not a gap.
+        was_null = pdf["_isnull"].to_numpy()
+        obs = ~was_null
+        # fill NULL positions (and only those) with the last observation;
+        # index-based so a NaN observation is carried like any other value
+        idx = np.arange(len(vals))
+        last_obs = np.maximum.accumulate(np.where(obs, idx, -1))
+        lead = last_obs < 0  # no observation yet in this batch
+        fill = vals[np.maximum(last_obs, 0)]
         if last_val is not None:
-            filled = filled.fillna(last_val)
-        if (~was_null).any():
-            new_ts = int(pdf["ts_us"][~was_null].iloc[-1])
+            fill = np.where(lead, last_val, fill)
+        filled = np.where(was_null, fill, vals)
+        unfilled = was_null & lead & (last_val is None)
+        if obs.any():
+            new_ts = int(pdf["ts_us"][obs].iloc[-1])
             # monotonic guard: a LATE batch (all rows before the state's
             # last observation) must not regress the carried value
             if last_ts is None or new_ts >= last_ts:
                 last_ts = new_ts
-                last_val = float(vals[~was_null].iloc[-1])
+                last_val = float(vals[obs][-1])
         if last_val is not None:
             state.update((last_ts, last_val))
         out = pd.DataFrame({c: pdf[c] for c in by})
         out["ts_us"] = pdf["ts_us"]
-        out[y_col] = filled
+        # masked FloatingArray: leading unfillable NULLs stay NULL, while a
+        # NaN VALUE (payload or carried) survives Arrow as NaN
+        out[y_col] = pd.arrays.FloatingArray(filled, unfilled)
         out["was_null"] = was_null
         yield out
 
@@ -95,6 +114,7 @@ def stream_locf(
         *by,
         f"unix_micros(CAST({x_col} AS TIMESTAMP)) AS ts_us",
         f"CAST({y_col} AS DOUBLE) AS {y_col}",
+        f"({y_col} IS NULL) AS _isnull",
     )
     return prepped.groupBy(*by).applyInPandasWithState(
         fn,
