@@ -111,6 +111,7 @@ def main() -> None:
     from tsdownsample_spark.operators.downsample import downsample_tokens
 
     throughput: dict[str, float] = {}
+    roofline: dict[str, float] = {}
     for shape, (docs, ntok, n_out, shape_reps) in SHAPES.items():
         path, total_points = bench_tokens_path(docs, ntok)
         # tiny files need small splits for parallelism; the big file wants
@@ -138,6 +139,56 @@ def main() -> None:
             timings[f"tok_{shape}_{algo}"] = round(dt, 3)
             throughput[f"{shape}_{algo}"] = round(total_points / dt)
 
+        if shape == "big":
+            # the two scale-path variants (BENCH/BASELINE.md roofline):
+            # select-mode skips re-shipping tokens on the Python->JVM return
+            # leg; the kernel-side scan skips the JVM->Python leg entirely
+            from tsdownsample_spark.sources.scan import scan_downsample_tokens
+
+            variants = {
+                "minmax_select": lambda: downsample_tokens(
+                    df, n_out, algo="minmax", output="select"
+                ),
+                "minmax_scan": lambda: scan_downsample_tokens(
+                    spark, path, n_out, algo="minmax", tasks=64
+                ),
+            }
+            for key, mk in variants.items():
+                mk().select(F.sum(F.size("sel_idx"))).collect()  # warm
+                reps = []
+                for _ in range(shape_reps):
+                    t0 = time.time()
+                    mk().select(F.sum(F.size("sel_idx"))).collect()
+                    reps.append(time.time() - t0)
+                dt = min(reps)
+                timings[f"tok_{shape}_{key}"] = round(dt, 3)
+                throughput[f"{shape}_{key}"] = round(total_points / dt)
+
+            # roofline probes: what this host allows (a) JVM-only columnar
+            # scan+agg (no Python), (b) the bare JVM->Python Arrow pipe
+            import pyarrow as pa
+
+            def _count(batches):
+                for b in batches:
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array([b.num_rows], type=pa.int64())], names=["c"]
+                    )
+
+            probes = {
+                "jvm_scan_only": lambda: df.select(F.sum(F.size("tokens"))).collect(),
+                "arrow_pipe_only": lambda: df.mapInArrow(_count, "c long")
+                .agg(F.sum("c")).collect(),
+            }
+            roofline = {}
+            for key, run in probes.items():
+                run()
+                reps = []
+                for _ in range(shape_reps):
+                    t0 = time.time()
+                    run()
+                    reps.append(time.time() - t0)
+                roofline[key] = round(total_points / min(reps))
+
     total = round(time.time() - t_start, 3)
     print(
         json.dumps(
@@ -148,6 +199,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
                 "throughput_pts_per_sec": throughput,
+                "roofline_pts_per_sec": roofline,
                 "n_out": {s: v[2] for s, v in SHAPES.items()},
                 "cores": CPUS,
             }

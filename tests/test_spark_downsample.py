@@ -132,3 +132,74 @@ def test_validation_errors(spark, token_df):
         downsample_tokens(token_df, 10, algo="nope")
     with pytest.raises(ValueError):
         downsample_tokens(token_df, 2, algo="lttb")
+
+
+def test_output_select_matches_append(token_df):
+    """output='select' drops the token column from the Python->JVM return
+    leg but must select identical indices and values as append+gather."""
+    a = sorted(
+        (r["doc_id"], tuple(r["sel_idx"]), tuple(r["sel_tokens"]))
+        for r in gather_values(
+            downsample_tokens(token_df, 48, algo="minmax")
+        ).select("doc_id", "sel_idx", "sel_tokens").collect()
+    )
+    b = sorted(
+        (r["doc_id"], tuple(r["sel_idx"]), tuple(r["sel_tokens"]))
+        for r in downsample_tokens(token_df, 48, algo="minmax", output="select")
+        .select("doc_id", "sel_idx", "sel_tokens").collect()
+    )
+    assert a == b
+    with pytest.raises(ValueError, match="arrow"):
+        downsample_tokens(token_df, 48, impl="pandas", output="select")
+
+
+def test_scan_downsample_matches_operator(spark, tmp_path):
+    """Kernel-side scan source == the mapInArrow operator, across multiple
+    files / row groups and through the null-row slow path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tsdownsample_spark.sources.scan import scan_downsample_tokens
+
+    rng = np.random.default_rng(17)
+    d = tmp_path / "toks"
+    d.mkdir()
+    for f in range(3):
+        rows = []
+        for i in range(25):
+            if f == 1 and i == 7:
+                rows.append((f"d{f}_{i:03d}", None))
+            else:
+                n = int(rng.integers(10, 900))
+                rows.append(
+                    (f"d{f}_{i:03d}", rng.integers(0, 50_257, n).astype(np.int32))
+                )
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows]),
+                "tokens": pa.array(
+                    [None if r[1] is None else r[1] for r in rows],
+                    type=pa.list_(pa.int32()),
+                ),
+            }
+        )
+        pq.write_table(tbl, str(d / f"part-{f}.parquet"), row_group_size=9)
+
+    for algo, n_out in [("minmax", 48), ("minmaxlttb", 40)]:
+        got = sorted(
+            (r["doc_id"],
+             None if r["sel_idx"] is None else tuple(r["sel_idx"]),
+             None if r["sel_tokens"] is None else tuple(r["sel_tokens"]))
+            for r in scan_downsample_tokens(
+                spark, str(d), n_out, algo=algo, tasks=5
+            ).collect()
+        )
+        exp = sorted(
+            (r["doc_id"],
+             None if r["sel_idx"] is None else tuple(r["sel_idx"]),
+             None if r["sel_tokens"] is None else tuple(r["sel_tokens"]))
+            for r in downsample_tokens(
+                spark.read.parquet(str(d)), n_out, algo=algo, output="select"
+            ).collect()
+        )
+        assert got == exp, algo

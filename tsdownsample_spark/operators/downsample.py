@@ -69,6 +69,7 @@ def downsample_tokens(
     tokens_col: str = "tokens",
     idx_col: str = "sel_idx",
     impl: str = "arrow",
+    output: str = "append",
     **kw,
 ) -> DataFrame:
     """Append ``idx_col: array<bigint>`` with the selected indices per row.
@@ -79,9 +80,20 @@ def downsample_tokens(
     column's (values, offsets) buffers — zero per-row Python objects, one
     flat kernel pass per batch.  ``impl="pandas"`` is the scalar-pandas-UDF
     reference path (used to cross-check the fast path in tests).
+
+    ``output="select"`` (arrow impl only) drops ``tokens_col`` from the
+    output and emits ``sel_tokens`` (the gathered selected values) next to
+    ``idx_col`` — the 100 TB shape: the raw token arrays are NOT serialized
+    back across the Python->JVM Arrow boundary (that return leg otherwise
+    re-ships the entire input column, ~n/n_out times more bytes than the
+    selection itself).  ``output="append"`` keeps the input columns intact.
     """
     _validate(algo, n_out)
+    if output not in ("append", "select"):
+        raise ValueError("output must be 'append' or 'select'")
     if impl == "pandas":
+        if output != "append":
+            raise ValueError("output='select' requires impl='arrow'")
 
         @pandas_udf("array<bigint>")
         def _select(col: pd.Series) -> pd.Series:
@@ -98,10 +110,22 @@ def downsample_tokens(
 
     if idx_col in df.columns:
         raise ValueError(f"column {idx_col!r} already exists")
-    out_schema = df.withColumn(
-        idx_col, F.expr("array(CAST(0 AS BIGINT))")
-    ).schema
+    from pyspark.sql import types as T
+
+    select_mode = output == "select"
+    base = df.drop(tokens_col) if select_mode else df
+    # built by hand so sel_idx/sel_tokens are NULLABLE (null token rows
+    # select null; an expr-derived schema would mark them non-null -> NPE)
+    extra = [T.StructField(idx_col, T.ArrayType(T.LongType()))]
+    if select_mode:
+        elem_type = df.schema[tokens_col].dataType.elementType
+        extra.append(T.StructField("sel_tokens", T.ArrayType(elem_type)))
+    out_schema = T.StructType(list(base.schema.fields) + extra)
     tok_idx = df.columns.index(tokens_col)
+    keep_idx = [
+        i for i, c in enumerate(df.columns) if not (select_mode and i == tok_idx)
+    ]
+    keep_names = [df.columns[i] for i in keep_idx]
 
     def _map(batches):
         for batch in batches:
@@ -116,6 +140,14 @@ def downsample_tokens(
                     [None if s is None else s for s in sel],
                     type=pa.list_(pa.int64()),
                 )
+                if select_mode:
+                    tok_arr = pa.array(
+                        [
+                            None if s is None else np.asarray(a)[s]
+                            for a, s in zip(col.to_pylist(), sel)
+                        ],
+                        type=pa.list_(col.type.value_type),
+                    )
             else:
                 if isinstance(col, pa.ChunkedArray):  # pragma: no cover
                     col = col.combine_chunks()
@@ -126,10 +158,22 @@ def downsample_tokens(
                     pa.array(out_off, type=pa.int32()),
                     pa.array(flat, type=pa.int64()),
                 )
-            yield pa.RecordBatch.from_arrays(
-                [batch.column(i) for i in range(batch.num_columns)] + [sel_arr],
-                names=list(batch.schema.names) + [idx_col],
-            )
+                if select_mode:
+                    # gather the selected values while they are at hand —
+                    # n_out per series back to the JVM instead of n
+                    abs_idx = flat + np.repeat(
+                        offsets[:-1].astype(np.int64), np.diff(out_off)
+                    )
+                    tok_arr = pa.ListArray.from_arrays(
+                        pa.array(out_off, type=pa.int32()),
+                        pa.array(values[abs_idx]),
+                    )
+            cols = [batch.column(i) for i in keep_idx] + [sel_arr]
+            names = keep_names + [idx_col]
+            if select_mode:
+                cols.append(tok_arr)
+                names.append("sel_tokens")
+            yield pa.RecordBatch.from_arrays(cols, names=names)
 
     return df.mapInArrow(_map, out_schema)
 
