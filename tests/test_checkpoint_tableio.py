@@ -176,3 +176,19 @@ def test_iceberg_seam_write_read(spark, tmp_path, monkeypatch):
     sid = write_table(df, root, fmt="auto")
     assert sid is not None and SnapshotTable(root).current_snapshot_id() == sid
     assert read_table(spark, root, fmt="auto").count() == 8
+
+
+def test_iceberg_branch_executes_into_spark(spark, tmp_path):
+    """Jar-less execution proof: fmt='iceberg' must reach Spark's real API
+    (not short-circuit inside our seam) — Spark itself rejects the
+    unresolved catalog / missing data source, with our calls on the stack."""
+    from tsdownsample_spark.sources.tableio import read_table, write_table
+
+    df = synth_token_table(spark, n_docs=2, seed=1)
+    with pytest.raises(Exception) as wex:
+        write_table(df, "nosuchcat.db.tokens", fmt="iceberg")
+    assert "nosuchcat" in str(wex.value) or "catalog" in str(wex.value).lower()
+    with pytest.raises(Exception) as rex:
+        read_table(spark, "nosuchcat.db.tokens", fmt="iceberg").collect()
+    msg = str(rex.value).lower()
+    assert "iceberg" in msg or "data source" in msg or "nosuchcat" in msg

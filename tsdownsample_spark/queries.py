@@ -35,6 +35,15 @@ def event_series(spark: SparkSession, sf_dir: str, nan_inject: bool = False) -> 
 
     ``sort_array`` over structs keeps the sort JVM-side; the array order is
     (ts, event_id) because those are the struct's leading fields.
+
+    PARITY HARNESS, not the production framing: collect_list materializes a
+    whole series per row on a low-cardinality key, which hits Spark's 2 GiB
+    array/Arrow limits at ~100x this scale.  The kernel-path queries built
+    on it (q_minmax .. q_nanminmaxlttb) exist to pin the vectorized kernels
+    against the oracle; the production 100 TB path is the ``*_long``
+    distributed selectors (operators/sql_selectors.py — bounded per-task
+    state), and for token tables the narrow-map ``downsample_tokens`` whose
+    per-row arrays are training sequences (bounded by construction).
     """
     ev = load(spark, sf_dir, "events")
     if nan_inject:
