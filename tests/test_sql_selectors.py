@@ -334,6 +334,65 @@ def test_x_long_nan_return_matches_kernel(spark, algo):
     assert got == sorted(exp)
 
 
+def test_minmaxlttb_long_nan_return_matches_kernel(spark):
+    """NaNMinMaxLTTB through BOTH distributed forms (no-x and with-x):
+    NaN-return prefetch + bit-pattern-argmax LTTB tail == the kernel."""
+    from tsdownsample_spark.operators.sql_selectors import (
+        minmaxlttb_long,
+        minmaxlttb_x_long,
+    )
+
+    rng = np.random.default_rng(53)
+    series = {}
+    for key, n in [("plain", 79), ("pref", 997), ("pref2", 2003)]:
+        x = np.sort(rng.uniform(0, 1e6, size=n)).astype(np.int64)
+        y = rng.normal(size=n).round(6)
+        y[:: 11 if key == "plain" else 17] = np.nan
+        series[key] = (x, y)
+    frames = [
+        pd.DataFrame({"series": k, "x": x, "seq": np.arange(len(x)), "value": y})
+        for k, (x, y) in series.items()
+    ]
+    pdf = pd.concat(frames, ignore_index=True)
+    sdf = (
+        spark.createDataFrame(pdf.sample(frac=1.0, random_state=2))
+        .withColumn("value", F.coalesce("value", F.expr("CAST('NaN' AS DOUBLE)")))
+        .repartition(8)
+    )
+
+    def norm(v):
+        return "NaN" if v != v else float(v)
+
+    # no-x form (x ignored; order by seq within series)
+    got = sorted(
+        (r["series"], r["pos"], r["sel_idx"], norm(r["sel_value"]))
+        for r in minmaxlttb_long(
+            sdf, 20, order=["seq"], by=["series"], y_col="value", nan="return"
+        ).collect()
+    )
+    exp = []
+    for key, (x, y) in series.items():
+        idx = downsample_array(np.asarray(y), 20, algo="nanminmaxlttb")
+        exp.extend((key, pos, int(i), norm(y[i])) for pos, i in enumerate(idx))
+    assert got == sorted(exp)
+
+    # with-x form
+    got = sorted(
+        (r["series"], r["sel_idx"], norm(r["value"]))
+        for r in minmaxlttb_x_long(
+            sdf, 20, x_col="x", by=["series"], y_col="value",
+            tiebreak=["seq"], nan="return",
+        ).collect()
+    )
+    exp = []
+    for key, (x, y) in series.items():
+        idx = downsample_array(
+            np.asarray(y), 20, algo="nanminmaxlttb", x=np.asarray(x)
+        )
+        exp.extend((key, int(i), norm(y[i])) for i in idx)
+    assert got == sorted(exp)
+
+
 @pytest.mark.parametrize("fn_algo", [("minmax", "nanminmax"), ("m4", "nanm4")])
 def test_long_nan_return_matches_kernel(long_df, fn_algo):
     """nan='return' on the distributed selectors: first NaN per bin wins

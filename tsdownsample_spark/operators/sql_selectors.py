@@ -632,6 +632,7 @@ def minmaxlttb_long(
     by: Sequence[str],
     y_col: str = "value",
     ratio: int = 4,
+    nan: str = "forbid",
 ) -> DataFrame:
     """Distributed MinMaxLTTB: unbounded series, bounded per-task state.
 
@@ -640,6 +641,11 @@ def minmaxlttb_long(
     n_out*ratio + 2 rows per series, INDEPENDENT of series length — is
     gathered per series for the sequential LTTB tail.  Plain-branch series
     (n // n_out <= ratio) are themselves bounded by (ratio+1)*n_out rows.
+
+    ``nan="return"`` gives NaNMinMaxLTTB: the prefetch uses the NaN-return
+    MinMax (first NaN per bin wins both slots); the LTTB tail needs no flag
+    — NaN triangle areas beat finite ones under the kernel's bit-pattern
+    argmax exactly like the reference (minmaxlttb.rs:89-121).
     """
     if ratio <= 1:
         raise ValueError("minmax_ratio must be > 1")
@@ -658,7 +664,7 @@ def minmaxlttb_long(
         .withColumn("n", F.col("n") - 2)
     )
     m = n_out * ratio // 2
-    binned = _binned_minmax(interior, by, m)
+    binned = _binned_minmax(interior, by, m, nan=nan)
     lo, hi = _minmax_slots()
     cand_inner = _emit(binned, by, [lo, hi], 2).select(
         *by, (F.col("sel_idx") + 1).alias("rn"), F.col("sel_value").alias("v")
@@ -687,7 +693,10 @@ def minmaxlttb_long(
         out = pdf.iloc[sel][list(by)].copy()
         out["pos"] = np.arange(len(sel), dtype=np.int64)
         out["sel_idx"] = rn[sel]
-        out["sel_value"] = y[sel]
+        # masked FloatingArray keeps NaN selections as VALUES through Arrow
+        out["sel_value"] = pd.arrays.FloatingArray(
+            y[sel].copy(), np.zeros(len(sel), dtype=bool)
+        )
         return out
 
     sel = grouped.groupBy(*by).applyInPandas(_tail, schema)
@@ -703,6 +712,7 @@ def minmaxlttb_x_long(
     tiebreak: Sequence[str] = (),
     ratio: int = 4,
     collision_policy: str = "auto",
+    nan: str = "forbid",
 ) -> DataFrame:
     """Distributed with-x MinMaxLTTB (reference minmaxlttb.rs:125-171):
     equidistant-bin MinMax prefetch over the interior x range feeds the
@@ -786,8 +796,36 @@ def minmaxlttb_x_long(
                     F.col(x_col).alias("x"),
                 )
             ).alias("mx"),
+            F.min(
+                F.when(
+                    F.isnan("v"),
+                    F.struct(F.col("rn"), F.col("xv"), F.col(x_col).alias("x")),
+                )
+            ).alias("nanfst"),
         )
     )
+    if nan == "return":
+        nan_v = F.expr("CAST('NaN' AS DOUBLE)")
+        has = F.col("nanfst").isNotNull()
+        binned = binned.withColumn(
+            "mn",
+            F.when(
+                has,
+                F.struct(
+                    nan_v.alias("v"), F.col("nanfst.rn").alias("rn"),
+                    F.col("nanfst.xv").alias("xv"), F.col("nanfst.x").alias("x"),
+                ),
+            ).otherwise(F.col("mn")),
+        ).withColumn(
+            "mx",
+            F.when(
+                has,
+                F.struct(
+                    nan_v.alias("v"), (-F.col("nanfst.rn")).alias("nrn"),
+                    F.col("nanfst.xv").alias("xv"), F.col("nanfst.x").alias("x"),
+                ),
+            ).otherwise(F.col("mx")),
+        )
     cand_inner = binned.select(
         *by,
         F.explode(
@@ -831,7 +869,8 @@ def minmaxlttb_x_long(
         out = out.unionByName(
             _kernel_x_fallback(
                 collided, by, n_out, x_col, y_col, df.schema, x_is_int,
-                algo="minmaxlttb", kw={"minmax_ratio": ratio},
+                algo=("nan" if nan == "return" else "") + "minmaxlttb",
+                kw={"minmax_ratio": ratio},
             )
         )
     return out

@@ -492,7 +492,7 @@ FROM sel s JOIN ord o ON o.event_type = s.event_type AND o.rn = s.sel_idx
 """
 
 
-def _oracle_minmaxlttb_x(n_out: int = N_OUT, ratio: int = 4) -> str:
+def _oracle_minmaxlttb_x(n_out: int = N_OUT, ratio: int = 4, nan: bool = False) -> str:
     """Exact DuckDB mirror of WITH-X MinMaxLTTB (minmaxlttb.rs:125-171):
     equidistant-bin MinMax prefetch over the interior x range (searchsorted
     rule — count-of-edges-exceeded binning like _oracle_downsample_x, small
@@ -502,6 +502,8 @@ def _oracle_minmaxlttb_x(n_out: int = N_OUT, ratio: int = 4) -> str:
     is simply the whole series — so one unified recursion covers both.
     """
     m = n_out * ratio // 2
+    val = _NAN_INJECT_DUCK if nan else "value"
+    nk = "isnan(v) DESC, " if nan else ""
     xarea = (
         "abs(((c.v * (r.ax - g.avg_x)) + (c.x * (g.avg_y - r.ay)))"
         " - (((r.ax - g.avg_x) * r.ay) + ((g.avg_y - r.ay) * r.ax)))"
@@ -512,8 +514,8 @@ def _oracle_minmaxlttb_x(n_out: int = N_OUT, ratio: int = 4) -> str:
         f" ORDER BY {xarea} DESC, c.crn ASC LIMIT 1)"
     )
     return f"""
-WITH RECURSIVE ord AS (
-    SELECT event_type, epoch_us(ts) AS x, value AS v,
+WITH RECURSIVE ord AS MATERIALIZED (
+    SELECT event_type, epoch_us(ts) AS x, {val} AS v,
            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS rn,
            COUNT(*) OVER (PARTITION BY event_type) AS n
     FROM events
@@ -547,12 +549,12 @@ ibig AS (
 ),
 imins AS (
     SELECT event_type, rn,
-           ROW_NUMBER() OVER (PARTITION BY event_type, bin ORDER BY v ASC, rn ASC) AS r
+           ROW_NUMBER() OVER (PARTITION BY event_type, bin ORDER BY {nk}v ASC, rn ASC) AS r
     FROM ibig
 ),
 imaxs AS (
     SELECT event_type, rn,
-           ROW_NUMBER() OVER (PARTITION BY event_type, bin ORDER BY v DESC, rn ASC) AS r
+           ROW_NUMBER() OVER (PARTITION BY event_type, bin ORDER BY {nk}v DESC, rn ASC) AS r
     FROM ibig
 ),
 cand_rn AS (
@@ -730,6 +732,123 @@ sel AS (
     {quad}
 )
 SELECT doc_key AS event_type, rn AS sel_idx, x AS ts_us, v AS value FROM sel
+"""
+
+
+# ------------------------------------------------- kernel-side scan source
+
+_SCAN_DOCS, _SCAN_SEED = 240, 7
+
+
+def scan_tokens_parquet_path(n: int = _SCAN_DOCS, seed: int = _SCAN_SEED) -> str:
+    """Deterministic (doc_id, tokens) parquet with several row groups,
+    varied lengths (identity + big branches) and one NULL row — written
+    once (atomic, plain pyarrow) so DuckDB reads the same bytes."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"/tmp/tsds_scan_tokens_{n}_{seed}.parquet"
+    if not os.path.exists(path):
+        rng = np.random.default_rng(seed)
+        ids, toks = [], []
+        for i in range(n):
+            ids.append(f"s{i:05d}")
+            if i == 13:
+                toks.append(None)
+            else:
+                ln = int(rng.integers(5, 400))
+                toks.append(rng.integers(0, 50_257, size=ln).astype(np.int32))
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "tokens": pa.array(toks, type=pa.list_(pa.int32())),
+            }
+        )
+        pq.write_table(tbl, path + ".tmp", row_group_size=31)
+        os.replace(path + ".tmp", path)
+    return path
+
+
+def q_scan_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Short-circuit scan source (sources/scan.py): tasks read their parquet
+    row groups directly with pyarrow and return only selections; exploded to
+    (doc_id, pos, sel_idx, sel_token) for the oracle compare."""
+    from tsdownsample_spark.plans.shipping import ship_package
+    from tsdownsample_spark.sources.scan import scan_downsample_tokens
+
+    ship_package(spark)
+    out = scan_downsample_tokens(
+        spark, scan_tokens_parquet_path(), 20, algo="minmax", tasks=8
+    )
+    return (
+        out.filter(F.col("sel_idx").isNotNull())
+        .select(
+            "doc_id",
+            F.posexplode(F.arrays_zip("sel_idx", "sel_tokens")).alias("pos", "s"),
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.col("s.sel_idx").alias("sel_idx"),
+            F.col("s.sel_tokens").alias("sel_token"),
+        )
+    )
+
+
+def _oracle_scan_downsample(n_out: int = 20) -> str:
+    """Equal-count MinMax over the same parquet bytes, all in SQL (the NULL
+    row selects nothing on either side)."""
+    m = n_out // 2
+    path = scan_tokens_parquet_path()
+    return f"""
+WITH src AS (
+    SELECT doc_id, tokens FROM read_parquet('{path}') WHERE tokens IS NOT NULL
+),
+long AS (
+    SELECT doc_id, tokens[CAST(t.i AS INT) + 1] AS token, t.i AS rn,
+           len(tokens) AS n
+    FROM src, UNNEST(range(len(tokens))) AS t(i)
+),
+bins AS (
+    SELECT doc_id, n, UNNEST(range({m})) AS i
+    FROM (SELECT DISTINCT doc_id, n FROM long) WHERE n > {n_out}
+),
+edges AS (
+    SELECT doc_id, i,
+           CASE WHEN i = 0 THEN 0
+                ELSE CAST(FLOOR((n - 1) / {m}.0 * i) AS BIGINT) + 1 END AS lo,
+           CAST(FLOOR((n - 1) / {m}.0 * (i + 1)) AS BIGINT) + 1 AS hi
+    FROM bins
+),
+binned AS (
+    SELECT l.doc_id, e.i, l.rn, l.token
+    FROM long l JOIN edges e ON l.doc_id = e.doc_id AND l.rn >= e.lo AND l.rn < e.hi
+),
+mins AS (
+    SELECT doc_id, i, rn, token,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, i ORDER BY token ASC, rn ASC) AS r
+    FROM binned
+),
+maxs AS (
+    SELECT doc_id, i, rn, token,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, i ORDER BY token DESC, rn ASC) AS r
+    FROM binned
+),
+pair AS (
+    SELECT * FROM mins WHERE r = 1
+    UNION ALL SELECT * FROM maxs WHERE r = 1
+),
+numbered AS (
+    SELECT doc_id, i, rn, token,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, i ORDER BY rn) - 1 AS o
+    FROM pair
+)
+SELECT doc_id, 2 * i + o AS pos, rn AS sel_idx, token AS sel_token FROM numbered
+UNION ALL
+SELECT doc_id, rn AS pos, rn AS sel_idx, token AS sel_token FROM long WHERE n <= {n_out}
 """
 
 
@@ -940,6 +1059,8 @@ def queries() -> dict:
         "q_minmaxlttb_x_long": _x_long_query("minmaxlttb"),
         "q_nanminmax_long": _long_query("nanminmax", nan_inject=True),
         "q_nanm4_long": _long_query("nanm4", nan_inject=True),
+        "q_nanminmaxlttb_long": _long_query("nanminmaxlttb", nan_inject=True),
+        "q_nanminmaxlttb_x_long": _x_long_query("nanminmaxlttb", nan_inject=True),
         "q_minmax_x": _q_downsample_x("minmax"),
         "q_m4_x": _q_downsample_x("m4"),
         # NaN-return x (equidistant-bin) combos — kernel + distributed twins
@@ -955,6 +1076,7 @@ def queries() -> dict:
         "q_gapfill_locf": _q_gapfill("locf"),
         "q_gapfill_linear": _q_gapfill("linear"),
         "q_compress_roundtrip": _q_compress_roundtrip,
+        "q_scan_downsample": q_scan_downsample,
     }
     base.update(queries_text.queries())
     base.update(queries_media.queries())
@@ -982,6 +1104,8 @@ def oracle_sql() -> dict:
         "q_minmaxlttb_x_long": _oracle_minmaxlttb_x(),
         "q_nanminmax_long": _oracle_minmax(nan=True),
         "q_nanm4_long": _oracle_m4(nan=True),
+        "q_nanminmaxlttb_long": _oracle_minmaxlttb(n_out=N_OUT, ratio=4, nan=True),
+        "q_nanminmaxlttb_x_long": _oracle_minmaxlttb_x(nan=True),
         "q_minmax_x": _oracle_downsample_x(2),
         "q_m4_x": _oracle_downsample_x(4),
         "q_nanminmax_x": _oracle_downsample_x(2, nan=True),
@@ -996,6 +1120,7 @@ def oracle_sql() -> dict:
         "q_gapfill_locf": _oracle_gapfill("locf"),
         "q_gapfill_linear": _ORACLE_GAPFILL_LINEAR,
         "q_compress_roundtrip": "SELECT event_type, ts, value FROM events",
+        "q_scan_downsample": _oracle_scan_downsample(),
     }
     base.update(queries_text.oracle_sql())
     base.update(queries_media.oracle_sql())
