@@ -97,6 +97,8 @@ def main() -> None:
         prev_tier[tier] = table
 
     report["wall_s"] = round(time.time() - t0, 3)
+    total_rows = sum(t["rows"] for t in report["tiers"].values())
+    report["rows_per_sec"] = round(total_rows / max(report["wall_s"], 1e-9))
     print(json.dumps(report))
     spark.stop()
 

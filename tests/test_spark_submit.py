@@ -1,0 +1,66 @@
+"""The north-rule launch surface: the retention pipeline must run via
+``spark-submit --py-files <package-zip>`` as a real subprocess (fresh JVM,
+fresh Python, package imported ONLY from the shipped zip), emit its JSON
+metrics line, and resume idempotently."""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _spark_submit() -> str | None:
+    cand = shutil.which("spark-submit")
+    if cand:
+        return cand
+    for root in ("/opt/spark", os.environ.get("SPARK_HOME", "")):
+        p = os.path.join(root, "bin", "spark-submit")
+        if root and os.path.exists(p):
+            return p
+    return None
+
+
+@pytest.mark.slow
+def test_spark_submit_retention_pipeline(tmp_path, sf_dir):
+    submit = _spark_submit()
+    if submit is None:
+        pytest.skip("no spark-submit on PATH/SPARK_HOME")
+    sys.path.insert(0, REPO)
+    from tsdownsample_spark.plans.shipping import package_zip_path
+
+    zip_path = package_zip_path()
+    out_dir = str(tmp_path / "retention")
+    env = dict(os.environ, PYTHONPATH="")  # the zip must be self-sufficient
+    cmd = [
+        submit,
+        "--master", "local[4]",
+        "--py-files", zip_path,
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        os.path.join(REPO, "scripts", "run_retention.py"),
+        "--input", f"{sf_dir}/events.parquet",
+        "--output", out_dir,
+        "--by", "event_type",
+        "--cores", "4",
+    ]
+    r1 = subprocess.run(cmd, capture_output=True, text=True, timeout=480)
+    assert r1.returncode == 0, r1.stderr[-3000:]
+    line = [ln for ln in r1.stdout.splitlines() if ln.startswith("{")][-1]
+    m1 = json.loads(line)
+    assert m1["tiers"]["1m"]["rows"] > 0 and m1["tiers"]["1d"]["rows"] > 0
+    assert all(t["processed"] > 0 and t["skipped"] == 0 for t in m1["tiers"].values())
+    assert m1["rows_per_sec"] > 0
+    # resume: a second run over the same input skips every partition but
+    # reports the same cumulative lineage rows
+    r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=480)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    m2 = json.loads([ln for ln in r2.stdout.splitlines() if ln.startswith("{")][-1])
+    assert all(t["processed"] == 0 and t["skipped"] > 0 for t in m2["tiers"].values())
+    assert {k: v["rows"] for k, v in m2["tiers"].items()} == {
+        k: v["rows"] for k, v in m1["tiers"].items()
+    }
