@@ -61,7 +61,12 @@ def main() -> None:
         sig_src += str(sig)
     else:
         sig_src += str(os.stat(args.input).st_mtime_ns)
-    fingerprint = str(hash(sig_src))
+    # sha256, not hash(): str hashing is randomized per process, which would
+    # silently defeat resume across driver restarts (spark-submit happens to
+    # pin PYTHONHASHSEED, plain `python` does not)
+    import hashlib
+
+    fingerprint = hashlib.sha256(sig_src.encode()).hexdigest()[:24]
 
     parts = sorted(str(r[0]) for r in src.select(args.by).distinct().collect())
     report: dict = {"tiers": {}, "input": args.input, "partitions": len(parts)}

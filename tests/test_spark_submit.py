@@ -26,6 +26,50 @@ def _spark_submit() -> str | None:
 
 
 @pytest.mark.slow
+def test_spark_submit_token_retention_pipeline(tmp_path):
+    """The north-rule launch shape end-to-end: token table in, tier ladder
+    out, via a real spark-submit --py-files subprocess; reference invariant
+    sampled in-run; second run resumes (skips every bucket)."""
+    submit = _spark_submit()
+    if submit is None:
+        pytest.skip("no spark-submit on PATH/SPARK_HOME")
+    sys.path.insert(0, REPO)
+    from tsdownsample_spark.plans.shipping import package_zip_path
+    from tsdownsample_spark.queries import token_table_path
+
+    out_dir = str(tmp_path / "token_tiers")
+    cmd = [
+        submit,
+        "--master", "local[4]",
+        "--py-files", package_zip_path(),
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        os.path.join(REPO, "scripts", "run_token_retention.py"),
+        "--input", token_table_path(),
+        "--output", out_dir,
+        "--tiers", "64,16",
+        "--buckets", "4",
+        "--cores", "4",
+        "--verify-sample", "8",
+    ]
+    env = dict(os.environ, PYTHONPATH="")
+    r1 = subprocess.run(cmd, capture_output=True, text=True, timeout=480, env=env)
+    assert r1.returncode == 0, r1.stderr[-3000:]
+    m1 = json.loads([ln for ln in r1.stdout.splitlines() if ln.startswith("{")][-1])
+    assert m1["plan"] == [{"n_out": 64, "from": "raw"}, {"n_out": 16, "from": 64}]
+    assert all(t["processed"] == 4 and t["rows"] > 0 for t in m1["tiers"].values())
+    assert m1["invariant"]["ok"] is True and m1["invariant"]["checks"] == 16
+    assert m1["tokens_per_sec"] > 0
+    r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=480, env=env)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    m2 = json.loads([ln for ln in r2.stdout.splitlines() if ln.startswith("{")][-1])
+    assert all(t["processed"] == 0 and t["skipped"] == 4 for t in m2["tiers"].values())
+    assert {k: (v["rows"], v["points"]) for k, v in m2["tiers"].items()} == {
+        k: (v["rows"], v["points"]) for k, v in m1["tiers"].items()
+    }
+
+
+@pytest.mark.slow
 def test_spark_submit_retention_pipeline(tmp_path, sf_dir):
     submit = _spark_submit()
     if submit is None:

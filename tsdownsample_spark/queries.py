@@ -798,11 +798,11 @@ def q_scan_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_scan_downsample(n_out: int = 20) -> str:
+def _oracle_scan_downsample(n_out: int = 20, path: str | None = None) -> str:
     """Equal-count MinMax over the same parquet bytes, all in SQL (the NULL
     row selects nothing on either side)."""
     m = n_out // 2
-    path = scan_tokens_parquet_path()
+    path = path or scan_tokens_parquet_path()
     return f"""
 WITH src AS (
     SELECT doc_id, tokens FROM read_parquet('{path}') WHERE tokens IS NOT NULL
@@ -850,6 +850,87 @@ SELECT doc_id, 2 * i + o AS pos, rn AS sel_idx, token AS sel_token FROM numbered
 UNION ALL
 SELECT doc_id, rn AS pos, rn AS sel_idx, token AS sel_token FROM long WHERE n <= {n_out}
 """
+
+
+# --------------------------------------------- token retention tier cascade
+
+_TT_DOCS, _TT_SEED = 300, 11
+
+
+def token_table_path(n: int = _TT_DOCS, seed: int = _TT_SEED) -> str:
+    """Deterministic BASELINE input_hint table ``(doc_id string, tokens
+    array<int32>, n_tok int32, source string)`` — skewed source (~half
+    'web', FIXTURES F1), lengths spanning the identity / small-bin / deep
+    branches, one NULL row — written once (atomic, plain pyarrow) so DuckDB
+    reads the same bytes."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"/tmp/tsds_token_table_{n}_{seed}.parquet"
+    if not os.path.exists(path):
+        rng = np.random.default_rng(seed)
+        srcs = np.array(["web", "books", "code", "wiki"])
+        ids, toks, ntoks, sources = [], [], [], []
+        for i in range(n):
+            ids.append(f"t{i:06d}")
+            sources.append(srcs[rng.choice(4, p=[0.5, 0.25, 0.15, 0.1])])
+            if i == 17:
+                toks.append(None)
+                ntoks.append(0)
+                continue
+            u = rng.random()
+            if u < 0.2:
+                ln = int(rng.integers(2, 17))
+            elif u < 0.5:
+                ln = int(rng.integers(17, 65))
+            elif u < 0.9:
+                ln = int(rng.integers(65, 1500))
+            else:
+                ln = int(rng.integers(1500, 5000))
+            toks.append(rng.integers(0, 50_257, size=ln).astype(np.int32))
+            ntoks.append(ln)
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "tokens": pa.array(toks, type=pa.list_(pa.int32())),
+                "n_tok": pa.array(np.asarray(ntoks, dtype=np.int32)),
+                "source": pa.array(sources),
+            }
+        )
+        pq.write_table(tbl, path + ".tmp", row_group_size=37)
+        os.replace(path + ".tmp", path)
+    return path
+
+
+def q_token_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-tier CASCADE over the input_hint token table: raw -> 64 ->
+    16 (operators/token_retention.py), tier 16 computed from tier 64's
+    output, not from raw.  The oracle computes tier 16 DIRECTLY from the raw
+    parquet bytes in SQL — a hash match proves the hierarchical equal-count
+    bin decomposition exactly, against an independent engine."""
+    from tsdownsample_spark.operators.token_retention import token_tier_cascade
+    from tsdownsample_spark.plans.shipping import ship_package
+
+    ship_package(spark)
+    df = spark.read.parquet(token_table_path())
+    tiers = token_tier_cascade(df, [64, 16], algo="minmax", mode="cascade")
+    return (
+        tiers[16]
+        .filter(F.col("sel_idx").isNotNull())
+        .select(
+            "doc_id",
+            F.posexplode(F.arrays_zip("sel_idx", "tokens")).alias("pos", "s"),
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.col("s.sel_idx").alias("sel_idx"),
+            F.col("s.tokens").alias("sel_token"),
+        )
+    )
 
 
 # --------------------------------------------------- rollup / gapfill / codec
@@ -1077,6 +1158,7 @@ def queries() -> dict:
         "q_gapfill_linear": _q_gapfill("linear"),
         "q_compress_roundtrip": _q_compress_roundtrip,
         "q_scan_downsample": q_scan_downsample,
+        "q_token_tiers": q_token_tiers,
     }
     base.update(queries_text.queries())
     base.update(queries_media.queries())
@@ -1121,6 +1203,7 @@ def oracle_sql() -> dict:
         "q_gapfill_linear": _ORACLE_GAPFILL_LINEAR,
         "q_compress_roundtrip": "SELECT event_type, ts, value FROM events",
         "q_scan_downsample": _oracle_scan_downsample(),
+        "q_token_tiers": _oracle_scan_downsample(16, token_table_path()),
     }
     base.update(queries_text.oracle_sql())
     base.update(queries_media.oracle_sql())
