@@ -3,13 +3,16 @@
 from N to 4N executors; sandbox stand-in: the same job at two local[...]
 parallelism levels on identical input).
 
-Two workloads, because the sandbox VM is memory-bandwidth-starved (see the
-ceiling microbenchmark it emits — often < 2 effective cores of stream
+Three workloads, because the sandbox VM is memory-bandwidth-starved (see
+the ceiling microbenchmark it emits — often < 2 effective cores of stream
 bandwidth for 32 logical CPUs):
 
 * ``downsample`` — the flagship token-table job (MinMax+M4+MinMaxLTTB+LTTB,
   n_out=100 over 4000 x 20k points).  Stream-bound: its parallel efficiency
   is capped by the box's bandwidth, not by the engine.
+* ``pipeline`` — the WHOLE north-rule retention job: the same token table
+  through the raw->1024->256->64 tier cascade with snapshot-table writes
+  (compute shape of scripts/run_token_retention.py).
 * ``dedup`` — MinHash signatures (k=16) + SimHash over a synthetic
   documents table.  JVM md5-compute-bound: shows the engine's scheduling /
   plan overheads scale, independent of memory bandwidth.
@@ -134,6 +137,26 @@ def dedup_job(spark, path):
     simhash(docs).select(F.sum("simhash")).collect()
 
 
+def pipeline_job(spark, path, out_root):
+    """The WHOLE north-rule pipeline at this parallelism level: token table
+    in, raw->1024->256->64 retention ladder out, each tier a snapshot-table
+    write reading the previous tier back (scripts/run_token_retention.py's
+    compute shape, minus the per-run session startup)."""
+    import shutil
+
+    from tsdownsample_spark.operators.token_retention import downsample_tier
+    from tsdownsample_spark.sources.tableio import SnapshotTable
+
+    shutil.rmtree(out_root, ignore_errors=True)
+    prev = None
+    df = spark.read.parquet(path)
+    for n_out in (1024, 256, 64):
+        src = df if prev is None else prev.read(spark)
+        table = SnapshotTable(os.path.join(out_root, f"tier_{n_out}"))
+        table.append(downsample_tier(src, n_out, algo="minmax"))
+        prev = table
+
+
 def _bw_work(_):
     import numpy as np
 
@@ -169,6 +192,7 @@ def main() -> None:
 
     walls: dict[str, dict[int, list[float]]] = {
         "downsample": {c: [] for c in LEVELS},
+        "pipeline": {c: [] for c in LEVELS},
         "dedup": {c: [] for c in LEVELS},
     }
     for rnd in range(ROUNDS + 1):  # round 0 = warm-up, discarded
@@ -178,11 +202,15 @@ def main() -> None:
             downsample_job(spark, tok_path)
             w_ds = time.time() - t0
             t0 = time.time()
+            pipeline_job(spark, tok_path, f"/tmp/tsds_scale_tiers_{cores}")
+            w_pl = time.time() - t0
+            t0 = time.time()
             dedup_job(spark, doc_path)
             w_dd = time.time() - t0
             spark.stop()
             if rnd > 0:
                 walls["downsample"][cores].append(round(w_ds, 3))
+                walls["pipeline"][cores].append(round(w_pl, 3))
                 walls["dedup"][cores].append(round(w_dd, 3))
 
     out: dict = {"metric": "scaling_efficiency_N_to_4N", "workloads": {}}
@@ -190,7 +218,13 @@ def main() -> None:
         levels = {}
         for cores in LEVELS:
             wmin = min(per_level[cores])
-            work = len(ALGOS) * total_points if wl == "downsample" else DEDUP_DOCS
+            work = {
+                "downsample": len(ALGOS) * total_points,
+                # raw scan dominates; cascaded tiers re-read only prior
+                # tier outputs (docs * (1024 + 256) extra points)
+                "pipeline": total_points + DOCS * (1024 + 256),
+                "dedup": DEDUP_DOCS,
+            }[wl]
             levels[str(cores)] = {
                 "wall_s_min": wmin,
                 "runs": per_level[cores],

@@ -1,0 +1,88 @@
+"""Streaming ingest of token sequences into retention tiers
+(streaming/stream_token_tiers.py): incremental ingest == batch cascade,
+restart resumes from the checkpoint, sink is idempotent on re-delivery."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tsdownsample_spark.operators.token_retention import token_tier_cascade
+from tsdownsample_spark.sources.tableio import SnapshotTable
+from tsdownsample_spark.streaming.stream_token_tiers import (
+    _BatchLedger,
+    stream_token_tiers,
+)
+
+TIERS = (64, 16)
+
+
+def _write_wave(spark, src_dir, start, count, seed):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(start, start + count):
+        ln = int(rng.integers(2, 900))
+        rows.append(
+            (
+                f"s{i:05d}",
+                rng.integers(0, 50_257, ln).astype(np.int32).tolist(),
+                ln,
+                "web" if i % 3 else "code",
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    df.coalesce(1).write.mode("append").parquet(src_dir)
+    return df
+
+
+def _tier_rows(spark, out_root, n):
+    t = SnapshotTable(os.path.join(out_root, f"tier_{n}"))
+    return {
+        r["doc_id"]: (list(r["sel_idx"]), list(r["tokens"]))
+        for r in t.read(spark).collect()
+    }
+
+
+def _expected(spark, batch_df, n):
+    out = token_tier_cascade(batch_df, list(TIERS), algo="minmax")
+    return {
+        r["doc_id"]: (list(r["sel_idx"]), list(r["tokens"]))
+        for r in out[n].collect()
+    }
+
+
+def test_stream_ingest_matches_batch_and_resumes(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "tiers")
+    w1 = _write_wave(spark, src, 0, 40, seed=3)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = stream_token_tiers(stream, out, tiers=TIERS)
+    q.awaitTermination(120)
+    for n in TIERS:
+        assert _tier_rows(spark, out, n) == _expected(spark, w1, n)
+
+    # wave 2: a restarted query processes ONLY the new files
+    w2 = _write_wave(spark, src, 40, 25, seed=4)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = stream_token_tiers(stream, out, tiers=TIERS)
+    q.awaitTermination(120)
+    both = {**_expected(spark, w1, 16), **_expected(spark, w2, 16)}
+    got = _tier_rows(spark, out, 16)
+    assert got == both and len(got) == 65
+    # exactly one batch per wave in the ledger — wave 1 was not reprocessed
+    ledger = _BatchLedger(out)
+    assert [r["batch_id"] for r in ledger.history()] == [0, 1]
+
+
+def test_batch_ledger_idempotence(tmp_path):
+    led = _BatchLedger(str(tmp_path))
+    assert not led.seen(0)
+    led.commit(0, {"snapshots": {"64": "abc"}})
+    assert led.seen(0) and not led.seen(1)
+    # re-commit of the same id is a plain overwrite, not an error
+    led.commit(0, {"snapshots": {"64": "abc"}})
+    assert len(led.history()) == 1
