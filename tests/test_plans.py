@@ -120,3 +120,18 @@ def test_long_selector_shuffle_free_on_bucketed_source(spark, sf_dir, tmp_path):
         assert got == exp
     finally:
         spark.sql("DROP TABLE IF EXISTS ev_bucketed_test")
+
+
+def test_token_tier_cascade_is_shuffle_free(spark):
+    """The whole retention ladder — three chained tiers with raw-index
+    re-basing — must stay a narrow map pipeline: zero Exchange, one
+    MapInArrow per tier, no Python round-trip for the element_at gather."""
+    from tsdownsample_spark.operators.token_retention import token_tier_cascade
+
+    df = synth_token_table(spark, n_docs=8, seed=3)
+    tiers = token_tier_cascade(df, [64, 16, 8], algo="minmax", mode="cascade")
+    plan = _plan(tiers[8])
+    assert "Exchange" not in plan
+    assert plan.count("MapInArrow") == 3
+    # the sel_idx re-basing is a JVM expression, not a 4th Python stage
+    assert plan.count("ArrowEvalPython") == 0

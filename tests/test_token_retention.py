@@ -122,6 +122,54 @@ def test_tier_invariant_vs_reference_classes(spark, token_df):
                 assert got[doc] == (list(exp), list(y[exp])), (algo, n_out, doc)
 
 
+def test_lttb_ladder_falls_back_to_from_raw(spark, token_df):
+    """mode='auto' with a non-decomposable selector: every tier comes from
+    raw, and each still satisfies the reference invariant."""
+    from tsdownsample_spark.compat import LTTBDownsampler
+
+    tiers = token_tier_cascade(token_df, [64, 16], algo="lttb", mode="auto")
+    raw_rows = {r["doc_id"]: r["tokens"] for r in token_df.collect() if r["tokens"]}
+    for n_out in (64, 16):
+        got = {
+            r["doc_id"]: (list(r["sel_idx"]), list(r["tokens"]))
+            for r in tiers[n_out].collect()
+            if r["sel_idx"] is not None
+        }
+        for doc, toks in raw_rows.items():
+            y = np.asarray(toks, dtype=np.int32)
+            exp = (
+                np.arange(len(y))
+                if len(y) <= n_out
+                else np.asarray(LTTBDownsampler().downsample(y, n_out=n_out))
+            )
+            assert got[doc] == (list(exp), list(y[exp])), (n_out, doc)
+
+
+def test_salt_buckets_are_even(spark):
+    """The pipeline's resume units are salt buckets, not the skewed source
+    key: over the deterministic token table (~half 'web') every bucket must
+    hold a comparable share of docs."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import functions as F
+
+    from tsdownsample_spark.queries import token_table_path
+
+    df = spark.read.parquet(token_table_path())
+    counts = [
+        r["count"]
+        for r in df.groupBy(F.pmod(F.xxhash64("doc_id"), F.lit(8)).alias("b"))
+        .count()
+        .collect()
+    ]
+    assert len(counts) == 8
+    assert max(counts) / (sum(counts) / len(counts)) < 1.6
+    # while the source key itself is badly skewed (the reason buckets exist)
+    src = {r["source"]: r["count"] for r in df.groupBy("source").count().collect()}
+    assert src["web"] / sum(src.values()) > 0.4
+
+
 def test_tier_schema_and_provenance(spark, token_df):
     out = downsample_tier(token_df, 16, algo="minmax")
     assert out.columns == ["doc_id", "tokens", "n_tok", "source", "sel_idx", "tier_n_out"]

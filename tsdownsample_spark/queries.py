@@ -933,6 +933,63 @@ def q_token_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING ingest of the token table through the tier
+    cascade (streaming/stream_token_tiers.py): the parquet is consumed as a
+    file stream (availableNow), each micro-batch cascades raw -> 32 -> 8,
+    and the tier-8 snapshot is returned.  The oracle computes n_out=8
+    MinMax DIRECTLY from the raw parquet in SQL — a hash match proves
+    stream == batch == reference against an independent engine (the ladder
+    is per-row/stateless, so streamed ingest is exactly the batch result)."""
+    import os
+    import shutil
+    import tempfile
+
+    from tsdownsample_spark.plans.shipping import ship_package
+    from tsdownsample_spark.sources.tableio import SnapshotTable
+    from tsdownsample_spark.streaming.stream_token_tiers import stream_token_tiers
+
+    ship_package(spark)
+    path = token_table_path()
+    # the file stream source requires a DIRECTORY: stage the single parquet
+    # into one (idempotent, atomic rename)
+    src_dir = path + ".dir"
+    if not os.path.isdir(src_dir):
+        tmp = src_dir + f".tmp{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        shutil.copy(path, os.path.join(tmp, "part-00000.parquet"))
+        try:
+            os.rename(tmp, src_dir)
+        except OSError:  # lost a concurrent race; the winner's dir is fine
+            shutil.rmtree(tmp, ignore_errors=True)
+    out_root = tempfile.mkdtemp(prefix="tsds_stream_tiers_")
+    try:
+        schema = spark.read.parquet(src_dir).schema
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        q = stream_token_tiers(stream, out_root, tiers=(32, 8), algo="minmax")
+        q.awaitTermination(300)
+        tier8 = (
+            SnapshotTable(f"{out_root}/tier_8")
+            .read(spark)
+            .filter(F.col("sel_idx").isNotNull())
+            .select(
+                "doc_id",
+                F.posexplode(F.arrays_zip("sel_idx", "tokens")).alias("pos", "s"),
+            )
+            .select(
+                "doc_id",
+                F.col("pos").cast("long").alias("pos"),
+                F.col("s.sel_idx").alias("sel_idx"),
+                F.col("s.tokens").alias("sel_token"),
+            )
+        )
+        # materialize before the tmp dir disappears
+        rows = tier8.collect()
+        return spark.createDataFrame(rows, tier8.schema)
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
+
+
 # --------------------------------------------------- rollup / gapfill / codec
 
 
@@ -1159,6 +1216,7 @@ def queries() -> dict:
         "q_compress_roundtrip": _q_compress_roundtrip,
         "q_scan_downsample": q_scan_downsample,
         "q_token_tiers": q_token_tiers,
+        "q_stream_tiers": q_stream_tiers,
     }
     base.update(queries_text.queries())
     base.update(queries_media.queries())
@@ -1204,6 +1262,7 @@ def oracle_sql() -> dict:
         "q_compress_roundtrip": "SELECT event_type, ts, value FROM events",
         "q_scan_downsample": _oracle_scan_downsample(),
         "q_token_tiers": _oracle_scan_downsample(16, token_table_path()),
+        "q_stream_tiers": _oracle_scan_downsample(8, token_table_path()),
     }
     base.update(queries_text.oracle_sql())
     base.update(queries_media.oracle_sql())
