@@ -14,7 +14,10 @@ Three claims under test:
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
+from tsdownsample_spark.kernels import selectors as K
 from tsdownsample_spark.kernels.binning import equal_count_bins
 from tsdownsample_spark.operators.token_retention import (
     cascade_plan,
@@ -80,6 +83,35 @@ def test_equal_count_edges_nest_iff_pow2_ratio():
     assert all(nests(n, 48, 12) for n in ns)  # pow2 ratio, non-pow2 bins
     # non-pow2 ratio (c=5) genuinely diverges — the rule is load-bearing
     assert not all(nests(n, 30, 6) for n in ns)
+
+
+# property-level cascade equality at the kernel layer: heavy-tie inputs
+# (token-like small alphabets) stress exactly the first-occurrence rules the
+# docstring proof leans on; hypothesis shrinks any violation to a minimal n
+_tok_ys = st.lists(
+    st.integers(min_value=0, max_value=7).map(float), min_size=1, max_size=600
+)
+_ladder = st.sampled_from([(64, 16), (32, 8), (128, 16), (16, 8)])
+
+
+@settings(max_examples=200, deadline=None)
+@given(_tok_ys, _ladder)
+def test_minmax_cascade_property(ys, ladder):
+    n1, n2 = ladder
+    y = np.asarray(ys, dtype=np.float64)
+    sel1 = K.minmax(y, n1)
+    sel2 = sel1[K.minmax(y[sel1], n2)]
+    np.testing.assert_array_equal(sel2, K.minmax(y, n2))
+
+
+@settings(max_examples=200, deadline=None)
+@given(_tok_ys, _ladder)
+def test_m4_cascade_property(ys, ladder):
+    n1, n2 = ladder
+    y = np.asarray(ys, dtype=np.float64)
+    sel1 = K.m4(y, n1)
+    sel2 = sel1[K.m4(y[sel1], n2)]
+    np.testing.assert_array_equal(sel2, K.m4(y, n2))
 
 
 # ------------------------------------------------- cascade == from_raw
