@@ -42,7 +42,7 @@ def main() -> None:
     from tsdownsample_spark.plans.session import get_spark
     from tsdownsample_spark.plans.shipping import ship_package
     from tsdownsample_spark.sources.tableio import SnapshotTable
-    from tsdownsample_spark.streaming.checkpoint import PartitionedJob
+    from tsdownsample_spark.streaming.checkpoint import PartitionedJob, input_fingerprint
 
     t0 = time.time()
     spark = get_spark(app_name="retention-pipeline", master=f"local[{args.cores}]")
@@ -50,23 +50,15 @@ def main() -> None:
     ship_package(spark)
 
     src = spark.read.parquet(args.input)
-    # input fingerprint: path + file listing signature (Iceberg snapshot id
-    # when the source is a SnapshotTable)
-    sig_src = args.input
-    if os.path.isdir(args.input):
-        sig = sorted(
-            (f, os.stat(os.path.join(args.input, f)).st_mtime_ns)
-            for f in os.listdir(args.input)
-        )
-        sig_src += str(sig)
-    else:
-        sig_src += str(os.stat(args.input).st_mtime_ns)
-    # sha256, not hash(): str hashing is randomized per process, which would
-    # silently defeat resume across driver restarts (spark-submit happens to
-    # pin PYTHONHASHSEED, plain `python` does not)
-    import hashlib
-
-    fingerprint = hashlib.sha256(sig_src.encode()).hexdigest()[:24]
+    # input fingerprint: path + file-listing signature + the column-mapping
+    # params (a resume record computed under a different mapping must not
+    # match); becomes the Iceberg snapshot id when the source is a
+    # SnapshotTable
+    fingerprint = input_fingerprint(
+        args.input,
+        {"by": args.by, "x_col": args.x_col, "y_col": args.y_col,
+         "uid_col": args.uid_col},
+    )
 
     parts = sorted(str(r[0]) for r in src.select(args.by).distinct().collect())
     report: dict = {"tiers": {}, "input": args.input, "partitions": len(parts)}

@@ -35,20 +35,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _input_fingerprint(path: str) -> str:
-    import hashlib
-
-    if os.path.isdir(path):
-        sig = sorted(
-            (f, os.stat(os.path.join(path, f)).st_mtime_ns) for f in os.listdir(path)
-        )
-    else:
-        sig = str(os.stat(path).st_mtime_ns)
-    # sha256, not hash(): str hashing is randomized per process, which would
-    # silently defeat resume across driver restarts
-    return hashlib.sha256((path + str(sig)).encode()).hexdigest()[:24]
-
-
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
@@ -64,11 +50,11 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from tsdownsample_spark.operators.token_retention import cascade_plan, downsample_tier
+    from tsdownsample_spark.operators.token_retention import downsample_tier, resolve_plan
     from tsdownsample_spark.plans.session import get_spark
     from tsdownsample_spark.plans.shipping import ship_package
     from tsdownsample_spark.sources.tableio import SnapshotTable
-    from tsdownsample_spark.streaming.checkpoint import PartitionedJob
+    from tsdownsample_spark.streaming.checkpoint import PartitionedJob, input_fingerprint
 
     t0 = time.time()
     spark = get_spark(
@@ -79,17 +65,19 @@ def main() -> None:
     ship_package(spark)
 
     raw = spark.read.parquet(args.input)
-    fingerprint = _input_fingerprint(args.input)
+    # params folded in: a resume record from a run with a different algo /
+    # ladder / bucketing must not match (its tables hold other semantics)
+    fingerprint = input_fingerprint(
+        args.input,
+        {"tiers": tiers, "algo": args.algo, "mode": args.mode, "buckets": args.buckets},
+    )
     salt = F.pmod(F.xxhash64("doc_id"), F.lit(args.buckets))
     parts = [str(b) for b in range(args.buckets)]
 
-    plan = cascade_plan(tiers, args.algo)
-    if args.mode == "from_raw":
-        plan = [(n, None) for n, _ in plan]
-    elif args.mode == "cascade":
-        bad = [n for n, parent in plan[1:] if parent is None]
-        if bad:
-            raise SystemExit(f"tiers {bad} cannot cascade for algo={args.algo!r}")
+    try:
+        plan = resolve_plan(tiers, args.algo, args.mode)
+    except ValueError as e:
+        raise SystemExit(str(e))
 
     report: dict = {
         "input": args.input, "algo": args.algo, "buckets": args.buckets,
@@ -144,6 +132,8 @@ def main() -> None:
     report["tokens_per_sec"] = round(tokens_in / max(report["wall_s"], 1e-9))
     print(json.dumps(report))
     spark.stop()
+    if args.verify_sample and not report["invariant"]["ok"]:
+        raise SystemExit("invariant check FAILED — see report JSON")
 
 
 def _verify_invariant(spark, raw, tables, algo: str, k: int) -> dict:

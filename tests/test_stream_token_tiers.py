@@ -73,16 +73,42 @@ def test_stream_ingest_matches_batch_and_resumes(spark, tmp_path):
     both = {**_expected(spark, w1, 16), **_expected(spark, w2, 16)}
     got = _tier_rows(spark, out, 16)
     assert got == both and len(got) == 65
-    # exactly one batch per wave in the ledger — wave 1 was not reprocessed
+    # one (batch, tier) unit per wave x tier — wave 1 was not reprocessed
     ledger = _BatchLedger(out)
-    assert [r["batch_id"] for r in ledger.history()] == [0, 1]
+    assert [(r["batch_id"], r["tier"]) for r in ledger.history()] == [
+        (0, 64), (0, 16), (1, 64), (1, 16),
+    ]
 
 
 def test_batch_ledger_idempotence(tmp_path):
     led = _BatchLedger(str(tmp_path))
-    assert not led.seen(0)
-    led.commit(0, {"snapshots": {"64": "abc"}})
-    assert led.seen(0) and not led.seen(1)
-    # re-commit of the same id is a plain overwrite, not an error
-    led.commit(0, {"snapshots": {"64": "abc"}})
+    assert not led.seen(0, 64)
+    led.commit(0, 64, {"snapshot": "abc"})
+    assert led.seen(0, 64) and not led.seen(0, 16) and not led.seen(1, 64)
+    # re-commit of the same unit is a plain overwrite, not an error
+    led.commit(0, 64, {"snapshot": "abc"})
     assert len(led.history()) == 1
+    # history is numeric-ordered even past batch 10 (lexicographic would
+    # shuffle 10 before 2)
+    for b in (10, 2):
+        led.commit(b, 64, {"snapshot": "x"})
+    assert [r["batch_id"] for r in led.history()] == [0, 2, 10]
+
+
+def test_sink_crash_between_tiers_does_not_double_append(spark, tmp_path):
+    """Redelivery after a crash mid-way through the tier loop appends ONLY
+    the missing tier: simulate by pre-committing tier 64 of batch 0 and
+    running the stream — tier 64 must stay empty (its append was 'already
+    done'), tier 16 must be written once."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "tiers")
+    w = _write_wave(spark, src, 0, 10, seed=9)
+    _BatchLedger(out).commit(0, 64, {"snapshot": "pre-crash"})
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = stream_token_tiers(stream, out, tiers=TIERS)
+    q.awaitTermination(120)
+    assert _tier_rows(spark, out, 16) == _expected(spark, w, 16)
+    t64 = SnapshotTable(os.path.join(out, "tier_64"))
+    assert t64.current_snapshot_id() is None  # no duplicate append

@@ -18,7 +18,7 @@ from tsdownsample_spark.kernels.selectors import (
     minmax,
 )
 
-__all__ = ["flat_downsample"]
+__all__ = ["flat_downsample", "select_and_gather"]
 
 
 def _flat_binned(values, offsets, n_out, k, nan_return):
@@ -300,3 +300,50 @@ def flat_downsample(values: np.ndarray, offsets: np.ndarray, n_out: int,
     if algo == "everynth":
         return _flat_per_series(values, offsets, n_out, lambda y, k: everynth(y, k))
     raise ValueError(f"unknown algo {algo!r}")
+
+
+def select_and_gather(col, n_out: int, algo: str, gather: bool = True, **kw):
+    """Shared Arrow glue over :func:`flat_downsample`: run the flat batch
+    kernel on a pyarrow list column and return ``(sel_arr, tok_arr)`` — the
+    per-row selected indices (``list<int64>``, null rows select null) and,
+    when ``gather=True``, the gathered selected values (same list type as
+    the input) picked while the flat buffers are at hand, so only n_out
+    values per series ever leave this function.  One implementation for
+    operators.downsample's select mode and sources.scan's in-task reader —
+    a fix here (null rows, sliced-array offsets, dtype edges) reaches both.
+    """
+    import pyarrow as pa
+
+    from tsdownsample_spark.kernels.batch import batch_downsample
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        # slow path for null rows
+        arrays = [None if v is None else np.asarray(v) for v in col.to_pylist()]
+        sel = batch_downsample(arrays, n_out, algo=algo, **kw)
+        sel_arr = pa.array(
+            [None if s is None else s for s in sel], type=pa.list_(pa.int64())
+        )
+        tok_arr = (
+            pa.array(
+                [
+                    None if s is None else np.asarray(a)[s]
+                    for a, s in zip(arrays, sel)
+                ],
+                type=pa.list_(col.type.value_type),
+            )
+            if gather
+            else None
+        )
+        return sel_arr, tok_arr
+    offsets = col.offsets.to_numpy()
+    values = col.values.to_numpy(zero_copy_only=False)
+    flat, out_off = flat_downsample(values, offsets, n_out, algo, **kw)
+    oo = pa.array(out_off, type=pa.int32())
+    sel_arr = pa.ListArray.from_arrays(oo, pa.array(flat, type=pa.int64()))
+    tok_arr = None
+    if gather:
+        abs_idx = flat + np.repeat(offsets[:-1].astype(np.int64), np.diff(out_off))
+        tok_arr = pa.ListArray.from_arrays(oo, pa.array(values[abs_idx]))
+    return sel_arr, tok_arr

@@ -106,10 +106,12 @@ def downsample_tokens(
 
     import pyarrow as pa
 
-    from tsdownsample_spark.kernels.flat import flat_downsample
+    from tsdownsample_spark.kernels.flat import select_and_gather
 
     if idx_col in df.columns:
         raise ValueError(f"column {idx_col!r} already exists")
+    if output == "select" and "sel_tokens" in df.columns:
+        raise ValueError("column 'sel_tokens' already exists")
     from pyspark.sql import types as T
 
     select_mode = output == "select"
@@ -129,45 +131,11 @@ def downsample_tokens(
 
     def _map(batches):
         for batch in batches:
-            col = batch.column(tok_idx)
-            if col.null_count:
-                # slow path for null rows
-                arrays = [
-                    None if v is None else np.asarray(v) for v in col.to_pylist()
-                ]
-                sel = batch_downsample(arrays, n_out, algo=algo, **kw)
-                sel_arr = pa.array(
-                    [None if s is None else s for s in sel],
-                    type=pa.list_(pa.int64()),
-                )
-                if select_mode:
-                    tok_arr = pa.array(
-                        [
-                            None if s is None else np.asarray(a)[s]
-                            for a, s in zip(col.to_pylist(), sel)
-                        ],
-                        type=pa.list_(col.type.value_type),
-                    )
-            else:
-                if isinstance(col, pa.ChunkedArray):  # pragma: no cover
-                    col = col.combine_chunks()
-                offsets = col.offsets.to_numpy()
-                values = col.values.to_numpy(zero_copy_only=False)
-                flat, out_off = flat_downsample(values, offsets, n_out, algo, **kw)
-                sel_arr = pa.ListArray.from_arrays(
-                    pa.array(out_off, type=pa.int32()),
-                    pa.array(flat, type=pa.int64()),
-                )
-                if select_mode:
-                    # gather the selected values while they are at hand —
-                    # n_out per series back to the JVM instead of n
-                    abs_idx = flat + np.repeat(
-                        offsets[:-1].astype(np.int64), np.diff(out_off)
-                    )
-                    tok_arr = pa.ListArray.from_arrays(
-                        pa.array(out_off, type=pa.int32()),
-                        pa.array(values[abs_idx]),
-                    )
+            # select mode gathers the chosen values while the flat buffers
+            # are at hand — n_out per series back to the JVM instead of n
+            sel_arr, tok_arr = select_and_gather(
+                batch.column(tok_idx), n_out, algo, gather=select_mode, **kw
+            )
             cols = [batch.column(i) for i in keep_idx] + [sel_arr]
             names = keep_names + [idx_col]
             if select_mode:

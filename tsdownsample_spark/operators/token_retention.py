@@ -145,22 +145,15 @@ def cascade_plan(tiers: Sequence[int], algo: str) -> list[tuple[int, int | None]
     return plan
 
 
-def token_tier_cascade(
-    df: DataFrame,
-    tiers: Sequence[int],
-    algo: str = "minmax",
-    mode: str = "auto",
-    **kw,
-) -> dict[int, DataFrame]:
-    """Build every retention tier of a token table as DataFrames.
+def resolve_plan(
+    tiers: Sequence[int], algo: str, mode: str
+) -> list[tuple[int, int | None]]:
+    """Apply the computation ``mode`` to :func:`cascade_plan`'s result.
 
-    ``mode="auto"`` cascades where :func:`cascade_plan` allows and falls
-    back to from_raw elsewhere; ``"from_raw"`` forces independent
-    computation; ``"cascade"`` raises if any tier cannot cascade.
-
-    Lazy composition: a cascaded tier's plan chains on its parent's.  The
-    spark-submit pipeline (scripts/run_token_retention.py) instead reads
-    each parent tier back from its snapshot table so no tier is recomputed.
+    ``"auto"`` cascades where eligible and falls back to from_raw
+    elsewhere; ``"from_raw"`` forces independent computation; ``"cascade"``
+    raises if any tier cannot cascade.  Shared by the DataFrame cascade and
+    the snapshot-table pipeline so the validation stays uniform.
     """
     if mode not in ("auto", "cascade", "from_raw"):
         raise ValueError("mode must be auto|cascade|from_raw")
@@ -172,8 +165,25 @@ def token_tier_cascade(
         if bad:
             raise ValueError(
                 f"tiers {bad} cannot cascade for algo={algo!r} "
-                f"(requires {CASCADE_ALGOS} and divisible tier sizes)"
+                f"(requires {CASCADE_ALGOS} and power-of-two tier ratios)"
             )
+    return plan
+
+
+def token_tier_cascade(
+    df: DataFrame,
+    tiers: Sequence[int],
+    algo: str = "minmax",
+    mode: str = "auto",
+    **kw,
+) -> dict[int, DataFrame]:
+    """Build every retention tier of a token table as DataFrames.
+
+    Lazy composition: a cascaded tier's plan chains on its parent's.  The
+    spark-submit pipeline (scripts/run_token_retention.py) instead reads
+    each parent tier back from its snapshot table so no tier is recomputed.
+    """
+    plan = resolve_plan(tiers, algo, mode)
     out: dict[int, DataFrame] = {}
     for n_out, parent in plan:
         src = df if parent is None else out[parent]

@@ -530,17 +530,21 @@ ibounds AS (
     GROUP BY 1
 ),
 iedges AS (
+    -- includes the final truncated edge (i = m) so trailing prefetch
+    -- points past it are dropped exactly like the reference's searchsorted
     SELECT event_type, i,
            trunc(x0 + (xn / {m}.0 - x0 / {m}.0) * (i / 2.0)
                     + (xn / {m}.0 - x0 / {m}.0) * (i / 2.0) + 1e-12) AS edge
-    FROM ibounds, UNNEST(range(1, {m})) AS t(i)
+    FROM ibounds, UNNEST(range(1, {m} + 1)) AS t(i)
 ),
 ibinned AS (
-    SELECT o.event_type, o.rn, o.v,
-           (SELECT COUNT(*) FROM iedges e
-             WHERE e.event_type = o.event_type AND o.x > e.edge) AS bin
-    FROM ord o JOIN pref p USING (event_type)
-    WHERE o.rn >= 1 AND o.rn < o.n - 1
+    SELECT * FROM (
+        SELECT o.event_type, o.rn, o.v,
+               (SELECT COUNT(*) FROM iedges e
+                 WHERE e.event_type = o.event_type AND o.x > e.edge) AS bin
+        FROM ord o JOIN pref p USING (event_type)
+        WHERE o.rn >= 1 AND o.rn < o.n - 1
+    ) WHERE bin < {m}
 ),
 istats AS (SELECT event_type, bin, COUNT(*) AS cnt FROM ibinned GROUP BY 1, 2),
 ibig AS (
@@ -691,16 +695,22 @@ bounds AS (
     FROM ord GROUP BY 1
 ),
 edges AS (
+    -- all m edges, INCLUDING the final truncated one (i = m): float
+    -- rounding can land trunc(edge_m) strictly below max(x), and the
+    -- reference then DROPS the trailing points (searchsorted.rs trailing
+    -- drop, mirrored by the kernel) — bin = m rows are filtered out below
     SELECT doc_key, i,
            trunc(x0 + (xn / {m}.0 - x0 / {m}.0) * (i / 2.0)
                     + (xn / {m}.0 - x0 / {m}.0) * (i / 2.0) + 1e-12) AS edge
-    FROM bounds, UNNEST(range(1, {m})) AS t(i)
+    FROM bounds, UNNEST(range(1, {m} + 1)) AS t(i)
 ),
 binned AS (
-    SELECT o.doc_key, o.rn, o.x, o.v,
-           (SELECT COUNT(*) FROM edges e
-             WHERE e.doc_key = o.doc_key AND o.x > e.edge) AS bin
-    FROM ord o
+    SELECT * FROM (
+        SELECT o.doc_key, o.rn, o.x, o.v,
+               (SELECT COUNT(*) FROM edges e
+                 WHERE e.doc_key = o.doc_key AND o.x > e.edge) AS bin
+        FROM ord o
+    ) WHERE bin < {m}
 ),
 stats AS (
     SELECT doc_key, bin, COUNT(*) AS cnt, MIN(rn) AS lo, MAX(rn) AS hi
@@ -967,7 +977,10 @@ def q_stream_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema = spark.read.parquet(src_dir).schema
         stream = spark.readStream.schema(schema).parquet(src_dir)
         q = stream_token_tiers(stream, out_root, tiers=(32, 8), algo="minmax")
-        q.awaitTermination(300)
+        finished = q.awaitTermination(300)
+        if not finished:  # pragma: no cover - contention guard
+            q.stop()
+            raise TimeoutError("stream_token_tiers did not drain in 300s")
         tier8 = (
             SnapshotTable(f"{out_root}/tier_8")
             .read(spark)

@@ -120,38 +120,16 @@ def scan_downsample_tokens(
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        from tsdownsample_spark.kernels.batch import batch_downsample
-        from tsdownsample_spark.kernels.flat import flat_downsample
+        from tsdownsample_spark.kernels.flat import select_and_gather
 
         for b in batches:
             for fname, rgs in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
                 tbl = pq.ParquetFile(fname).read_row_groups(
                     rgs, columns=read_cols, use_threads=False
                 )
-                col = tbl.column(tokens_col).combine_chunks()
-                if col.null_count:
-                    arrays = [
-                        None if v is None else np.asarray(v) for v in col.to_pylist()
-                    ]
-                    sel = batch_downsample(arrays, n_out, algo=algo, **kw)
-                    sel_arr = pa.array(sel, type=pa.list_(pa.int64()))
-                    tok_arr = pa.array(
-                        [
-                            None if s is None else np.asarray(a)[s]
-                            for a, s in zip(arrays, sel)
-                        ],
-                        type=pa.list_(col.type.value_type),
-                    )
-                else:
-                    offsets = col.offsets.to_numpy()
-                    values = col.values.to_numpy(zero_copy_only=False)
-                    flat, out_off = flat_downsample(values, offsets, n_out, algo, **kw)
-                    abs_idx = flat + np.repeat(
-                        offsets[:-1].astype(np.int64), np.diff(out_off)
-                    )
-                    oo = pa.array(out_off, type=pa.int32())
-                    sel_arr = pa.ListArray.from_arrays(oo, pa.array(flat, type=pa.int64()))
-                    tok_arr = pa.ListArray.from_arrays(oo, pa.array(values[abs_idx]))
+                sel_arr, tok_arr = select_and_gather(
+                    tbl.column(tokens_col), n_out, algo, **kw
+                )
                 yield pa.RecordBatch.from_arrays(
                     [tbl.column(k).combine_chunks() for k in keys] + [sel_arr, tok_arr],
                     names=keys + ["sel_idx", "sel_tokens"],

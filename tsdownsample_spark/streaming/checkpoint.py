@@ -120,3 +120,29 @@ class PartitionedJob:
             "rows": total_rows,
             "wall_s": round(time.time() - t_job, 3),
         }
+
+
+def input_fingerprint(path: str, params: dict | None = None) -> str:
+    """Stable fingerprint of a job's input state: the input path + its file
+    listing signature (name + mtime) + every job parameter that changes the
+    output.  Folding the params in matters: a resume record from a run with
+    different settings (algo, bucketing, column mapping) must NOT match, or
+    the job would skip partitions whose stored results were computed under
+    other semantics.
+
+    sha256, never Python ``hash()`` — str hashing is randomized per process
+    (spark-submit masks that by pinning PYTHONHASHSEED; plain ``python``
+    does not), which would silently defeat resume across driver restarts.
+    """
+    import hashlib
+    import json as _json
+
+    if os.path.isdir(path):
+        sig = sorted(
+            (f, os.stat(os.path.join(path, f)).st_mtime_ns)
+            for f in os.listdir(path)
+        )
+    else:
+        sig = str(os.stat(path).st_mtime_ns)
+    payload = path + str(sig) + _json.dumps(params or {}, sort_keys=True)
+    return hashlib.sha256(payload.encode()).hexdigest()[:24]

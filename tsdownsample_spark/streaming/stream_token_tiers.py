@@ -13,9 +13,11 @@ each micro-batch runs the full tier cascade and appends every tier to its
 snapshot table.  Restart safety is two-layered:
 
 * Spark's checkpoint makes the source offsets exactly-once *per batch id*;
-* a batch-id ledger under the output root makes the sink **idempotent** —
-  a re-delivered batch id (crash between the append and the checkpoint
-  commit) is skipped instead of double-appended.
+* a (batch id, tier) ledger under the output root makes the sink
+  **idempotent at tier granularity** — on a re-delivered batch id (crash
+  between an append and the checkpoint commit) only the tiers whose
+  marker is missing are appended; tiers written before the crash are
+  skipped, never double-appended.
 """
 
 from __future__ import annotations
@@ -31,30 +33,37 @@ from tsdownsample_spark.sources.tableio import SnapshotTable
 
 
 class _BatchLedger:
-    """Crash-safe record of committed micro-batch ids (JSON lines, one file
-    per batch — same atomic-rename idiom as streaming.checkpoint lineage)."""
+    """Crash-safe record of committed (micro-batch, tier) units — one JSON
+    file per unit, atomic rename.  Per-TIER granularity matters: a crash
+    between two tier appends of the same batch must, on redelivery, skip
+    the tiers already written and append only the missing ones — a
+    batch-level marker alone would double-append the finished tiers."""
 
     def __init__(self, root: str):
         self.dir = os.path.join(root, "_batches")
         os.makedirs(self.dir, exist_ok=True)
 
-    def seen(self, batch_id: int) -> bool:
-        return os.path.exists(os.path.join(self.dir, f"{batch_id}.json"))
+    def _path(self, batch_id: int, tier: int) -> str:
+        return os.path.join(self.dir, f"{batch_id}_{tier}.json")
 
-    def commit(self, batch_id: int, info: dict) -> None:
-        path = os.path.join(self.dir, f"{batch_id}.json")
+    def seen(self, batch_id: int, tier: int) -> bool:
+        return os.path.exists(self._path(batch_id, tier))
+
+    def commit(self, batch_id: int, tier: int, info: dict) -> None:
+        path = self._path(batch_id, tier)
         tmp = path + f".tmp{os.getpid()}"
         with open(tmp, "w") as f:
-            json.dump({"batch_id": batch_id, **info}, f)
+            json.dump({"batch_id": batch_id, "tier": tier, **info}, f)
         os.replace(tmp, path)
 
     def history(self) -> list[dict]:
         rows = []
-        for f in sorted(os.listdir(self.dir)):
+        for f in os.listdir(self.dir):
             if f.endswith(".json"):
                 with open(os.path.join(self.dir, f)) as fh:
                     rows.append(json.load(fh))
-        return rows
+        # numeric order — lexicographic listing shuffles 10 before 2
+        return sorted(rows, key=lambda r: (r["batch_id"], -r["tier"]))
 
 
 def stream_token_tiers(
@@ -77,13 +86,15 @@ def stream_token_tiers(
     ledger = _BatchLedger(out_root)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        if ledger.seen(batch_id):
+        todo = [n for n in tiers if not ledger.seen(batch_id, n)]
+        if not todo:
             return
         out = token_tier_cascade(batch_df, list(tiers), algo=algo, mode=mode)
-        snaps = {}
         for n in tiers:
-            snaps[str(n)] = tables[n].append(out[n], summary={"batch_id": batch_id})
-        ledger.commit(batch_id, {"snapshots": snaps})
+            if n not in todo:  # written before a crash; skip, don't duplicate
+                continue
+            sid = tables[n].append(out[n], summary={"batch_id": batch_id})
+            ledger.commit(batch_id, n, {"snapshot": sid})
 
     writer = stream_df.writeStream.foreachBatch(_sink).option(
         "checkpointLocation",
