@@ -101,3 +101,69 @@ def test_queries_against_oracles_sf001(spark):
     if not os.path.isdir("/root/testdata/sf0.01"):
         pytest.skip("sf0.01 not present")
     test_queries_against_oracles(spark, "/root/testdata/sf0.01")
+
+
+def test_oracle_trailing_edge_drop_matches_kernel():
+    """The with-x oracle must reproduce the reference's trailing-point drop:
+    for some (x0, xn, m), float rounding lands trunc(edge_m) strictly below
+    max(x) and the kernel then drops the trailing point(s).  The sf test
+    data never hits the corner (every contract query matched before AND
+    after the oracle carried the final edge), so pin it with crafted
+    integer-x series found by sweep — the oracle, run on a crafted events
+    view, must select exactly the kernel's indices."""
+    import numpy as np
+    import pandas as pd
+
+    from tsdownsample_spark.kernels import selectors as K
+    from tsdownsample_spark.kernels.binning import equidistant_bins
+    from tsdownsample_spark.queries import _oracle_downsample_x
+
+    # deterministically sweep for series where trunc(edge_m) < max(x)
+    rng = np.random.default_rng(0)
+    cases = []
+    while len(cases) < 3:
+        n = int(rng.integers(30, 80))
+        x0 = int(rng.integers(0, 2**31))
+        xn = x0 + int(rng.integers(10**6, 2**31))
+        m = int(rng.integers(3, 30))
+        x = np.unique(rng.integers(x0, xn + 1, size=n).astype(np.int64))
+        if len(x) < 10:
+            continue
+        x[0], x[-1] = x0, xn
+        x = np.unique(x)
+        _, ends = equidistant_bins(x, m)
+        # need: the BINNED path (n > n_out — the oracle intentionally has no
+        # whole-series identity branch), a STRICT trailing drop (the final
+        # truncated edge below max(x)), and no point exactly on any edge
+        # (edge-equal collisions are the separately-documented divergence
+        # the engine reroutes to the kernel for)
+        step = float(x[-1]) / m - float(x[0]) / m
+        half = np.arange(1, m + 1) / 2.0
+        edges = np.trunc(float(x[0]) + step * half + step * half + 1e-12)
+        if (
+            ends[-1] < len(x)
+            and len(x) > 2 * m
+            and edges[-1] < x[-1]
+            and not np.isin(edges.astype(np.int64), x).any()
+        ):
+            cases.append((m, x))
+    for m, x in cases:
+        _, ends = equidistant_bins(x, m)
+        assert ends[-1] < len(x), "case must actually hit the trailing drop"
+        y = rng.standard_normal(len(x))
+        n_out = 2 * m
+        sel = K.minmax(y, n_out, x=x)
+
+        ev = pd.DataFrame(
+            {
+                "event_id": np.arange(len(x), dtype=np.int64),
+                "event_type": "crafted",
+                "ts": pd.to_datetime(x, unit="us"),
+                "value": y,
+            }
+        )
+        con = duckdb.connect()
+        con.register("events", ev)
+        got = con.sql(_oracle_downsample_x(2, n_out=n_out)).df()
+        got_idx = sorted(got["sel_idx"].tolist())
+        assert got_idx == sorted(np.asarray(sel).tolist()), (m, len(x))
