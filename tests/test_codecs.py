@@ -146,3 +146,53 @@ def test_spark_roundtrip(spark):
     pd.testing.assert_frame_equal(
         got[["doc_id", "ts", "value"]], exp[["doc_id", "ts", "value"]]
     )
+
+
+class TestTokenCodec:
+    def test_roundtrip_and_width(self):
+        import numpy as np
+
+        from tsdownsample_spark.functions.codecs import decode_tokens, encode_tokens
+
+        rng = np.random.default_rng(2)
+        for ln in (0, 1, 2, 3, 100, 4096):
+            t = rng.integers(0, 50_257, ln).astype(np.int32)
+            assert np.array_equal(decode_tokens(encode_tokens(t)), t)
+        # width adapts: tiny alphabet packs ~10x denser than int32
+        small = rng.integers(0, 4, 10_000).astype(np.int32)
+        assert len(encode_tokens(small)) < 10_000 * 4 / 10
+        # constant-zero sequence still width >= 1
+        z = np.zeros(64, dtype=np.int32)
+        assert np.array_equal(decode_tokens(encode_tokens(z)), z)
+        # negatives rejected (token ids are unsigned by contract)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            encode_tokens(np.array([-1], dtype=np.int32))
+
+    def test_spark_token_roundtrip(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from tsdownsample_spark.operators.compress import (
+            compress_tokens,
+            decompress_tokens,
+        )
+
+        rng = np.random.default_rng(3)
+        rows = [
+            (f"d{i}", rng.integers(0, 50_257, int(rng.integers(1, 400))).astype(np.int32).tolist())
+            for i in range(50)
+        ] + [("dnull", None), ("dempty", [])]
+        df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+        packed = compress_tokens(df)
+        assert "tokens" not in packed.columns
+        rt = decompress_tokens(packed)
+        got = {r["doc_id"]: r["tokens"] for r in rt.collect()}
+        assert got == dict(rows)
+        # ~2x vs int32 at 50k vocab (17 bits), headers amortized
+        sizes = packed.agg(F.sum(F.length("tokens_packed"))).collect()[0][0]
+        raw = df.agg(
+            F.sum(F.when(F.col("tokens").isNotNull(), 4 * F.size("tokens")).otherwise(0))
+        ).collect()[0][0]
+        assert sizes < raw * 0.6

@@ -27,7 +27,14 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["encode_dod", "decode_dod", "encode_gorilla", "decode_gorilla"]
+__all__ = [
+    "encode_dod",
+    "decode_dod",
+    "encode_gorilla",
+    "decode_gorilla",
+    "encode_tokens",
+    "decode_tokens",
+]
 
 
 def _pack_bits(fields: np.ndarray, widths: np.ndarray) -> bytes:
@@ -245,3 +252,43 @@ def decode_gorilla(data: bytes) -> np.ndarray:
             prev ^= payload << tz
         out[i] = prev
     return out.view(np.float64)
+
+
+# --------------------------------------------------- token-sequence codec
+
+
+def encode_tokens(tokens: np.ndarray) -> bytes:
+    """Fixed-width bit-pack an int32 token-id sequence.
+
+    Token ids are small non-negative ints (vocab ~50k -> 16-17 bits), so a
+    per-sequence fixed width of ``ceil(log2(max+1))`` bits beats both raw
+    int32 (~2x) and general-purpose delta codecs (token streams are not
+    monotone).  Header: n (uint32 LE), width (uint8); payload: each value's
+    ``width`` bits, LSB-first, bit-matrix-packed — fully vectorized, no
+    per-token Python.
+    """
+    t = np.ascontiguousarray(tokens, dtype=np.int64)
+    if t.size and t.min() < 0:
+        raise ValueError("token ids must be non-negative")
+    n = t.size
+    width = max(1, int(t.max()).bit_length()) if n else 1
+    head = np.uint32(n).tobytes() + np.uint8(width).tobytes()
+    if not n:
+        return head
+    shifts = np.arange(width, dtype=np.int64)
+    bits = ((t[:, None] >> shifts) & 1).astype(np.uint8)  # (n, width) LSB-first
+    return head + np.packbits(bits.ravel(), bitorder="little").tobytes()
+
+
+def decode_tokens(data: bytes) -> np.ndarray:
+    """Inverse of :func:`encode_tokens` -> int32 array (bit-exact)."""
+    n = int(np.frombuffer(data[:4], dtype=np.uint32)[0])
+    width = int(np.frombuffer(data[4:5], dtype=np.uint8)[0])
+    if not n:
+        return np.empty(0, dtype=np.int32)
+    bits = np.unpackbits(
+        np.frombuffer(data[5:], dtype=np.uint8), bitorder="little"
+    )[: n * width].reshape(n, width)
+    return (bits.astype(np.int64) << np.arange(width, dtype=np.int64)).sum(
+        axis=1
+    ).astype(np.int32)

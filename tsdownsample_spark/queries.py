@@ -1003,6 +1003,37 @@ def q_stream_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(out_root, ignore_errors=True)
 
 
+def q_token_compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-pack -> unpack the token table's sequences (the cold-tier storage
+    codec, ~2x vs int32 for a 50k vocab; functions/codecs.py encode_tokens)
+    and return every (doc_id, pos, token).  The oracle is a plain UNNEST of
+    the same parquet: the round trip must be bit-exact, so DuckDB's direct
+    read IS the expected output."""
+    from tsdownsample_spark.operators.compress import (
+        compress_tokens,
+        decompress_tokens,
+    )
+    from tsdownsample_spark.plans.shipping import ship_package
+
+    ship_package(spark)
+    df = spark.read.parquet(token_table_path())
+    rt = decompress_tokens(compress_tokens(df))
+    return (
+        rt.filter(F.col("tokens").isNotNull())
+        .select("doc_id", F.posexplode("tokens").alias("pos", "token"))
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+    )
+
+
+def _oracle_token_compress() -> str:
+    path = token_table_path()
+    return f"""
+SELECT doc_id, t.i AS pos, tokens[CAST(t.i AS INT) + 1] AS token
+FROM read_parquet('{path}'), UNNEST(range(len(tokens))) AS t(i)
+WHERE tokens IS NOT NULL
+"""
+
+
 # --------------------------------------------------- rollup / gapfill / codec
 
 
@@ -1230,6 +1261,7 @@ def queries() -> dict:
         "q_scan_downsample": q_scan_downsample,
         "q_token_tiers": q_token_tiers,
         "q_stream_tiers": q_stream_tiers,
+        "q_token_compress_roundtrip": q_token_compress_roundtrip,
     }
     base.update(queries_text.queries())
     base.update(queries_media.queries())
@@ -1276,6 +1308,7 @@ def oracle_sql() -> dict:
         "q_scan_downsample": _oracle_scan_downsample(),
         "q_token_tiers": _oracle_scan_downsample(16, token_table_path()),
         "q_stream_tiers": _oracle_scan_downsample(8, token_table_path()),
+        "q_token_compress_roundtrip": _oracle_token_compress(),
     }
     base.update(queries_text.oracle_sql())
     base.update(queries_media.oracle_sql())
