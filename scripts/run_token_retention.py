@@ -44,6 +44,10 @@ def main() -> None:
     ap.add_argument("--mode", default="auto", choices=["auto", "cascade", "from_raw"])
     ap.add_argument("--buckets", type=int, default=8, help="salt-bucket resume units")
     ap.add_argument("--verify-sample", type=int, default=0)
+    ap.add_argument(
+        "--pack", action="store_true",
+        help="store tier tokens bit-packed (~2x smaller; codecs.encode_tokens)",
+    )
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     args = ap.parse_args()
     tiers = [int(t) for t in args.tiers.split(",")]
@@ -63,13 +67,17 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     ship_package(spark)
+    # post-session import: compress.py's module-level pandas_udf decorators
+    # need an active SparkSession
+    from tsdownsample_spark.operators.compress import compress_tokens, decompress_tokens
 
     raw = spark.read.parquet(args.input)
     # params folded in: a resume record from a run with a different algo /
     # ladder / bucketing must not match (its tables hold other semantics)
     fingerprint = input_fingerprint(
         args.input,
-        {"tiers": tiers, "algo": args.algo, "mode": args.mode, "buckets": args.buckets},
+        {"tiers": tiers, "algo": args.algo, "mode": args.mode,
+         "buckets": args.buckets, "pack": args.pack},
     )
     salt = F.pmod(F.xxhash64("doc_id"), F.lit(args.buckets))
     parts = [str(b) for b in range(args.buckets)]
@@ -91,16 +99,22 @@ def main() -> None:
 
         def process(part: str, n_out=n_out, parent=parent):
             src = raw if parent is None else tables[parent].read(spark)
+            if parent is not None and args.pack:
+                src = decompress_tokens(src)  # cascade reads packed parents
             sub = src.filter(salt == int(part))
-            return downsample_tier(sub, n_out, algo=args.algo)
+            out = downsample_tier(sub, n_out, algo=args.algo)
+            return compress_tokens(out) if args.pack else out
 
         tier_fp = fingerprint
         if parent is not None:
             tier_fp = f"{fingerprint}:{tables[parent].current_snapshot_id()}"
         summary = job.run(parts, process, input_fingerprint=tier_fp)
         rows = sum(r["rows"] for r in job.lineage() if r["job"] == f"token_tier_{n_out}")
+        stored = table.read(spark)
+        if args.pack:
+            stored = decompress_tokens(stored)
         pts = (
-            table.read(spark)
+            stored
             .agg(F.sum(F.when(F.col("tokens").isNotNull(), F.size("tokens")).otherwise(0)))
             .collect()[0][0]
             or 0
@@ -116,7 +130,7 @@ def main() -> None:
 
     if args.verify_sample:
         report["invariant"] = _verify_invariant(
-            spark, raw, tables, args.algo, args.verify_sample
+            spark, raw, tables, args.algo, args.verify_sample, pack=args.pack
         )
 
     report["wall_s"] = round(time.time() - t0, 3)
@@ -136,7 +150,7 @@ def main() -> None:
         raise SystemExit("invariant check FAILED — see report JSON")
 
 
-def _verify_invariant(spark, raw, tables, algo: str, k: int) -> dict:
+def _verify_invariant(spark, raw, tables, algo: str, k: int, pack: bool = False) -> dict:
     """North-rule per-row invariant: for K sampled sequences, every tier's
     token array equals what the reference (drop-in class API) selects from
     the raw sequence at that tier's n_out."""
@@ -162,10 +176,14 @@ def _verify_invariant(spark, raw, tables, algo: str, k: int) -> dict:
     ids = [r["doc_id"] for r in sample]
     checked, ok = 0, True
     for n_out, table in tables.items():
+        stored = table.read(spark)
+        if pack:
+            from tsdownsample_spark.operators.compress import decompress_tokens
+
+            stored = decompress_tokens(stored)
         got = {
             r["doc_id"]: (list(r["sel_idx"]), list(r["tokens"]))
-            for r in table.read(spark)
-            .filter(F.col("doc_id").isin(ids))
+            for r in stored.filter(F.col("doc_id").isin(ids))
             .select("doc_id", "sel_idx", "tokens")
             .collect()
         }

@@ -108,3 +108,39 @@ def test_spark_submit_retention_pipeline(tmp_path, sf_dir):
     assert {k: v["rows"] for k, v in m2["tiers"].items()} == {
         k: v["rows"] for k, v in m1["tiers"].items()
     }
+
+
+@pytest.mark.slow
+def test_token_pipeline_packed_storage(tmp_path):
+    """--pack stores tier tokens bit-packed (binary column), the cascade
+    decompresses parents transparently, and the sampled reference invariant
+    verifies through the round trip.  Plain-python driver invocation — the
+    spark-submit launch surface is covered by the tests above."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, REPO)
+    from tsdownsample_spark.queries import token_table_path
+
+    out_dir = str(tmp_path / "packed")
+    cmd = [
+        sys.executable,
+        os.path.join(REPO, "scripts", "run_token_retention.py"),
+        "--input", token_table_path(),
+        "--output", out_dir,
+        "--tiers", "64,16",
+        "--buckets", "2",
+        "--cores", "4",
+        "--pack",
+        "--verify-sample", "6",
+    ]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=480)
+    assert r.returncode == 0, r.stderr[-3000:]
+    m = json.loads([ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1])
+    assert m["invariant"]["ok"] is True
+    # on-disk tier schema holds the packed binary, not raw arrays
+    files = glob.glob(os.path.join(out_dir, "tier_16", "data", "*", "*.parquet"))
+    assert files
+    names = pq.ParquetFile(files[0]).schema_arrow.names
+    assert "tokens_packed" in names and "tokens" not in names
