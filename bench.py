@@ -164,6 +164,34 @@ def main() -> None:
                 timings[f"tok_{shape}_{key}"] = round(dt, 3)
                 throughput[f"{shape}_{key}"] = round(total_points / dt)
 
+            # all-5-selectors-in-one-pass: the scan + Arrow pipe (the
+            # roofline's binding cost) is paid ONCE for five kernels, so
+            # the honest comparison is this wall vs the SUM of the five
+            # per-algo walls above; `big_multi5_agg` is algo-points/sec
+            # (5 selector evaluations per input point).
+            from tsdownsample_spark.operators.downsample import (
+                downsample_tokens_multi,
+            )
+
+            algos5 = ("minmax", "m4", "minmaxlttb", "lttb", "everynth")
+            sum_expr = F.sum(
+                sum(F.size(f"sel_idx_{a}") for a in algos5[1:])
+                + F.size(f"sel_idx_{algos5[0]}")
+            )
+            downsample_tokens_multi(df, n_out, algos=algos5).select(
+                sum_expr
+            ).collect()  # warm
+            reps = []
+            for _ in range(shape_reps):
+                t0 = time.time()
+                downsample_tokens_multi(df, n_out, algos=algos5).select(
+                    sum_expr
+                ).collect()
+                reps.append(time.time() - t0)
+            dt = min(reps)
+            timings[f"tok_{shape}_multi5"] = round(dt, 3)
+            throughput[f"{shape}_multi5_agg"] = round(total_points * len(algos5) / dt)
+
             # roofline probes: what this host allows (a) JVM-only columnar
             # scan+agg (no Python), (b) the bare JVM->Python Arrow pipe
             import pyarrow as pa

@@ -1,0 +1,150 @@
+"""asof_join vs pandas.merge_asof (independent reference implementation)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tsdownsample_spark.operators.asof import asof_join
+
+
+def _mk(spark, seed=7, n_left=400, n_right=120, keys=("a", "b", "c")):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame(
+        {
+            "k": rng.choice(keys, n_left),
+            "t": rng.integers(0, 10_000, n_left).astype("int64"),
+            "lv": rng.normal(size=n_left),
+        }
+    )
+    left["lid"] = np.arange(n_left, dtype="int64")
+    right = pd.DataFrame(
+        {
+            "k": rng.choice(keys, n_right),
+            "t": rng.integers(0, 10_000, n_right).astype("int64"),
+            "rv": rng.normal(size=n_right),
+        }
+    )
+    # unique right timestamps per key -> deterministic expected output
+    right = right.drop_duplicates(["k", "t"]).reset_index(drop=True)
+    return spark.createDataFrame(left), spark.createDataFrame(right), left, right
+
+
+def _expected(left, right, direction, tolerance=None):
+    exp = pd.merge_asof(
+        left.sort_values("t", kind="mergesort"),
+        right.sort_values("t", kind="mergesort").rename(columns={"t": "matched_t"}),
+        left_on="t",
+        right_on="matched_t",
+        by="k",
+        direction=direction,
+        tolerance=tolerance,
+    )
+    return exp.sort_values("lid", ignore_index=True)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_matches_pandas(spark, direction):
+    ldf, rdf, left, right = _mk(spark, seed=11)
+    out = (
+        asof_join(ldf, rdf, on="t", by=["k"], value_cols=["rv"],
+                  direction=direction, matched_col="matched_t")
+        .toPandas()
+        .sort_values("lid", ignore_index=True)
+    )
+    exp = _expected(left, right, direction)
+    assert np.array_equal(
+        out["matched_t"].to_numpy(dtype="float64", na_value=np.nan),
+        exp["matched_t"].to_numpy(dtype="float64", na_value=np.nan),
+        equal_nan=True,
+    )
+    assert np.allclose(
+        out["rv"].to_numpy(dtype="float64", na_value=np.nan),
+        exp["rv"].to_numpy(dtype="float64", na_value=np.nan),
+        equal_nan=True,
+        rtol=0,
+        atol=0,
+    )
+    # left columns pass through untouched
+    assert np.allclose(out["lv"], exp["lv"])
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_tolerance(spark, direction):
+    ldf, rdf, left, right = _mk(spark, seed=23)
+    out = (
+        asof_join(ldf, rdf, on="t", by=["k"], value_cols=["rv"],
+                  direction=direction, tolerance=250.0, matched_col="matched_t")
+        .toPandas()
+        .sort_values("lid", ignore_index=True)
+    )
+    exp = _expected(left, right, direction, tolerance=250)
+    assert np.array_equal(
+        out["matched_t"].to_numpy(dtype="float64", na_value=np.nan),
+        exp["matched_t"].to_numpy(dtype="float64", na_value=np.nan),
+        equal_nan=True,
+    )
+
+
+def test_asof_timestamps_and_tolerance_seconds(spark):
+    import pyspark.sql.functions as F
+
+    ldf = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:05"), ("a", "2024-01-01 00:10:00")],
+        "k string, ts_s string",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"))
+    rdf = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 1.0)], "k string, ts_s string, rv double"
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "rv")
+    out = (
+        asof_join(ldf, rdf, on="ts", by=["k"], value_cols=["rv"], tolerance=60.0)
+        .orderBy("ts")
+        .collect()
+    )
+    assert out[0]["rv"] == 1.0  # 5 s away: inside tolerance
+    assert out[1]["rv"] is None  # 10 min away: outside
+    assert out[1]["matched_ts"] is None
+
+
+def test_asof_inclusive_equal_ts_and_tiebreak(spark):
+    ldf = spark.createDataFrame([("a", 10, 0)], "k string, t long, lid long")
+    rdf = spark.createDataFrame(
+        [("a", 10, 1.0, 1), ("a", 10, 2.0, 2), ("a", 3, 9.0, 3)],
+        "k string, t long, rv double, rid long",
+    )
+    # backward: equal-ts right row matches (inclusive); max rid wins
+    out = asof_join(
+        ldf, rdf, on="t", by=["k"], value_cols=["rv"], right_tiebreak="rid"
+    ).collect()
+    assert out[0]["rv"] == 2.0 and out[0]["matched_ts"] == 10
+    # forward: min rid wins
+    out = asof_join(
+        ldf, rdf, on="t", by=["k"], value_cols=["rv"],
+        direction="forward", right_tiebreak="rid",
+    ).collect()
+    assert out[0]["rv"] == 1.0
+
+
+def test_asof_null_ts_and_clash_validation(spark):
+    ldf = spark.createDataFrame(
+        [("a", None, 7), ("a", 5, 8)], "k string, t long, lid long"
+    )
+    rdf = spark.createDataFrame([("a", 1, 4.5)], "k string, t long, rv double")
+    rows = {r["lid"]: r for r in
+            asof_join(ldf, rdf, on="t", by=["k"], value_cols=["rv"]).collect()}
+    assert rows[7]["rv"] is None and rows[7]["matched_ts"] is None
+    assert rows[8]["rv"] == 4.5
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(ldf, rdf.withColumnRenamed("rv", "lid"), on="t", by=["k"],
+                  value_cols=["lid"])
+    with pytest.raises(ValueError, match="backward"):
+        asof_join(ldf, rdf, on="t", by=["k"], direction="nearest")
+
+
+def test_asof_plan_single_exchange(spark):
+    """The union+window formulation shuffles ONCE (on the series key) —
+    no BroadcastNestedLoopJoin / CartesianProduct a range join would plan."""
+    ldf, rdf, *_ = _mk(spark, seed=3)
+    out = asof_join(ldf, rdf, on="t", by=["k"], value_cols=["rv"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 2  # one per input branch of the union

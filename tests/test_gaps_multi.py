@@ -1,0 +1,129 @@
+"""detect_gaps and downsample_tokens_multi unit tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tsdownsample_spark.operators.downsample import (
+    downsample_tokens,
+    downsample_tokens_multi,
+)
+from tsdownsample_spark.operators.gaps import detect_gaps
+
+ALL5 = ("minmax", "m4", "minmaxlttb", "lttb", "everynth")
+
+
+# ------------------------------------------------------------- detect_gaps
+
+
+def test_gaps_numeric_x_matches_numpy(spark):
+    rng = np.random.default_rng(5)
+    rows = []
+    for k in ("a", "b"):
+        ts = np.sort(rng.integers(0, 100_000, 500))
+        rows += [(k, int(t)) for t in ts]
+    df = spark.createDataFrame(rows, "k string, t long")
+    out = detect_gaps(df, x_col="t", by=["k"], min_gap=500.0)
+    got = {(r["k"], r["gap_start"], r["gap_end"], r["gap_s"]) for r in out.collect()}
+    exp = set()
+    for k in ("a", "b"):
+        ts = np.sort(np.array([t for kk, t in rows if kk == k]))
+        d = np.diff(ts)
+        for i in np.flatnonzero(d > 500):
+            exp.add((k, int(ts[i]), int(ts[i + 1]), float(d[i])))
+    assert got == exp
+
+
+def test_gaps_null_ts_ignored_and_strict_threshold(spark):
+    df = spark.createDataFrame(
+        [("a", 0), ("a", None), ("a", 10), ("a", 30)], "k string, t long"
+    )
+    out = detect_gaps(df, x_col="t", by=["k"], min_gap=10.0).collect()
+    # 0->10 is exactly 10: strictly-greater excluded; 10->30 reported;
+    # the NULL row neither breaks pairing nor appears as an endpoint
+    assert [(r["gap_start"], r["gap_end"], r["gap_s"]) for r in out] == [(10, 30, 20.0)]
+
+
+def test_gaps_timestamp_seconds(spark):
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00"), ("a", "2024-01-01 00:02:30")],
+        "k string, s string",
+    ).select("k", F.col("s").cast("timestamp").alias("ts"))
+    out = detect_gaps(df, x_col="ts", by=["k"], min_gap=60.0).collect()
+    assert len(out) == 1 and out[0]["gap_s"] == 150.0
+
+
+# ------------------------------------------- downsample_tokens_multi
+
+
+def _tok_df(spark, seed=3, n=60):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        ln = int(rng.integers(2, 300))
+        rows.append((f"d{i:03d}", rng.integers(0, 50_000, ln).astype("int32").tolist()))
+    rows.append(("dnull", None))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "tokens"]),
+        "doc_id string, tokens array<int>",
+    )
+
+
+def test_multi_matches_per_algo_single_runs(spark):
+    df = _tok_df(spark)
+    multi = (
+        downsample_tokens_multi(df, 20, algos=ALL5, output="select")
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    for algo in ALL5:
+        single = (
+            downsample_tokens(df, 20, algo=algo, output="select")
+            .toPandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        for doc in single.index:
+            s, m = single.loc[doc], multi.loc[doc]
+            if s["sel_idx"] is None:
+                assert m[f"sel_idx_{algo}"] is None
+                continue
+            assert np.array_equal(s["sel_idx"], m[f"sel_idx_{algo}"]), (algo, doc)
+            assert np.array_equal(s["sel_tokens"], m[f"sel_tokens_{algo}"]), (algo, doc)
+
+
+def test_multi_append_mode_keeps_tokens(spark):
+    df = _tok_df(spark, n=10)
+    out = downsample_tokens_multi(df, 8, algos=("minmax", "everynth"), output="append")
+    assert "tokens" in out.columns
+    assert "sel_idx_minmax" in out.columns and "sel_idx_everynth" in out.columns
+    assert "sel_tokens_minmax" not in out.columns
+    row = out.filter(F.col("doc_id") == "d003").collect()[0]
+    assert row["sel_idx_minmax"] is not None
+
+
+def test_multi_validation(spark):
+    df = _tok_df(spark, n=3)
+    with pytest.raises(ValueError, match="non-empty"):
+        downsample_tokens_multi(df, 8, algos=())
+    with pytest.raises(ValueError, match="duplicate"):
+        downsample_tokens_multi(df, 8, algos=("minmax", "minmax"))
+    with pytest.raises(ValueError, match="multiple of 4"):
+        downsample_tokens_multi(df, 10, algos=("m4",))
+    with pytest.raises(ValueError, match="already exists"):
+        downsample_tokens_multi(
+            df.withColumn("sel_idx_minmax", F.lit(1)), 8, algos=("minmax",)
+        )
+
+
+def test_multi_plan_is_single_pass_no_shuffle(spark):
+    """One narrow mapInArrow: no Exchange, and the scan appears ONCE (the
+    whole point — k selectors must not rescan the source k times)."""
+    df = _tok_df(spark, n=10)
+    out = downsample_tokens_multi(df, 8, algos=ALL5, output="select")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert plan.count("ArrowEvalPython") <= 1  # mapInArrow shows as MapInArrow
+    assert plan.count("MapInArrow") == 1

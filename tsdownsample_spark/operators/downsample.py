@@ -146,6 +146,85 @@ def downsample_tokens(
     return df.mapInArrow(_map, out_schema)
 
 
+def downsample_tokens_multi(
+    df: DataFrame,
+    n_out: int,
+    algos: Sequence[str] = ("minmax", "m4", "lttb", "minmaxlttb", "everynth"),
+    tokens_col: str = "tokens",
+    output: str = "select",
+    **kw,
+) -> DataFrame:
+    """Run SEVERAL selectors over the token column in ONE narrow pass.
+
+    At 100 TB the dominant cost of ``downsample_tokens`` is not the kernel —
+    it is reading + decoding the input and shipping it across the JVM->Python
+    Arrow pipe (see BENCH/BASELINE.md's roofline: the MinMax kernel adds zero
+    wall time on top of the bare pipe).  A dashboard or tier-build job that
+    wants k selectors therefore should NOT run k jobs: this operator scans
+    and ships each batch ONCE and runs every kernel on the in-cache buffers,
+    so k algorithms cost ~1 scan + k (cheap) kernel passes instead of
+    k scans — aggregate selector throughput approaches k× the single-algo
+    number.  Still a zero-shuffle narrow map.
+
+    Output: per algo, ``sel_idx_{algo}: array<bigint>`` and (with
+    ``output="select"``) ``sel_tokens_{algo}``; ``output="select"`` drops
+    the raw token column from the return leg (the 100 TB shape).
+    """
+    algos = list(algos)
+    if not algos:
+        raise ValueError("algos must be non-empty")
+    if len(set(algos)) != len(algos):
+        raise ValueError("duplicate algo in algos")
+    for a in algos:
+        _validate(a, n_out)
+    if output not in ("append", "select"):
+        raise ValueError("output must be 'append' or 'select'")
+
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from tsdownsample_spark.kernels.flat import select_and_gather
+
+    select_mode = output == "select"
+    for a in algos:
+        for c in (f"sel_idx_{a}",) + ((f"sel_tokens_{a}",) if select_mode else ()):
+            if c in df.columns:
+                raise ValueError(f"column {c!r} already exists")
+
+    base = df.drop(tokens_col) if select_mode else df
+    elem_type = df.schema[tokens_col].dataType.elementType
+    extra = []
+    for a in algos:
+        extra.append(T.StructField(f"sel_idx_{a}", T.ArrayType(T.LongType())))
+        if select_mode:
+            extra.append(T.StructField(f"sel_tokens_{a}", T.ArrayType(elem_type)))
+    out_schema = T.StructType(list(base.schema.fields) + extra)
+    tok_idx = df.columns.index(tokens_col)
+    keep_idx = [
+        i for i, c in enumerate(df.columns) if not (select_mode and i == tok_idx)
+    ]
+    keep_names = [df.columns[i] for i in keep_idx]
+
+    def _map(batches):
+        for batch in batches:
+            cols = [batch.column(i) for i in keep_idx]
+            names = list(keep_names)
+            tok_col = batch.column(tok_idx)
+            for a in algos:
+                sel_arr, tok_arr = select_and_gather(
+                    tok_col, n_out, a, gather=select_mode, **kw
+                )
+                cols.append(sel_arr)
+                names.append(f"sel_idx_{a}")
+                if select_mode:
+                    cols.append(tok_arr)
+                    names.append(f"sel_tokens_{a}")
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    return df.mapInArrow(_map, out_schema)
+
+
 def gather_values(
     df: DataFrame,
     tokens_col: str = "tokens",

@@ -1,0 +1,58 @@
+"""Gap detection: find where a series' sampling interval exceeds a
+threshold — the diagnostic companion to gap-fill (operators/gapfill.py
+repairs gaps; this reports them).
+
+The reference's equidistant binning silently skips empty bins
+(downsample_rs/src/searchsorted.rs:118-122); production pipelines need the
+inverse visibility: WHICH stretches of a series are missing, so retention
+jobs can re-ingest or gap-fill can be scoped.
+
+Spark-first: one ``lag`` window per series key — a single shuffle on the
+key (none on a source bucketed by it), O(1) state per row, no UDF.  The
+output is one row per detected gap, bounded by the number of gaps (not the
+number of points), so it is safe to collect/alert on at any input scale.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["detect_gaps"]
+
+
+def detect_gaps(
+    df: DataFrame,
+    x_col: str = "ts",
+    by: Sequence[str] = ("series_key",),
+    min_gap: float = 60.0,
+) -> DataFrame:
+    """Return ``by + (gap_start, gap_end, gap_s)`` for every consecutive
+    pair of points further than ``min_gap`` apart (strictly greater).
+
+    ``min_gap``/``gap_s`` are SECONDS for timestamp ``x_col`` and raw units
+    for numeric ``x_col``.  Duplicate timestamps are safe: ties order
+    arbitrarily but both orders yield the same (value-level) pairs, and a
+    zero gap never passes the filter.  NULL ``x_col`` rows are ignored.
+    """
+    by = list(by)
+    w = Window.partitionBy(*by).orderBy(x_col)
+    prev = F.lag(x_col).over(w)
+    t_dtype = dict(df.dtypes)[x_col]
+    if t_dtype.startswith("timestamp"):
+        # .cast("timestamp") folds TIMESTAMP_NTZ into unix_micros' domain
+        # (session tz is UTC per plans.session — repo-wide convention)
+        gap = (
+            F.unix_micros(F.col(x_col).cast("timestamp"))
+            - F.unix_micros(prev.cast("timestamp"))
+        ) / F.lit(1_000_000.0)
+    else:
+        gap = (F.col(x_col) - prev).cast("double")
+    return (
+        df.where(F.col(x_col).isNotNull())
+        .select(*by, prev.alias("gap_start"), F.col(x_col).alias("gap_end"),
+                gap.alias("gap_s"))
+        .where(F.col("gap_s") > F.lit(min_gap))
+    )

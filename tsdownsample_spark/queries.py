@@ -1037,6 +1037,219 @@ WHERE tokens IS NOT NULL
 # --------------------------------------------------- rollup / gapfill / codec
 
 
+# ------------------------------------------------- as-of join / gap report
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup: each event matched to the most recent COMPLETED
+    1-minute rollup bucket of its series (bucket close time <= event ts) —
+    the canonical tier-lookup every TS store pairs with continuous
+    aggregates.  Engine: union + one window (operators/asof.py), ONE shuffle
+    on the series key; oracle: DuckDB's native ASOF JOIN (an independent
+    range-join implementation)."""
+    from tsdownsample_spark.operators.asof import asof_join
+    from tsdownsample_spark.operators.rollup import retention_tiers
+
+    ev = load(spark, sf_dir, "events")
+    t1m = retention_tiers(
+        ev, x_col="ts", y_col="value", by=["event_type"], uid_col="event_id"
+    )["1m"]
+    right = t1m.select(
+        "event_type",
+        (F.col("bucket_ts") + F.expr("INTERVAL 1 MINUTE")).alias("ts"),
+        F.col("agg_min").alias("tier_min"),
+        F.col("agg_cnt").cast("long").alias("tier_cnt"),
+    )
+    return asof_join(
+        ev.select("event_id", "event_type", "ts"),
+        right,
+        on="ts",
+        by=["event_type"],
+        value_cols=["tier_min", "tier_cnt"],
+        matched_col="matched_ts",
+    )
+
+
+_ORACLE_ASOF = """
+WITH tier AS (
+    SELECT event_type,
+           CAST(date_trunc('minute', ts) AS TIMESTAMP) + INTERVAL 1 MINUTE AS bucket_end,
+           MIN(value) AS tier_min,
+           COUNT(*) AS tier_cnt
+    FROM events GROUP BY 1, 2
+)
+SELECT e.event_id, e.event_type, e.ts, t.bucket_end AS matched_ts,
+       t.tier_min, t.tier_cnt
+FROM events e ASOF LEFT JOIN tier t
+  ON e.event_type = t.event_type AND e.ts >= t.bucket_end
+"""
+
+_GAP_S = 1800.0
+
+
+def q_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Report every sampling gap > 30 min per event_type (operators/gaps.py:
+    one lag window, output bounded by the number of gaps)."""
+    from tsdownsample_spark.operators.gaps import detect_gaps
+
+    ev = load(spark, sf_dir, "events")
+    return detect_gaps(ev, x_col="ts", by=["event_type"], min_gap=_GAP_S)
+
+
+_ORACLE_GAPS = f"""
+WITH d AS (
+    SELECT event_type, ts,
+           LAG(ts) OVER (PARTITION BY event_type ORDER BY ts) AS prev
+    FROM events WHERE ts IS NOT NULL
+)
+SELECT event_type, prev AS gap_start, ts AS gap_end,
+       date_diff('microsecond', prev, ts) / 1e6 AS gap_s
+FROM d WHERE date_diff('microsecond', prev, ts) / 1e6 > {_GAP_S}
+"""
+
+
+# --------------------------------------------- multi-selector single scan
+
+_MULTI_ALGOS = ("minmax", "m4", "everynth")
+
+
+def q_multi_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Several selectors in ONE narrow pass over the token table
+    (downsample_tokens_multi): the input is scanned and shipped across the
+    Arrow pipe once, every kernel runs on the in-cache batch.  Exploded to
+    (doc_id, algo, pos, sel_idx, sel_token) via a single flatten — the
+    union-free shape that keeps the plan one pass end-to-end."""
+    from tsdownsample_spark.operators.downsample import downsample_tokens_multi
+    from tsdownsample_spark.plans.shipping import ship_package
+
+    ship_package(spark)
+    df = spark.read.parquet(scan_tokens_parquet_path())
+    out = downsample_tokens_multi(df, 20, algos=_MULTI_ALGOS, output="select")
+    per_algo = [
+        F.coalesce(
+            F.expr(
+                f"transform(sel_idx_{a}, (i, p) -> "
+                f"struct('{a}' AS algo, CAST(p AS BIGINT) AS pos, "
+                f"i AS sel_idx, sel_tokens_{a}[p] AS sel_token))"
+            ),
+            F.array(),
+        )
+        for a in _MULTI_ALGOS
+    ]
+    return (
+        out.select("doc_id", F.explode(F.flatten(F.array(*per_algo))).alias("s"))
+        .select("doc_id", "s.algo", "s.pos", "s.sel_idx", "s.sel_token")
+    )
+
+
+def _oracle_token_minmax_m4(algo: str, n_out: int, path: str) -> str:
+    """Equal-count MinMax/M4 over the token parquet, one algo block."""
+    k = 2 if algo == "minmax" else 4
+    m = n_out // k
+    mid_slots = """
+    SELECT * FROM mins WHERE r = 1
+    UNION ALL SELECT * FROM maxs WHERE r = 1
+"""
+    quad = (
+        mid_slots
+        if k == 2
+        else """
+    SELECT doc_id, i, rn, token, 1 AS r FROM firsts
+    UNION ALL SELECT doc_id, i, rn, token, r FROM mins WHERE r = 1
+    UNION ALL SELECT doc_id, i, rn, token, r FROM maxs WHERE r = 1
+    UNION ALL SELECT doc_id, i, rn, token, 1 AS r FROM lasts
+"""
+    )
+    extremes = (
+        ""
+        if k == 2
+        else """
+firsts AS (
+    SELECT doc_id, i, rn, token FROM binned WHERE rn = lo
+),
+lasts AS (
+    SELECT doc_id, i, rn, token FROM binned WHERE rn = hi - 1
+),"""
+    )
+    return f"""
+WITH src AS (
+    SELECT doc_id, tokens FROM read_parquet('{path}') WHERE tokens IS NOT NULL
+),
+long AS (
+    SELECT doc_id, tokens[CAST(t.i AS INT) + 1] AS token, t.i AS rn,
+           len(tokens) AS n
+    FROM src, UNNEST(range(len(tokens))) AS t(i)
+),
+bins AS (
+    SELECT doc_id, n, UNNEST(range({m})) AS i
+    FROM (SELECT DISTINCT doc_id, n FROM long) WHERE n > {n_out}
+),
+edges AS (
+    SELECT doc_id, i,
+           CASE WHEN i = 0 THEN 0
+                ELSE CAST(FLOOR((n - 1) / {m}.0 * i) AS BIGINT) + 1 END AS lo,
+           CAST(FLOOR((n - 1) / {m}.0 * (i + 1)) AS BIGINT) + 1 AS hi
+    FROM bins
+),
+binned AS (
+    SELECT l.doc_id, e.i, e.lo, e.hi, l.rn, l.token
+    FROM long l JOIN edges e ON l.doc_id = e.doc_id AND l.rn >= e.lo AND l.rn < e.hi
+),
+mins AS (
+    SELECT doc_id, i, rn, token,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, i ORDER BY token ASC, rn ASC) AS r
+    FROM binned
+),
+maxs AS (
+    SELECT doc_id, i, rn, token,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, i ORDER BY token DESC, rn ASC) AS r
+    FROM binned
+),{extremes}
+slots AS ({quad}),
+numbered AS (
+    SELECT doc_id, i, rn, token,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, i ORDER BY rn) - 1 AS o
+    FROM slots
+)
+SELECT doc_id, '{algo}' AS algo, {k} * i + o AS pos, rn AS sel_idx,
+       token AS sel_token
+FROM numbered
+UNION ALL
+SELECT doc_id, '{algo}' AS algo, rn AS pos, rn AS sel_idx, token AS sel_token
+FROM long WHERE n <= {n_out}
+"""
+
+
+def _oracle_token_everynth(n_out: int, path: str) -> str:
+    # step = max(1, n/n_out); idx_k = floor(k*step) for k*step < n - 0.1
+    # (reference tsdownsample/downsamplers.py:157-158)
+    return f"""
+WITH src AS (
+    SELECT doc_id, tokens, len(tokens) AS n
+    FROM read_parquet('{path}') WHERE tokens IS NOT NULL
+),
+ks AS (
+    SELECT doc_id, tokens, n,
+           UNNEST(range(CAST(CEIL((n - 0.1) / GREATEST(1.0, n / {n_out}.0)) AS BIGINT))) AS k
+    FROM src
+)
+SELECT doc_id, 'everynth' AS algo, k AS pos,
+       CAST(FLOOR(k * GREATEST(1.0, n / {n_out}.0)) AS BIGINT) AS sel_idx,
+       tokens[CAST(FLOOR(k * GREATEST(1.0, n / {n_out}.0)) AS INT) + 1] AS sel_token
+FROM ks
+"""
+
+
+def _oracle_multi_select(n_out: int = 20) -> str:
+    path = scan_tokens_parquet_path()
+    blocks = [
+        _oracle_token_minmax_m4("minmax", n_out, path),
+        _oracle_token_minmax_m4("m4", n_out, path),
+        _oracle_token_everynth(n_out, path),
+    ]
+    return "\nUNION ALL\n".join(f"SELECT * FROM ({b})" for b in blocks)
+
+
 def _q_rollup(tier: str):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from tsdownsample_spark.operators.rollup import retention_tiers
@@ -1258,6 +1471,9 @@ def queries() -> dict:
         "q_gapfill_locf": _q_gapfill("locf"),
         "q_gapfill_linear": _q_gapfill("linear"),
         "q_compress_roundtrip": _q_compress_roundtrip,
+        "q_asof_join": q_asof_join,
+        "q_gap_detect": q_gap_detect,
+        "q_multi_select": q_multi_select,
         "q_scan_downsample": q_scan_downsample,
         "q_token_tiers": q_token_tiers,
         "q_stream_tiers": q_stream_tiers,
@@ -1305,6 +1521,9 @@ def oracle_sql() -> dict:
         "q_gapfill_locf": _oracle_gapfill("locf"),
         "q_gapfill_linear": _ORACLE_GAPFILL_LINEAR,
         "q_compress_roundtrip": "SELECT event_type, ts, value FROM events",
+        "q_asof_join": _ORACLE_ASOF,
+        "q_gap_detect": _ORACLE_GAPS,
+        "q_multi_select": _oracle_multi_select(),
         "q_scan_downsample": _oracle_scan_downsample(),
         "q_token_tiers": _oracle_scan_downsample(16, token_table_path()),
         "q_stream_tiers": _oracle_scan_downsample(8, token_table_path()),
