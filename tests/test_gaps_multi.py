@@ -1,4 +1,4 @@
-"""detect_gaps and downsample_tokens_multi unit tests."""
+"""detect_gaps, downsample_tokens_multi, and quantile_tier unit tests."""
 
 import numpy as np
 import pandas as pd
@@ -116,6 +116,58 @@ def test_multi_validation(spark):
         downsample_tokens_multi(
             df.withColumn("sel_idx_minmax", F.lit(1)), 8, algos=("minmax",)
         )
+
+
+# ------------------------------------------------------- quantile_tier
+
+
+def test_quantile_tier_exact_matches_numpy(spark):
+    from tsdownsample_spark.operators.rollup import quantile_tier
+
+    rng = np.random.default_rng(9)
+    base = pd.Timestamp("2024-03-01")
+    pdf = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b"], 2000),
+            "ts": base + pd.to_timedelta(rng.integers(0, 3 * 3600, 2000), unit="s"),
+            "value": rng.normal(size=2000),
+        }
+    )
+    out = quantile_tier(
+        spark.createDataFrame(pdf), tier="1h", x_col="ts", y_col="value",
+        by=["k"], ps=(0.5, 0.95), exact=True,
+    ).toPandas()
+    for _, r in out.iterrows():
+        grp = pdf[(pdf["k"] == r["k"]) & (pdf["ts"].dt.floor("h") == r["bucket_ts"])]
+        assert r["agg_cnt"] == len(grp)
+        # np.quantile 'linear' is the same interpolation rule
+        assert r["p_50"] == pytest.approx(np.quantile(grp["value"], 0.5), abs=1e-12)
+        assert r["p_95"] == pytest.approx(np.quantile(grp["value"], 0.95), abs=1e-12)
+
+
+def test_quantile_tier_approx_is_mergeable_and_close(spark):
+    from tsdownsample_spark.operators.rollup import quantile_tier
+
+    rng = np.random.default_rng(17)
+    base = pd.Timestamp("2024-03-01")
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 5000,
+            "ts": base + pd.to_timedelta(rng.integers(0, 60, 5000), unit="s"),
+            "value": rng.normal(size=5000),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(8)  # force multi-partition merge
+    out = quantile_tier(
+        df, tier="1m", x_col="ts", y_col="value", by=["k"],
+        ps=(0.5,), exact=False, accuracy=10_000,
+    )
+    # the sketch must be map-side combined (partial_approx_percentile),
+    # i.e. bounded state per task — the 100 TB requirement
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_approx_percentile" in plan
+    got = out.collect()[0]["p_50"]
+    assert abs(got - np.quantile(pdf["value"], 0.5)) < 0.05
 
 
 def test_multi_plan_is_single_pass_no_shuffle(spark):

@@ -107,6 +107,51 @@ def retention_tiers(
     return tiers
 
 
+def quantile_tier(
+    df: DataFrame,
+    tier: str = "1h",
+    x_col: str = "ts",
+    y_col: str = "value",
+    by: Sequence[str] = ("series_key",),
+    ps: Sequence[float] = (0.5, 0.95, 0.99),
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Percentile rollup tier: per (keys, bucket) p-quantiles + count —
+    the latency-dashboard companion to the min/max/sum tiers.
+
+    ``exact=True`` uses Spark's exact ``percentile`` (linear interpolation,
+    bit-identical to DuckDB's ``quantile_cont`` — the oracle for
+    ``q_quantiles``).  Exact percentile buffers each group's values on the
+    reducer, so it is only safe when a single (keys, bucket) group fits in
+    executor memory — true for tier buckets by construction (a 1m/1h bucket
+    of one series), NOT for whole-series groups.  For unbounded groups or
+    maximum scale use ``exact=False``: ``approx_percentile`` is a mergeable
+    sketch (map-side combined, bounded memory, rank error ~1/accuracy) and
+    the only sane shape at 100 TB; it is deliberately NOT oracle-backed
+    (approx results are engine-specific).
+
+    Output: ``by + bucket_ts + agg_cnt + p_{percent}`` per p in ``ps``.
+    """
+    unit = TIER_UNITS[tier]
+    bucket = F.date_trunc(unit, F.col(x_col)).alias("bucket_ts")
+
+    def _name(p: float) -> str:
+        s = f"{p * 100:g}".replace(".", "_")
+        return f"p_{s}"
+
+    if exact:
+        aggs = [F.percentile(y_col, F.lit(p)).alias(_name(p)) for p in ps]
+    else:
+        aggs = [
+            F.approx_percentile(y_col, F.lit(p), F.lit(accuracy)).alias(_name(p))
+            for p in ps
+        ]
+    return df.groupBy(*by, bucket).agg(
+        F.count(y_col).cast("long").alias("agg_cnt"), *aggs
+    )
+
+
 def with_derived(df: DataFrame) -> DataFrame:
     """Attach derived metrics (avg) to a tier table."""
     return df.withColumn("agg_avg", F.col("agg_sum") / F.col("agg_cnt"))

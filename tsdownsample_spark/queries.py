@@ -1108,6 +1108,30 @@ FROM d WHERE date_diff('microsecond', prev, ts) / 1e6 > {_GAP_S}
 """
 
 
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile rollup (operators/rollup.py:quantile_tier): per
+    (event_type, day) p50/p95/p99 + count.  Spark's exact `percentile`
+    (linear interpolation) is bit-identical to DuckDB's `quantile_cont` —
+    verified, not assumed.  The approx_percentile sketch variant is the
+    100 TB path (mergeable, bounded memory) and is pytest-gated instead."""
+    from tsdownsample_spark.operators.rollup import quantile_tier
+
+    ev = load(spark, sf_dir, "events")
+    return quantile_tier(
+        ev, tier="1d", x_col="ts", y_col="value", by=["event_type"], exact=True
+    )
+
+
+_ORACLE_QUANTILES = """
+SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
+       COUNT(value) AS agg_cnt,
+       quantile_cont(value, 0.5) AS p_50,
+       quantile_cont(value, 0.95) AS p_95,
+       quantile_cont(value, 0.99) AS p_99
+FROM events GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------- multi-selector single scan
 
 _MULTI_ALGOS = ("minmax", "m4", "everynth")
@@ -1473,6 +1497,7 @@ def queries() -> dict:
         "q_compress_roundtrip": _q_compress_roundtrip,
         "q_asof_join": q_asof_join,
         "q_gap_detect": q_gap_detect,
+        "q_quantiles": q_quantiles,
         "q_multi_select": q_multi_select,
         "q_scan_downsample": q_scan_downsample,
         "q_token_tiers": q_token_tiers,
@@ -1523,6 +1548,7 @@ def oracle_sql() -> dict:
         "q_compress_roundtrip": "SELECT event_type, ts, value FROM events",
         "q_asof_join": _ORACLE_ASOF,
         "q_gap_detect": _ORACLE_GAPS,
+        "q_quantiles": _ORACLE_QUANTILES,
         "q_multi_select": _oracle_multi_select(),
         "q_scan_downsample": _oracle_scan_downsample(),
         "q_token_tiers": _oracle_scan_downsample(16, token_table_path()),
