@@ -170,6 +170,67 @@ def test_quantile_tier_approx_is_mergeable_and_close(spark):
     assert abs(got - np.quantile(pdf["value"], 0.5)) < 0.05
 
 
+# ------------------------------------------- counter_rate / time_weighted_avg
+
+
+def test_counter_rate_reset_rule(spark):
+    from tsdownsample_spark.operators.rate import counter_rate
+
+    df = spark.createDataFrame(
+        [("a", 0, 10.0), ("a", 10, 25.0), ("a", 20, 5.0), ("a", 25, 8.0)],
+        "k string, t long, value double",
+    )
+    out = {r["t"]: r for r in
+           counter_rate(df, x_col="t", y_col="value", by=["k"]).collect()}
+    assert out[0]["delta"] is None and out[0]["rate_s"] is None
+    assert out[10]["delta"] == 15.0 and out[10]["rate_s"] == 1.5
+    # reset: 25 -> 5 means the counter restarted; increase = raw value
+    assert out[20]["delta"] == 5.0 and out[20]["rate_s"] == 0.5
+    assert out[25]["delta"] == 3.0 and out[25]["rate_s"] == pytest.approx(0.6)
+    # resets off: raw (negative) delta, rate still emitted
+    raw = {r["t"]: r for r in
+           counter_rate(df, x_col="t", y_col="value", by=["k"],
+                        handle_resets=False).collect()}
+    assert raw[20]["delta"] == -20.0 and raw[20]["rate_s"] == -2.0
+
+
+def test_counter_rate_duplicate_ts_no_divzero(spark):
+    from tsdownsample_spark.operators.rate import counter_rate
+
+    df = spark.createDataFrame(
+        [("a", 5, 1, 1.0), ("a", 5, 2, 4.0), ("a", 6, 3, 6.0)],
+        "k string, t long, uid long, value double",
+    )
+    out = {r["value"]: r for r in
+           counter_rate(df, x_col="t", y_col="value", by=["k"],
+                        tiebreak=["uid"]).collect()}
+    # dt == 0 between the two t=5 rows: delta defined, rate NULL (no div/0)
+    assert out[4.0]["delta"] == 3.0 and out[4.0]["rate_s"] is None
+    assert out[6.0]["delta"] == 2.0 and out[6.0]["rate_s"] == 2.0
+
+
+def test_time_weighted_avg_vs_manual(spark):
+    from tsdownsample_spark.operators.rate import time_weighted_avg
+
+    base = pd.Timestamp("2024-05-01 00:00:00")
+    rows = [
+        ("a", base.to_pydatetime(), 10.0),                            # held 60 s
+        ("a", (base + pd.Timedelta(seconds=60)).to_pydatetime(), 20.0),   # 2940 s
+        ("a", (base + pd.Timedelta(seconds=3000)).to_pydatetime(), 40.0), # no weight
+        ("a", (base + pd.Timedelta(hours=2)).to_pydatetime(), 7.0),   # lone: NULL
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = {r["bucket_ts"]: r for r in
+           time_weighted_avg(df, tier="1h", x_col="ts", y_col="value",
+                             by=["k"]).collect()}
+    b0 = out[base.to_pydatetime()]
+    exp = (10.0 * 60 + 20.0 * 2940) / 3000
+    assert b0["twa"] == pytest.approx(exp, rel=1e-12)
+    assert b0["w_s"] == 3000.0
+    lone = out[(base + pd.Timedelta(hours=2)).to_pydatetime()]
+    assert lone["twa"] is None and lone["w_s"] is None
+
+
 def test_multi_plan_is_single_pass_no_shuffle(spark):
     """One narrow mapInArrow: no Exchange, and the scan appears ONCE (the
     whole point — k selectors must not rescan the source k times)."""

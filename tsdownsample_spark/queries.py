@@ -1132,6 +1132,71 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style per-point increase + per-second rate with counter-reset
+    handling (operators/rate.py).  Pure lag-window arithmetic — bit-exact
+    across engines, no rounding needed."""
+    from tsdownsample_spark.operators.rate import counter_rate
+
+    ev = load(spark, sf_dir, "events")
+    return counter_rate(
+        ev, x_col="ts", y_col="value", by=["event_type"], tiebreak=["event_id"]
+    )
+
+
+_ORACLE_COUNTER_RATE = """
+WITH d AS (
+    SELECT event_type, ts, value,
+           LAG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS pv,
+           LAG(ts)    OVER (PARTITION BY event_type ORDER BY ts, event_id) AS pt
+    FROM events
+)
+SELECT event_type, ts, value,
+       CASE WHEN value - pv < 0 THEN value ELSE value - pv END AS delta,
+       CASE WHEN date_diff('microsecond', pt, ts) / 1e6 > 0 THEN
+            (CASE WHEN value - pv < 0 THEN value ELSE value - pv END)
+            / (date_diff('microsecond', pt, ts) / 1e6)
+       END AS rate_s
+FROM d
+"""
+
+
+def q_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per (event_type, hour) — LOCF weighting
+    (operators/rate.py:time_weighted_avg).  The SUM folds are order-
+    sensitive across engines, so both sides round to 6 decimals (the
+    rollup-tier convention)."""
+    from tsdownsample_spark.operators.rate import time_weighted_avg
+
+    ev = load(spark, sf_dir, "events")
+    out = time_weighted_avg(
+        ev, tier="1h", x_col="ts", y_col="value", by=["event_type"],
+        tiebreak=["event_id"],
+    )
+    return out.select(
+        "event_type",
+        "bucket_ts",
+        F.round("twa", 6).alias("twa_r"),
+        F.round("w_s", 6).alias("w_s_r"),
+    )
+
+
+_ORACLE_TWA = """
+WITH d AS (
+    SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_ts,
+           ts, value,
+           LEAD(ts) OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                          ORDER BY ts, event_id) AS nt
+    FROM events
+)
+SELECT event_type, bucket_ts,
+       ROUND(SUM(value * (date_diff('microsecond', ts, nt) / 1e6))
+             / SUM(date_diff('microsecond', ts, nt) / 1e6), 6) AS twa_r,
+       ROUND(SUM(date_diff('microsecond', ts, nt) / 1e6), 6) AS w_s_r
+FROM d GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------- multi-selector single scan
 
 _MULTI_ALGOS = ("minmax", "m4", "everynth")
@@ -1498,6 +1563,8 @@ def queries() -> dict:
         "q_asof_join": q_asof_join,
         "q_gap_detect": q_gap_detect,
         "q_quantiles": q_quantiles,
+        "q_counter_rate": q_counter_rate,
+        "q_twa": q_twa,
         "q_multi_select": q_multi_select,
         "q_scan_downsample": q_scan_downsample,
         "q_token_tiers": q_token_tiers,
@@ -1549,6 +1616,8 @@ def oracle_sql() -> dict:
         "q_asof_join": _ORACLE_ASOF,
         "q_gap_detect": _ORACLE_GAPS,
         "q_quantiles": _ORACLE_QUANTILES,
+        "q_counter_rate": _ORACLE_COUNTER_RATE,
+        "q_twa": _ORACLE_TWA,
         "q_multi_select": _oracle_multi_select(),
         "q_scan_downsample": _oracle_scan_downsample(),
         "q_token_tiers": _oracle_scan_downsample(16, token_table_path()),
