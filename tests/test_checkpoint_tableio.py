@@ -192,3 +192,100 @@ def test_iceberg_branch_executes_into_spark(spark, tmp_path):
         read_table(spark, "nosuchcat.db.tokens", fmt="iceberg").collect()
     msg = str(rex.value).lower()
     assert "iceberg" in msg or "data source" in msg or "nosuchcat" in msg
+
+
+def test_compact_preserves_content_and_time_travel(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    for i in range(4):
+        t.append(spark.range(i * 10, i * 10 + 10).repartition(3))
+    pre = t.current_snapshot_id()
+    n_files_pre = len(t.snapshot()["files"])
+    assert n_files_pre >= 8
+    sid = t.compact(spark, target_rows_per_file=100)
+    assert sid is not None
+    snap = t.snapshot()
+    assert snap["operation"] == "replace"
+    assert len(snap["files"]) < n_files_pre
+    # identical rows, before and after
+    assert sorted(r["id"] for r in t.read(spark).collect()) == list(range(40))
+    # time travel to the pre-compaction snapshot still works (files on disk)
+    assert t.read(spark, snapshot_id=pre).count() == 40
+    # compacting again is a no-op
+    assert t.compact(spark, target_rows_per_file=100) is None
+
+
+def test_expire_snapshots_collects_orphans(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    for i in range(3):
+        t.append(spark.range(i * 5, i * 5 + 5).repartition(2))
+    t.compact(spark, target_rows_per_file=1000)
+    all_files = {f for s in t.history() for f in s["files"]}
+    res = t.expire_snapshots(keep_last=1)
+    assert res["expired_snapshots"] == 3 and res["deleted_files"] > 0
+    # current still reads the full content; expired files are gone from disk
+    assert sorted(r["id"] for r in t.read(spark).collect()) == list(range(15))
+    live = set(t.snapshot()["files"])
+    for f in all_files - live:
+        assert not os.path.exists(f)
+    # chain root has no dangling parent
+    hist = t.history()
+    assert len(hist) == 1 and hist[0]["parent"] is None
+    # expiring again: nothing left to do
+    assert t.expire_snapshots(keep_last=1) == {
+        "expired_snapshots": 0,
+        "deleted_files": 0,
+    }
+
+
+def test_continuous_rollup_skips_replace_and_guards_lost_cursor(spark, tmp_path):
+    import pandas as pd
+
+    from tsdownsample_spark.operators.rollup import continuous_rollup
+
+    raw = SnapshotTable(str(tmp_path / "raw"))
+    tier = SnapshotTable(str(tmp_path / "tier"))
+    base = pd.Timestamp("2024-02-01")
+
+    def batch(off, n=60):
+        pdf = pd.DataFrame(
+            {
+                "k": ["a"] * n,
+                "ts": [
+                    (base + pd.Timedelta(seconds=off * 3600 + i * 30)).to_pydatetime()
+                    for i in range(n)
+                ],
+                "value": [float(off * 1000 + i) for i in range(n)],
+            }
+        )
+        return spark.createDataFrame(pdf)
+
+    raw.append(batch(0))
+    continuous_rollup(spark, raw, tier, tier="1m", x_col="ts", y_col="value", by=["k"])
+    total_before = tier.read(spark).agg(F.sum("agg_cnt")).collect()[0][0]
+    # compaction of raw must NOT feed rows back into the tier
+    assert raw.compact(spark, target_rows_per_file=10_000, min_files=1) is not None
+    assert (
+        continuous_rollup(
+            spark, raw, tier, tier="1m", x_col="ts", y_col="value", by=["k"]
+        )
+        is None
+    )
+    assert (
+        tier.read(spark).agg(F.sum("agg_cnt")).collect()[0][0] == total_before == 60
+    )
+    # a real append after compaction IS consumed
+    raw.append(batch(1))
+    assert (
+        continuous_rollup(
+            spark, raw, tier, tier="1m", x_col="ts", y_col="value", by=["k"]
+        )
+        is not None
+    )
+    assert tier.read(spark).agg(F.sum("agg_cnt")).collect()[0][0] == 120
+    # losing the cursor snapshot (expire past it) fails loudly, not silently
+    raw.append(batch(2))
+    raw.expire_snapshots(keep_last=1)
+    with pytest.raises(RuntimeError, match="resume cursor"):
+        continuous_rollup(
+            spark, raw, tier, tier="1m", x_col="ts", y_col="value", by=["k"]
+        )

@@ -217,9 +217,20 @@ def continuous_rollup(
             if snap["snapshot_id"] == done:
                 start = i + 1
                 break
+        else:
+            # the cursor snapshot was expired (e.g. compaction + expire):
+            # silently restarting at 0 would re-aggregate history into the
+            # tier — refuse and make the operator decision explicit
+            raise RuntimeError(
+                f"resume cursor {done!r} no longer exists in {raw_table.root}; "
+                "rebuild the tier from scratch or repoint the cursor"
+            )
     new_files: list[str] = []
     for snap in chain[start:]:
-        new_files.extend(snap["added_files"])
+        # replace commits (compaction) rewrite EXISTING rows into new files;
+        # consuming their added_files would double-count every row
+        if snap.get("operation", "append") == "append":
+            new_files.extend(snap["added_files"])
     if not new_files:
         return None
     delta = rollup_raw(

@@ -5,7 +5,8 @@ of Iceberg semantics the engine codes against, in a way that swaps cleanly
 for `spark.read.format("iceberg")` when the jar is present:
 
 * **append-only data files** — every commit writes a new directory of
-  parquet files; nothing is rewritten;
+  parquet files; existing files are never mutated (compaction writes NEW
+  files and publishes a replace commit; expiry deletes whole files);
 * **atomic snapshots** — a commit is a JSON manifest (file list + parent
   snapshot + summary) written with write-then-rename; readers resolve a
   snapshot id to an exact file list (time travel for free);
@@ -74,13 +75,22 @@ class SnapshotTable:
         )
         parent = self.current_snapshot_id()
         prev_files = self.snapshot(parent)["files"] if parent else []
-        sid = f"{int(time.time() * 1e6)}-{commit_id}"
+        return self._commit(prev_files + files, files, "append", summary)
+
+    def _commit(
+        self, files: list, added: list, operation: str, summary: dict | None
+    ) -> str:
+        sid = f"{int(time.time() * 1e6)}-{uuid.uuid4().hex[:12]}"
         snap = {
             "snapshot_id": sid,
-            "parent": parent,
+            "parent": self.current_snapshot_id(),
             "ts": time.time(),
-            "files": prev_files + files,
-            "added_files": files,
+            # "append" adds rows; "replace" rewrites the SAME rows into new
+            # files (compaction) — incremental consumers must skip replace
+            # commits or they double-read (operators/rollup.py honors this)
+            "operation": operation,
+            "files": files,
+            "added_files": added,
             "summary": summary or {},
         }
         tmp = self._snap_path(sid) + ".tmp"
@@ -92,6 +102,85 @@ class SnapshotTable:
             f.write(sid)
         os.replace(cur_tmp, os.path.join(self.snap_dir, "current"))
         return sid
+
+    # -------------------------------------------------------- maintenance
+    def compact(
+        self,
+        spark: SparkSession,
+        target_rows_per_file: int = 1_000_000,
+        min_files: int = 2,
+    ) -> str | None:
+        """Rewrite the current file set into ~``target_rows_per_file``-sized
+        files as a REPLACE commit (Iceberg's ``rewrite_data_files``).
+
+        Many small appends (one per micro-batch / tier refresh) leave a
+        table fragmented; at warehouse scale the scan's task count and
+        footer-read overhead follow the file count, so compaction is routine
+        maintenance.  Old files stay on disk — time travel to pre-compaction
+        snapshots keeps working until ``expire_snapshots`` collects them.
+        Row counts come from parquet footers (driver-side metadata reads,
+        no data pass).  Returns the new snapshot id, or None when the table
+        has fewer than ``min_files`` data files (idempotent: compacting a
+        compacted table is a no-op).
+        """
+        import pyarrow.parquet as pq
+
+        snap = self.snapshot()
+        if snap is None or len(snap["files"]) < max(min_files, 2):
+            return None
+        rows = sum(pq.ParquetFile(f).metadata.num_rows for f in snap["files"])
+        n_files = max(1, -(-rows // target_rows_per_file))
+        if n_files >= len(snap["files"]):
+            return None  # already at/above target density
+        commit_id = uuid.uuid4().hex[:12]
+        data_dir = os.path.join(self.root, "data", commit_id)
+        df = spark.read.parquet(*snap["files"]).repartition(n_files)
+        df.write.mode("overwrite").parquet(data_dir)
+        files = sorted(
+            os.path.join(data_dir, f)
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        )
+        return self._commit(
+            files, files, "replace",
+            {"compacted_from": len(snap["files"]), "rows": rows},
+        )
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Drop all but the last ``keep_last`` snapshots and delete data
+        files no surviving snapshot references (Iceberg's
+        ``expire_snapshots``).  The oldest kept snapshot becomes the chain
+        root (its parent pointer is cleared — the one manifest rewrite).
+        Returns {"expired_snapshots": n, "deleted_files": n}.
+
+        Ordering with incremental consumers: only expire snapshots that
+        every downstream cursor (continuous_rollup's raw_snapshot marker)
+        has moved past — expiring an unconsumed append deletes files its
+        delta still needs (the read then fails loudly, never silently).
+        """
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        hist = self.history()
+        if len(hist) <= keep_last:
+            return {"expired_snapshots": 0, "deleted_files": 0}
+        kept, expired = hist[-keep_last:], hist[:-keep_last]
+        live = {f for snap in kept for f in snap["files"]}
+        dead = {
+            f for snap in expired for f in snap["files"] if f not in live
+        }
+        for f in sorted(dead):
+            if os.path.exists(f):
+                os.remove(f)
+        for snap in expired:
+            p = self._snap_path(snap["snapshot_id"])
+            if os.path.exists(p):
+                os.remove(p)
+        root = dict(kept[0], parent=None)
+        tmp = self._snap_path(root["snapshot_id"]) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(root, f)
+        os.replace(tmp, self._snap_path(root["snapshot_id"]))
+        return {"expired_snapshots": len(expired), "deleted_files": len(dead)}
 
     # --------------------------------------------------------------- read
     def read(self, spark: SparkSession, snapshot_id: str | None = None) -> DataFrame:
