@@ -1,0 +1,121 @@
+"""Stateful streaming counter-rate: stream output must EXACTLY equal the
+batch operator's (pure pair arithmetic — bit-for-bit), with the previous
+observation carried across micro-batch boundaries."""
+
+import os
+import shutil
+import time as _time
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsdownsample_spark.operators.rate import counter_rate
+from tsdownsample_spark.streaming.stream_rate import stream_counter_rate
+
+
+@pytest.mark.slow
+def test_stream_counter_rate_matches_batch(spark, tmp_path, sf_dir):
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_type",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "value",
+        )
+        .dropDuplicates(["event_type", "ts"])
+    )
+    # split by TIME so batch 2's first deltas depend on batch-1 state
+    cut = ev.selectExpr("percentile_approx(CAST(ts AS DOUBLE), 0.5) p").collect()[0][
+        "p"
+    ]
+    b1 = ev.filter(F.col("ts").cast("double") <= cut)
+    b2 = ev.filter(F.col("ts").cast("double") > cut)
+    flat = str(tmp_path / "in")
+    os.makedirs(flat)
+    b1.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b1"))
+    b2.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b2"))
+    i = 0
+    now = _time.time()
+    for j, sub in enumerate(("b1", "b2")):
+        for f in sorted(os.listdir(tmp_path / sub)):
+            if f.endswith(".parquet"):
+                dst = f"{flat}/{i:04d}.parquet"
+                shutil.copy(str(tmp_path / sub / f), dst)
+                os.utime(dst, (now - 120 + 60 * j, now - 120 + 60 * j))
+                i += 1
+
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(flat)
+    )
+    out = stream_counter_rate(stream, x_col="ts", y_col="value", by=["event_type"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("crate")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        tuple(r)
+        for r in spark.table("crate")
+        .select("event_type", "ts_us", "value", "delta", "rate_s")
+        .collect()
+    )
+    exp = sorted(
+        tuple(r)
+        for r in counter_rate(ev, x_col="ts", y_col="value", by=["event_type"])
+        .select(
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "value",
+            "delta",
+            "rate_s",
+        )
+        .collect()
+    )
+    assert len(got) == len(exp) > 0
+    assert got == exp  # EXACT equality, floats included
+
+
+def test_stream_counter_rate_reset_rule_across_batches(spark, tmp_path):
+    """The reset rule fires when the restart straddles a micro-batch
+    boundary: batch 1 ends at value 100, batch 2 starts at 3."""
+    import pandas as pd
+
+    rows1 = [("a", pd.Timestamp("2024-01-01 00:00:00").to_pydatetime(), 90.0),
+             ("a", pd.Timestamp("2024-01-01 00:00:10").to_pydatetime(), 100.0)]
+    rows2 = [("a", pd.Timestamp("2024-01-01 00:00:20").to_pydatetime(), 3.0)]
+    flat = str(tmp_path / "in")
+    os.makedirs(flat)
+    now = _time.time()
+    for j, rows in enumerate((rows1, rows2)):
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+        d = str(tmp_path / f"b{j}")
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                dst = f"{flat}/{j:04d}.parquet"
+                shutil.copy(os.path.join(d, f), dst)
+                os.utime(dst, (now - 120 + 60 * j, now - 120 + 60 * j))
+    schema = "event_type string, ts timestamp, value double"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(flat)
+    )
+    out = stream_counter_rate(stream, x_col="ts", y_col="value", by=["event_type"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("crate2")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["value"]: r for r in spark.table("crate2").collect()}
+    assert rows[90.0]["delta"] is None and rows[90.0]["rate_s"] is None
+    assert rows[100.0]["delta"] == 10.0 and rows[100.0]["rate_s"] == 1.0
+    # 100 -> 3 across the batch boundary: reset detected via carried state
+    assert rows[3.0]["delta"] == 3.0 and rows[3.0]["rate_s"] == pytest.approx(0.3)
