@@ -140,6 +140,20 @@ def test_asof_null_ts_and_clash_validation(spark):
         asof_join(ldf, rdf, on="t", by=["k"], direction="nearest")
 
 
+def test_asof_null_payload_field_is_preserved(spark):
+    """A matched right row whose payload field is NULL must yield NULL —
+    not fall through to an older right row's value (the payload rides in
+    one atomic struct, so partial fall-through is impossible)."""
+    ldf = spark.createDataFrame([("a", 20, 0)], "k string, t long, lid long")
+    rdf = spark.createDataFrame(
+        [("a", 5, 1.0, 111), ("a", 10, None, None)],
+        "k string, t long, rv double, rw long",
+    )
+    out = asof_join(ldf, rdf, on="t", by=["k"], value_cols=["rv", "rw"]).collect()[0]
+    assert out["matched_ts"] == 10
+    assert out["rv"] is None and out["rw"] is None
+
+
 def test_asof_plan_single_exchange(spark):
     """The union+window formulation shuffles ONCE (on the series key) —
     no BroadcastNestedLoopJoin / CartesianProduct a range join would plan."""

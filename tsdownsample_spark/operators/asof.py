@@ -88,16 +88,26 @@ def asof_join(
     clash = set(value_cols) & set(left.columns)
     if clash:
         raise ValueError(f"value_cols collide with left columns: {sorted(clash)}")
-    for c in (matched_col, "_asof_side", "_asof_t"):
+    for c in (matched_col, "_asof_side", "_asof_t", "_asof_tb", "_asof_payload",
+              "_asof_hit"):
         if c in left.columns:
             raise ValueError(f"left already has reserved column {c!r}")
+    if "_t" in value_cols:
+        raise ValueError("value_cols may not contain the reserved name '_t'")
 
+    # the matched timestamp + ALL payload columns ride in ONE struct, so the
+    # running last() picks the matched right row ATOMICALLY: a NULL payload
+    # field inside the matched row stays NULL (it must not fall through to
+    # an older row's value), and no two output columns can come from
+    # different right rows.
     r = right.where(F.col(on).isNotNull()).select(
         *by,
         F.col(on).alias("_asof_t"),
         F.lit(0).alias("_asof_side"),
         *([F.col(right_tiebreak).alias("_asof_tb")] if right_tiebreak else []),
-        *[F.col(c) for c in value_cols],
+        F.struct(
+            F.col(on).alias("_t"), *[F.col(c) for c in value_cols]
+        ).alias("_asof_payload"),
     )
     l = left.select(
         "*",
@@ -125,46 +135,30 @@ def asof_join(
     w = Window.partitionBy(*by).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, 0
     )
-    u = u.select(
-        "*",
-        F.when(F.col("_asof_side") == 0, F.col("_asof_t"))
-        .alias("_asof_match_t"),
-    )
     matched = u.select(
         "*",
-        F.last("_asof_match_t", ignorenulls=True).over(w).alias(matched_col),
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(f"_asof_v_{c}")
-            for c in value_cols
-        ],
+        F.last("_asof_payload", ignorenulls=True).over(w).alias("_asof_hit"),
     ).where(F.col("_asof_side") == 1)
 
+    hit = F.col("_asof_hit")
     if tolerance is not None:
         t_dtype = dict(left.dtypes)[on]
         if t_dtype.startswith("timestamp"):
             us = lambda c: F.unix_micros(c.cast("timestamp"))  # NTZ-safe
             delta = (
-                us(F.col("_asof_t")) - us(F.col(matched_col))
+                us(F.col("_asof_t")) - us(hit["_t"])
                 if asc
-                else us(F.col(matched_col)) - us(F.col("_asof_t"))
+                else us(hit["_t"]) - us(F.col("_asof_t"))
             ) / F.lit(1_000_000.0)
         else:
             delta = (
-                F.col("_asof_t") - F.col(matched_col)
+                F.col("_asof_t") - hit["_t"]
                 if asc
-                else F.col(matched_col) - F.col("_asof_t")
+                else hit["_t"] - F.col("_asof_t")
             )
-        ok = delta <= F.lit(tolerance)
-        matched = matched.select(
-            *[c for c in matched.columns if c != matched_col and not c.startswith("_asof_v_")],
-            F.when(ok, F.col(matched_col)).alias(matched_col),
-            *[
-                F.when(ok, F.col(f"_asof_v_{c}")).alias(f"_asof_v_{c}")
-                for c in value_cols
-            ],
-        )
+        hit = F.when(delta <= F.lit(tolerance), F.col("_asof_hit"))
 
-    keep = [c for c in left.columns] + [matched_col] + [
-        F.col(f"_asof_v_{c}").alias(c) for c in value_cols
+    keep = [F.col(c) for c in left.columns] + [hit["_t"].alias(matched_col)] + [
+        hit[c].alias(c) for c in value_cols
     ]
     return matched.select(*keep)
