@@ -119,3 +119,65 @@ def test_stream_counter_rate_reset_rule_across_batches(spark, tmp_path):
     assert rows[100.0]["delta"] == 10.0 and rows[100.0]["rate_s"] == 1.0
     # 100 -> 3 across the batch boundary: reset detected via carried state
     assert rows[3.0]["delta"] == 3.0 and rows[3.0]["rate_s"] == pytest.approx(0.3)
+
+
+@pytest.mark.slow
+def test_stream_detect_gaps_matches_batch(spark, tmp_path, sf_dir):
+    """Streaming gap report == batch detect_gaps on the same events,
+    including gaps that straddle the micro-batch boundary."""
+    from tsdownsample_spark.operators.gaps import detect_gaps
+    from tsdownsample_spark.streaming.stream_gaps import stream_detect_gaps
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", F.col("ts").cast("timestamp").alias("ts"))
+        .dropDuplicates(["event_type", "ts"])
+    )
+    cut = ev.selectExpr("percentile_approx(CAST(ts AS DOUBLE), 0.5) p").collect()[0][
+        "p"
+    ]
+    b1 = ev.filter(F.col("ts").cast("double") <= cut)
+    b2 = ev.filter(F.col("ts").cast("double") > cut)
+    flat = str(tmp_path / "in")
+    os.makedirs(flat)
+    i = 0
+    now = _time.time()
+    for j, part in enumerate((b1, b2)):
+        d = str(tmp_path / f"b{j}")
+        part.coalesce(1).write.mode("overwrite").parquet(d)
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                dst = f"{flat}/{i:04d}.parquet"
+                shutil.copy(os.path.join(d, f), dst)
+                os.utime(dst, (now - 120 + 60 * j, now - 120 + 60 * j))
+                i += 1
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(flat)
+    )
+    out = stream_detect_gaps(stream, x_col="ts", by=["event_type"], min_gap=1800.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sgaps")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["event_type"], r["gap_start_us"], r["gap_end_us"], r["gap_s"])
+        for r in spark.table("sgaps").collect()
+    )
+    exp = sorted(
+        (r["event_type"],) + tuple(r[1:])
+        for r in detect_gaps(ev, x_col="ts", by=["event_type"], min_gap=1800.0)
+        .select(
+            "event_type",
+            F.unix_micros(F.col("gap_start").cast("timestamp")).alias("s"),
+            F.unix_micros(F.col("gap_end").cast("timestamp")).alias("e"),
+            "gap_s",
+        )
+        .collect()
+    )
+    assert len(got) == len(exp) > 0
+    assert got == exp
