@@ -240,3 +240,60 @@ def test_multi_plan_is_single_pass_no_shuffle(spark):
     assert "Exchange" not in plan
     assert plan.count("ArrowEvalPython") <= 1  # mapInArrow shows as MapInArrow
     assert plan.count("MapInArrow") == 1
+
+
+# ------------------------------------------------------- downsample_error
+
+
+def test_downsample_error_zero_on_selected_and_identity(spark):
+    from pyspark.sql import Window
+
+    from tsdownsample_spark.operators.evaluate import downsample_error
+
+    rng = np.random.default_rng(21)
+    vals = rng.normal(size=200)
+    ranked = spark.createDataFrame(
+        [("a", i, float(v)) for i, v in enumerate(vals)],
+        "k string, rn long, value double",
+    )
+    # select EVERY point -> perfect reconstruction
+    sel_all = ranked.select("k", F.col("rn").alias("sel_idx"))
+    r = downsample_error(ranked, sel_all, by=["k"], x_col="rn",
+                         y_col="value").collect()[0]
+    assert r["n"] == 200 and r["n_sel"] == 200
+    assert r["max_abs_err"] == 0.0 and r["mean_abs_err_r"] == 0.0
+    # per-point mode: selected rows reconstruct exactly
+    sel_some = ranked.where(F.col("rn") % 10 == 0).select(
+        "k", F.col("rn").alias("sel_idx")
+    )
+    pp = downsample_error(ranked, sel_some, by=["k"], x_col="rn",
+                          y_col="value", per_point=True)
+    sel_rows = pp.where(F.col("_is_sel")).collect()
+    assert len(sel_rows) == 20
+    assert all(row["abs_err"] == 0.0 for row in sel_rows)
+
+
+def test_downsample_error_improves_with_n_out(spark):
+    """More selected points must not reconstruct worse (MinMax selections
+    at n_out 20 vs 100 over a rough random walk)."""
+    from tsdownsample_spark.operators import sql_selectors as S
+    from tsdownsample_spark.operators.evaluate import downsample_error
+
+    rng = np.random.default_rng(33)
+    vals = np.cumsum(rng.normal(size=3000))
+    ranked = spark.createDataFrame(
+        [("a", i, float(v)) for i, v in enumerate(vals)],
+        "k string, rn long, value double",
+    )
+    errs = {}
+    for n_out in (20, 100):
+        sel = S.minmax_long(
+            ranked.select("k", F.col("rn").alias("ts"), F.col("value")),
+            n_out, order=["ts"], by=["k"], y_col="value",
+        ).select("k", "sel_idx")
+        r = downsample_error(ranked, sel, by=["k"], x_col="rn",
+                             y_col="value").collect()[0]
+        errs[n_out] = (r["max_abs_err"], r["mean_abs_err_r"], r["n_sel"])
+    assert errs[20][2] == 20 and errs[100][2] == 100
+    assert errs[100][0] <= errs[20][0]
+    assert errs[100][1] <= errs[20][1]

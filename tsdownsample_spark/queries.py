@@ -1197,6 +1197,79 @@ FROM d GROUP BY 1, 2
 """
 
 
+def q_downsample_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruction-fidelity report (operators/evaluate.py): linear-interp
+    error of the distributed MinMax n_out=100 selection against the raw
+    series, per event_type.  The oracle recomputes the SELECTION with the
+    already-verified MinMax oracle SQL and the ERROR with its own window
+    derivation — so this query cross-checks the evaluator and the selector
+    against each other."""
+    from pyspark.sql import Window
+
+    from tsdownsample_spark.operators import sql_selectors as S
+    from tsdownsample_spark.operators.evaluate import downsample_error
+
+    ev = load(spark, sf_dir, "events")
+    sel = S.minmax_long(
+        ev, N_OUT, order=["ts", "event_id"], by=["event_type"], y_col="value"
+    ).select("event_type", "sel_idx")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "event_type",
+        (F.row_number().over(w) - 1).cast("long").alias("rn"),
+        "value",
+    )
+    return downsample_error(
+        ranked, sel, by=["event_type"], x_col="rn", y_col="value"
+    )
+
+
+def _oracle_downsample_error(n_out: int = N_OUT) -> str:
+    return f"""
+WITH raw_ord AS (
+    SELECT event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS rn
+    FROM events
+),
+sel AS (
+    SELECT DISTINCT event_type, sel_idx FROM ({_oracle_minmax(n_out)})
+),
+f AS (
+    SELECT o.event_type, o.rn, o.value, (s.sel_idx IS NOT NULL) AS is_sel
+    FROM raw_ord o LEFT JOIN sel s
+      ON o.event_type = s.event_type AND o.rn = s.sel_idx
+),
+w AS (
+    SELECT event_type, rn, value, is_sel,
+        LAST_VALUE(CASE WHEN is_sel THEN CAST(rn AS DOUBLE) END IGNORE NULLS)
+            OVER fwd AS px,
+        LAST_VALUE(CASE WHEN is_sel THEN value END IGNORE NULLS) OVER fwd AS py,
+        LAST_VALUE(CASE WHEN is_sel THEN CAST(rn AS DOUBLE) END IGNORE NULLS)
+            OVER bwd AS nx,
+        LAST_VALUE(CASE WHEN is_sel THEN value END IGNORE NULLS) OVER bwd AS ny
+    FROM f
+    WINDOW fwd AS (PARTITION BY event_type ORDER BY rn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           bwd AS (PARTITION BY event_type ORDER BY rn DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+e AS (
+    SELECT event_type, is_sel,
+        ABS(value - (CASE WHEN px IS NULL THEN ny
+                          WHEN nx IS NULL THEN py
+                          WHEN nx = px THEN py
+                          ELSE py + (ny - py) * (CAST(rn AS DOUBLE) - px) / (nx - px)
+                     END)) AS abs_err
+    FROM w
+)
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN is_sel THEN 1 ELSE 0 END) AS BIGINT) AS n_sel,
+       MAX(abs_err) AS max_abs_err,
+       ROUND(SUM(abs_err) / COUNT(*), 6) AS mean_abs_err_r
+FROM e GROUP BY event_type
+"""
+
+
 # --------------------------------------------- multi-selector single scan
 
 _MULTI_ALGOS = ("minmax", "m4", "everynth")
@@ -1565,6 +1638,7 @@ def queries() -> dict:
         "q_quantiles": q_quantiles,
         "q_counter_rate": q_counter_rate,
         "q_twa": q_twa,
+        "q_downsample_error": q_downsample_error,
         "q_multi_select": q_multi_select,
         "q_scan_downsample": q_scan_downsample,
         "q_token_tiers": q_token_tiers,
@@ -1618,6 +1692,7 @@ def oracle_sql() -> dict:
         "q_quantiles": _ORACLE_QUANTILES,
         "q_counter_rate": _ORACLE_COUNTER_RATE,
         "q_twa": _ORACLE_TWA,
+        "q_downsample_error": _oracle_downsample_error(),
         "q_multi_select": _oracle_multi_select(),
         "q_scan_downsample": _oracle_scan_downsample(),
         "q_token_tiers": _oracle_scan_downsample(16, token_table_path()),
