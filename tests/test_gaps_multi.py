@@ -297,3 +297,46 @@ def test_downsample_error_improves_with_n_out(spark):
     assert errs[20][2] == 20 and errs[100][2] == 100
     assert errs[100][0] <= errs[20][0]
     assert errs[100][1] <= errs[20][1]
+
+
+# ------------------------------------------- downsample_tokens_pyramid
+
+
+def test_pyramid_matches_per_level_single_runs(spark):
+    from tsdownsample_spark.operators.downsample import downsample_tokens_pyramid
+
+    df = _tok_df(spark, seed=7)
+    levels = (8, 20, 100)
+    pyr = (
+        downsample_tokens_pyramid(df, levels, algo="minmax", output="select")
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    for n in levels:
+        single = (
+            downsample_tokens(df, n, algo="minmax", output="select")
+            .toPandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        for doc in single.index:
+            s, m = single.loc[doc], pyr.loc[doc]
+            if s["sel_idx"] is None:
+                assert m[f"sel_idx_{n}"] is None
+                continue
+            assert np.array_equal(s["sel_idx"], m[f"sel_idx_{n}"]), (n, doc)
+            assert np.array_equal(s["sel_tokens"], m[f"sel_tokens_{n}"]), (n, doc)
+
+
+def test_pyramid_validation_and_plan(spark):
+    from tsdownsample_spark.operators.downsample import downsample_tokens_pyramid
+
+    df = _tok_df(spark, n=5)
+    with pytest.raises(ValueError, match="non-empty"):
+        downsample_tokens_pyramid(df, ())
+    with pytest.raises(ValueError, match="duplicate"):
+        downsample_tokens_pyramid(df, (8, 8))
+    out = downsample_tokens_pyramid(df, (8, 20), algo="minmax")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and plan.count("MapInArrow") == 1

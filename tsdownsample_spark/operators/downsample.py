@@ -225,6 +225,79 @@ def downsample_tokens_multi(
     return df.mapInArrow(_map, out_schema)
 
 
+def downsample_tokens_pyramid(
+    df: DataFrame,
+    n_outs: Sequence[int],
+    algo: str = "minmax",
+    tokens_col: str = "tokens",
+    output: str = "select",
+    **kw,
+) -> DataFrame:
+    """Zoom-level pyramid in ONE narrow pass: the same selector at several
+    ``n_out`` levels (a plot server's zoom ladder, a tier build's step
+    set), sharing one scan + one Arrow pipe crossing exactly like
+    :func:`downsample_tokens_multi` shares it across algorithms.
+
+    Output per level n: ``sel_idx_{n}`` (+ ``sel_tokens_{n}`` in select
+    mode).  Levels are independent selector runs — this is the query-time
+    pyramid; for MinMax/M4 at power-of-two ratios the MATERIALIZED ladder
+    should cascade tier-from-tier instead (operators/token_retention.py,
+    where cascade == from-raw is proved).
+    """
+    n_outs = list(n_outs)
+    if not n_outs:
+        raise ValueError("n_outs must be non-empty")
+    if len(set(n_outs)) != len(n_outs):
+        raise ValueError("duplicate n_out in n_outs")
+    for n in n_outs:
+        _validate(algo, n)
+    if output not in ("append", "select"):
+        raise ValueError("output must be 'append' or 'select'")
+
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from tsdownsample_spark.kernels.flat import select_and_gather
+
+    select_mode = output == "select"
+    for n in n_outs:
+        for c in (f"sel_idx_{n}",) + ((f"sel_tokens_{n}",) if select_mode else ()):
+            if c in df.columns:
+                raise ValueError(f"column {c!r} already exists")
+    base = df.drop(tokens_col) if select_mode else df
+    elem_type = df.schema[tokens_col].dataType.elementType
+    extra = []
+    for n in n_outs:
+        extra.append(T.StructField(f"sel_idx_{n}", T.ArrayType(T.LongType())))
+        if select_mode:
+            extra.append(T.StructField(f"sel_tokens_{n}", T.ArrayType(elem_type)))
+    out_schema = T.StructType(list(base.schema.fields) + extra)
+    tok_idx = df.columns.index(tokens_col)
+    keep_idx = [
+        i for i, c in enumerate(df.columns) if not (select_mode and i == tok_idx)
+    ]
+    keep_names = [df.columns[i] for i in keep_idx]
+
+    def _map(batches):
+        for batch in batches:
+            cols = [batch.column(i) for i in keep_idx]
+            names = list(keep_names)
+            tok_col = batch.column(tok_idx)
+            for n in n_outs:
+                sel_arr, tok_arr = select_and_gather(
+                    tok_col, n, algo, gather=select_mode, **kw
+                )
+                cols.append(sel_arr)
+                names.append(f"sel_idx_{n}")
+                if select_mode:
+                    cols.append(tok_arr)
+                    names.append(f"sel_tokens_{n}")
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    return df.mapInArrow(_map, out_schema)
+
+
 def gather_values(
     df: DataFrame,
     tokens_col: str = "tokens",

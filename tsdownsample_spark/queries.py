@@ -1402,6 +1402,46 @@ FROM ks
 """
 
 
+_PYRAMID_LEVELS = (20, 40)
+
+
+def q_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zoom-level pyramid: MinMax at n_out=20 AND 40 in one narrow pass
+    (downsample_tokens_pyramid — one scan, one Arrow crossing, two kernel
+    runs), exploded to (doc_id, level, pos, sel_idx, sel_token)."""
+    from tsdownsample_spark.operators.downsample import downsample_tokens_pyramid
+    from tsdownsample_spark.plans.shipping import ship_package
+
+    ship_package(spark)
+    df = spark.read.parquet(scan_tokens_parquet_path())
+    out = downsample_tokens_pyramid(df, _PYRAMID_LEVELS, algo="minmax")
+    per_level = [
+        F.coalesce(
+            F.expr(
+                f"transform(sel_idx_{n}, (i, p) -> "
+                f"struct({n}L AS level, CAST(p AS BIGINT) AS pos, "
+                f"i AS sel_idx, sel_tokens_{n}[p] AS sel_token))"
+            ),
+            F.array(),
+        )
+        for n in _PYRAMID_LEVELS
+    ]
+    return (
+        out.select("doc_id", F.explode(F.flatten(F.array(*per_level))).alias("s"))
+        .select("doc_id", "s.level", "s.pos", "s.sel_idx", "s.sel_token")
+    )
+
+
+def _oracle_pyramid() -> str:
+    path = scan_tokens_parquet_path()
+    blocks = [
+        f"SELECT doc_id, CAST({n} AS BIGINT) AS level, pos, sel_idx, sel_token "
+        f"FROM ({_oracle_token_minmax_m4('minmax', n, path)})"
+        for n in _PYRAMID_LEVELS
+    ]
+    return "\nUNION ALL\n".join(blocks)
+
+
 def _oracle_multi_select(n_out: int = 20) -> str:
     path = scan_tokens_parquet_path()
     blocks = [
@@ -1640,6 +1680,7 @@ def queries() -> dict:
         "q_twa": q_twa,
         "q_downsample_error": q_downsample_error,
         "q_multi_select": q_multi_select,
+        "q_pyramid": q_pyramid,
         "q_scan_downsample": q_scan_downsample,
         "q_token_tiers": q_token_tiers,
         "q_stream_tiers": q_stream_tiers,
@@ -1694,6 +1735,7 @@ def oracle_sql() -> dict:
         "q_twa": _ORACLE_TWA,
         "q_downsample_error": _oracle_downsample_error(),
         "q_multi_select": _oracle_multi_select(),
+        "q_pyramid": _oracle_pyramid(),
         "q_scan_downsample": _oracle_scan_downsample(),
         "q_token_tiers": _oracle_scan_downsample(16, token_table_path()),
         "q_stream_tiers": _oracle_scan_downsample(8, token_table_path()),
