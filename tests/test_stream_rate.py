@@ -20,7 +20,11 @@ def test_stream_counter_rate_matches_batch(spark, tmp_path, sf_dir):
         .select(
             "event_type",
             F.col("ts").cast("timestamp").alias("ts"),
-            "value",
+            # deterministic NULL payloads: the lag must emit NULL delta for
+            # a null row AND its successor, in stream and batch alike
+            F.expr("IF(event_id % 13 = 0, CAST(NULL AS DOUBLE), value)").alias(
+                "value"
+            ),
         )
         .dropDuplicates(["event_type", "ts"])
     )

@@ -142,20 +142,14 @@ def asof_join(
 
     hit = F.col("_asof_hit")
     if tolerance is not None:
+        from tsdownsample_spark.operators.timeutil import seconds_between
+
         t_dtype = dict(left.dtypes)[on]
-        if t_dtype.startswith("timestamp"):
-            us = lambda c: F.unix_micros(c.cast("timestamp"))  # NTZ-safe
-            delta = (
-                us(F.col("_asof_t")) - us(hit["_t"])
-                if asc
-                else us(hit["_t"]) - us(F.col("_asof_t"))
-            ) / F.lit(1_000_000.0)
-        else:
-            delta = (
-                F.col("_asof_t") - hit["_t"]
-                if asc
-                else hit["_t"] - F.col("_asof_t")
-            )
+        delta = (
+            seconds_between(F.col("_asof_t"), hit["_t"], t_dtype)
+            if asc
+            else seconds_between(hit["_t"], F.col("_asof_t"), t_dtype)
+        )
         hit = F.when(delta <= F.lit(tolerance), F.col("_asof_hit"))
 
     keep = [F.col(c) for c in left.columns] + [hit["_t"].alias(matched_col)] + [

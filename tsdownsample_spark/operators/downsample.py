@@ -104,24 +104,51 @@ def downsample_tokens(
 
         return df.withColumn(idx_col, _select(F.col(tokens_col)))
 
+    return _arrow_downsample_specs(
+        df, [(algo, n_out, idx_col, "sel_tokens")], tokens_col, output, **kw
+    )
+
+
+def _arrow_downsample_specs(
+    df: DataFrame,
+    specs: Sequence[tuple],
+    tokens_col: str,
+    output: str,
+    **kw,
+) -> DataFrame:
+    """Shared mapInArrow scaffolding for every token-table selector shape.
+
+    ``specs`` = [(algo, n_out, idx_name, tok_name), ...]: each spec runs one
+    kernel over the SAME in-cache Arrow batch — the input is scanned and
+    shipped across the JVM->Python pipe exactly once however many specs
+    there are (the amortization downsample_tokens_multi / _pyramid exist
+    for).  ``output="select"`` drops ``tokens_col`` from the return leg and
+    gathers each spec's selected values while the flat buffers are at hand —
+    n_out per series back to the JVM instead of n.  One implementation so a
+    fix (nullable schema, null rows, sliced-batch offsets) reaches every
+    public variant.
+    """
     import pyarrow as pa
+
+    from pyspark.sql import types as T
 
     from tsdownsample_spark.kernels.flat import select_and_gather
 
-    if idx_col in df.columns:
-        raise ValueError(f"column {idx_col!r} already exists")
-    if output == "select" and "sel_tokens" in df.columns:
-        raise ValueError("column 'sel_tokens' already exists")
-    from pyspark.sql import types as T
-
     select_mode = output == "select"
+    for _, _, idx_name, tok_name in specs:
+        if idx_name in df.columns:
+            raise ValueError(f"column {idx_name!r} already exists")
+        if select_mode and tok_name in df.columns:
+            raise ValueError(f"column {tok_name!r} already exists")
     base = df.drop(tokens_col) if select_mode else df
-    # built by hand so sel_idx/sel_tokens are NULLABLE (null token rows
+    # built by hand so the output arrays are NULLABLE (null token rows
     # select null; an expr-derived schema would mark them non-null -> NPE)
-    extra = [T.StructField(idx_col, T.ArrayType(T.LongType()))]
-    if select_mode:
-        elem_type = df.schema[tokens_col].dataType.elementType
-        extra.append(T.StructField("sel_tokens", T.ArrayType(elem_type)))
+    elem_type = df.schema[tokens_col].dataType.elementType
+    extra = []
+    for _, _, idx_name, tok_name in specs:
+        extra.append(T.StructField(idx_name, T.ArrayType(T.LongType())))
+        if select_mode:
+            extra.append(T.StructField(tok_name, T.ArrayType(elem_type)))
     out_schema = T.StructType(list(base.schema.fields) + extra)
     tok_idx = df.columns.index(tokens_col)
     keep_idx = [
@@ -131,16 +158,18 @@ def downsample_tokens(
 
     def _map(batches):
         for batch in batches:
-            # select mode gathers the chosen values while the flat buffers
-            # are at hand — n_out per series back to the JVM instead of n
-            sel_arr, tok_arr = select_and_gather(
-                batch.column(tok_idx), n_out, algo, gather=select_mode, **kw
-            )
-            cols = [batch.column(i) for i in keep_idx] + [sel_arr]
-            names = keep_names + [idx_col]
-            if select_mode:
-                cols.append(tok_arr)
-                names.append("sel_tokens")
+            cols = [batch.column(i) for i in keep_idx]
+            names = list(keep_names)
+            tok_col = batch.column(tok_idx)
+            for algo, n_out, idx_name, tok_name in specs:
+                sel_arr, tok_arr = select_and_gather(
+                    tok_col, n_out, algo, gather=select_mode, **kw
+                )
+                cols.append(sel_arr)
+                names.append(idx_name)
+                if select_mode:
+                    cols.append(tok_arr)
+                    names.append(tok_name)
             yield pa.RecordBatch.from_arrays(cols, names=names)
 
     return df.mapInArrow(_map, out_schema)
@@ -179,50 +208,13 @@ def downsample_tokens_multi(
         _validate(a, n_out)
     if output not in ("append", "select"):
         raise ValueError("output must be 'append' or 'select'")
-
-    import pyarrow as pa
-
-    from pyspark.sql import types as T
-
-    from tsdownsample_spark.kernels.flat import select_and_gather
-
-    select_mode = output == "select"
-    for a in algos:
-        for c in (f"sel_idx_{a}",) + ((f"sel_tokens_{a}",) if select_mode else ()):
-            if c in df.columns:
-                raise ValueError(f"column {c!r} already exists")
-
-    base = df.drop(tokens_col) if select_mode else df
-    elem_type = df.schema[tokens_col].dataType.elementType
-    extra = []
-    for a in algos:
-        extra.append(T.StructField(f"sel_idx_{a}", T.ArrayType(T.LongType())))
-        if select_mode:
-            extra.append(T.StructField(f"sel_tokens_{a}", T.ArrayType(elem_type)))
-    out_schema = T.StructType(list(base.schema.fields) + extra)
-    tok_idx = df.columns.index(tokens_col)
-    keep_idx = [
-        i for i, c in enumerate(df.columns) if not (select_mode and i == tok_idx)
-    ]
-    keep_names = [df.columns[i] for i in keep_idx]
-
-    def _map(batches):
-        for batch in batches:
-            cols = [batch.column(i) for i in keep_idx]
-            names = list(keep_names)
-            tok_col = batch.column(tok_idx)
-            for a in algos:
-                sel_arr, tok_arr = select_and_gather(
-                    tok_col, n_out, a, gather=select_mode, **kw
-                )
-                cols.append(sel_arr)
-                names.append(f"sel_idx_{a}")
-                if select_mode:
-                    cols.append(tok_arr)
-                    names.append(f"sel_tokens_{a}")
-            yield pa.RecordBatch.from_arrays(cols, names=names)
-
-    return df.mapInArrow(_map, out_schema)
+    return _arrow_downsample_specs(
+        df,
+        [(a, n_out, f"sel_idx_{a}", f"sel_tokens_{a}") for a in algos],
+        tokens_col,
+        output,
+        **kw,
+    )
 
 
 def downsample_tokens_pyramid(
@@ -253,49 +245,13 @@ def downsample_tokens_pyramid(
         _validate(algo, n)
     if output not in ("append", "select"):
         raise ValueError("output must be 'append' or 'select'")
-
-    import pyarrow as pa
-
-    from pyspark.sql import types as T
-
-    from tsdownsample_spark.kernels.flat import select_and_gather
-
-    select_mode = output == "select"
-    for n in n_outs:
-        for c in (f"sel_idx_{n}",) + ((f"sel_tokens_{n}",) if select_mode else ()):
-            if c in df.columns:
-                raise ValueError(f"column {c!r} already exists")
-    base = df.drop(tokens_col) if select_mode else df
-    elem_type = df.schema[tokens_col].dataType.elementType
-    extra = []
-    for n in n_outs:
-        extra.append(T.StructField(f"sel_idx_{n}", T.ArrayType(T.LongType())))
-        if select_mode:
-            extra.append(T.StructField(f"sel_tokens_{n}", T.ArrayType(elem_type)))
-    out_schema = T.StructType(list(base.schema.fields) + extra)
-    tok_idx = df.columns.index(tokens_col)
-    keep_idx = [
-        i for i, c in enumerate(df.columns) if not (select_mode and i == tok_idx)
-    ]
-    keep_names = [df.columns[i] for i in keep_idx]
-
-    def _map(batches):
-        for batch in batches:
-            cols = [batch.column(i) for i in keep_idx]
-            names = list(keep_names)
-            tok_col = batch.column(tok_idx)
-            for n in n_outs:
-                sel_arr, tok_arr = select_and_gather(
-                    tok_col, n, algo, gather=select_mode, **kw
-                )
-                cols.append(sel_arr)
-                names.append(f"sel_idx_{n}")
-                if select_mode:
-                    cols.append(tok_arr)
-                    names.append(f"sel_tokens_{n}")
-            yield pa.RecordBatch.from_arrays(cols, names=names)
-
-    return df.mapInArrow(_map, out_schema)
+    return _arrow_downsample_specs(
+        df,
+        [(algo, n, f"sel_idx_{n}", f"sel_tokens_{n}") for n in n_outs],
+        tokens_col,
+        output,
+        **kw,
+    )
 
 
 def gather_values(

@@ -37,19 +37,12 @@ def detect_gaps(
     arbitrarily but both orders yield the same (value-level) pairs, and a
     zero gap never passes the filter.  NULL ``x_col`` rows are ignored.
     """
+    from tsdownsample_spark.operators.timeutil import seconds_between
+
     by = list(by)
     w = Window.partitionBy(*by).orderBy(x_col)
     prev = F.lag(x_col).over(w)
-    t_dtype = dict(df.dtypes)[x_col]
-    if t_dtype.startswith("timestamp"):
-        # .cast("timestamp") folds TIMESTAMP_NTZ into unix_micros' domain
-        # (session tz is UTC per plans.session — repo-wide convention)
-        gap = (
-            F.unix_micros(F.col(x_col).cast("timestamp"))
-            - F.unix_micros(prev.cast("timestamp"))
-        ) / F.lit(1_000_000.0)
-    else:
-        gap = (F.col(x_col) - prev).cast("double")
+    gap = seconds_between(F.col(x_col), prev, dict(df.dtypes)[x_col])
     return (
         df.where(F.col(x_col).isNotNull())
         .select(*by, prev.alias("gap_start"), F.col(x_col).alias("gap_end"),

@@ -22,16 +22,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from tsdownsample_spark.operators.rollup import TIER_UNITS
+from tsdownsample_spark.operators.timeutil import seconds_between as _seconds
 
 __all__ = ["counter_rate", "time_weighted_avg"]
-
-
-def _seconds(col, prev, t_dtype: str):
-    if t_dtype.startswith("timestamp"):
-        return (
-            F.unix_micros(col.cast("timestamp")) - F.unix_micros(prev.cast("timestamp"))
-        ) / F.lit(1_000_000.0)
-    return (col - prev).cast("double")
 
 
 def counter_rate(

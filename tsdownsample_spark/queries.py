@@ -810,56 +810,14 @@ def q_scan_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_scan_downsample(n_out: int = 20, path: str | None = None) -> str:
     """Equal-count MinMax over the same parquet bytes, all in SQL (the NULL
-    row selects nothing on either side)."""
-    m = n_out // 2
+    row selects nothing on either side) — a projection over the
+    generalized per-algo token oracle so the binning SQL lives ONCE."""
     path = path or scan_tokens_parquet_path()
-    return f"""
-WITH src AS (
-    SELECT doc_id, tokens FROM read_parquet('{path}') WHERE tokens IS NOT NULL
-),
-long AS (
-    SELECT doc_id, tokens[CAST(t.i AS INT) + 1] AS token, t.i AS rn,
-           len(tokens) AS n
-    FROM src, UNNEST(range(len(tokens))) AS t(i)
-),
-bins AS (
-    SELECT doc_id, n, UNNEST(range({m})) AS i
-    FROM (SELECT DISTINCT doc_id, n FROM long) WHERE n > {n_out}
-),
-edges AS (
-    SELECT doc_id, i,
-           CASE WHEN i = 0 THEN 0
-                ELSE CAST(FLOOR((n - 1) / {m}.0 * i) AS BIGINT) + 1 END AS lo,
-           CAST(FLOOR((n - 1) / {m}.0 * (i + 1)) AS BIGINT) + 1 AS hi
-    FROM bins
-),
-binned AS (
-    SELECT l.doc_id, e.i, l.rn, l.token
-    FROM long l JOIN edges e ON l.doc_id = e.doc_id AND l.rn >= e.lo AND l.rn < e.hi
-),
-mins AS (
-    SELECT doc_id, i, rn, token,
-           ROW_NUMBER() OVER (PARTITION BY doc_id, i ORDER BY token ASC, rn ASC) AS r
-    FROM binned
-),
-maxs AS (
-    SELECT doc_id, i, rn, token,
-           ROW_NUMBER() OVER (PARTITION BY doc_id, i ORDER BY token DESC, rn ASC) AS r
-    FROM binned
-),
-pair AS (
-    SELECT * FROM mins WHERE r = 1
-    UNION ALL SELECT * FROM maxs WHERE r = 1
-),
-numbered AS (
-    SELECT doc_id, i, rn, token,
-           ROW_NUMBER() OVER (PARTITION BY doc_id, i ORDER BY rn) - 1 AS o
-    FROM pair
-)
-SELECT doc_id, 2 * i + o AS pos, rn AS sel_idx, token AS sel_token FROM numbered
-UNION ALL
-SELECT doc_id, rn AS pos, rn AS sel_idx, token AS sel_token FROM long WHERE n <= {n_out}
-"""
+    return (
+        "SELECT doc_id, pos, sel_idx, sel_token FROM ("
+        + _oracle_token_minmax_m4("minmax", n_out, path)
+        + ")"
+    )
 
 
 # --------------------------------------------- token retention tier cascade

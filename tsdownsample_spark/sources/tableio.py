@@ -119,14 +119,15 @@ class SnapshotTable:
         maintenance.  Old files stay on disk — time travel to pre-compaction
         snapshots keeps working until ``expire_snapshots`` collects them.
         Row counts come from parquet footers (driver-side metadata reads,
-        no data pass).  Returns the new snapshot id, or None when the table
-        has fewer than ``min_files`` data files (idempotent: compacting a
-        compacted table is a no-op).
+        no data pass).  Merge-only: returns the new snapshot id, or None
+        when the table has fewer than ``min_files`` data files OR is
+        already at/above the target density (idempotent: compacting a
+        compacted table is a no-op; oversized files are never split).
         """
         import pyarrow.parquet as pq
 
         snap = self.snapshot()
-        if snap is None or len(snap["files"]) < max(min_files, 2):
+        if snap is None or len(snap["files"]) < min_files:
             return None
         rows = sum(pq.ParquetFile(f).metadata.num_rows for f in snap["files"])
         n_files = max(1, -(-rows // target_rows_per_file))
