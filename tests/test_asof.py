@@ -154,6 +154,68 @@ def test_asof_null_payload_field_is_preserved(spark):
     assert out["rv"] is None and out["rw"] is None
 
 
+def test_asof_randomized_sweep_vs_pandas(spark):
+    """Randomized parity sweep: duplicate right timestamps (tiebroken), NULL
+    payload values, both directions, with/without tolerance — one spark
+    session, many shapes.  pandas.merge_asof picks the last sorted row among
+    equal backward matches / first among forward, so pre-sorting right by
+    (t, rid) makes its tie rule identical to right_tiebreak='rid'."""
+    for seed in (101, 202, 303):
+        rng = np.random.default_rng(seed)
+        nl, nr = 250, 90
+        left = pd.DataFrame(
+            {
+                "k": rng.choice(["a", "b"], nl),
+                "t": rng.integers(0, 2_000, nl).astype("int64"),
+            }
+        )
+        left["lid"] = np.arange(nl, dtype="int64")
+        right = pd.DataFrame(
+            {
+                "k": rng.choice(["a", "b"], nr),
+                # small range -> plenty of duplicate (k, t) pairs
+                "t": rng.integers(0, 2_000, nr).astype("int64") // 50 * 50,
+                "rv": rng.normal(size=nr),
+            }
+        )
+        right.loc[rng.random(nr) < 0.2, "rv"] = np.nan  # NULL payloads
+        right["rid"] = np.arange(nr, dtype="int64")
+        rdf_pd = right.sort_values(["t", "rid"], kind="mergesort")
+        for direction in ("backward", "forward"):
+            for tol in (None, 300.0):
+                out = (
+                    asof_join(
+                        spark.createDataFrame(left),
+                        spark.createDataFrame(right),
+                        on="t", by=["k"], value_cols=["rv"],
+                        direction=direction, tolerance=tol,
+                        matched_col="matched_t", right_tiebreak="rid",
+                    )
+                    .toPandas()
+                    .sort_values("lid", ignore_index=True)
+                )
+                exp = pd.merge_asof(
+                    left.sort_values("t", kind="mergesort"),
+                    rdf_pd.rename(columns={"t": "matched_t"}),
+                    left_on="t", right_on="matched_t", by="k",
+                    direction=direction,
+                    tolerance=None if tol is None else int(tol),
+                ).sort_values("lid", ignore_index=True)
+                ctx = (seed, direction, tol)
+                assert np.array_equal(
+                    out["matched_t"].to_numpy("float64", na_value=np.nan),
+                    exp["matched_t"].to_numpy("float64", na_value=np.nan),
+                    equal_nan=True,
+                ), ctx
+                # NULL payload in the matched row must surface as NULL/NaN,
+                # not an older row's value
+                assert np.array_equal(
+                    out["rv"].to_numpy("float64", na_value=np.nan),
+                    exp["rv"].to_numpy("float64", na_value=np.nan),
+                    equal_nan=True,
+                ), ctx
+
+
 def test_asof_plan_single_exchange(spark):
     """The union+window formulation shuffles ONCE (on the series key) —
     no BroadcastNestedLoopJoin / CartesianProduct a range join would plan."""
