@@ -66,3 +66,68 @@ def test_stream_matches_batch(spark, tmp_path, sf_dir):
     assert (got.agg_cnt.to_numpy() == exp.agg_cnt.to_numpy()).all()
     assert (got.agg_min.to_numpy() == exp.agg_min.to_numpy()).all()
     assert (got.agg_max.to_numpy() == exp.agg_max.to_numpy()).all()
+
+
+@pytest.mark.slow
+def test_stream_quantile_tier_tracks_exact(spark, tmp_path, sf_dir):
+    """Streaming sketch percentiles land within rank error of the batch
+    EXACT percentiles (counts exactly equal) — 1h buckets over events."""
+    import numpy as np
+
+    from tsdownsample_spark.operators.rollup import quantile_tier
+    from tsdownsample_spark.streaming.stream_rollup import stream_quantile_tier
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    src_dir = str(tmp_path / "stream_in")
+    os.makedirs(src_dir)
+    a, b = ev.randomSplit([0.5, 0.5], seed=3)
+    a.write.mode("overwrite").parquet(src_dir + "/batch1")
+    b.write.mode("overwrite").parquet(src_dir + "/batch2")
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    i = 0
+    for sub in ("batch1", "batch2"):
+        for f in os.listdir(f"{src_dir}/{sub}"):
+            if f.endswith(".parquet"):
+                shutil.copy(f"{src_dir}/{sub}/{f}", f"{flat}/{i:04d}.parquet")
+                i += 1
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    out = stream_quantile_tier(stream, "1h", by=["event_type"], ps=(0.5, 0.95))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sq1h")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("sq1h")
+        .toPandas()
+        .sort_values(["event_type", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    # baseline = the BATCH sketch: at these bucket sizes (tens of points,
+    # accuracy=10k) the GK summary retains every sample, so merges are
+    # lossless and stream == batch exactly — the right comparison, since
+    # the sketch returns discrete rank values while exact=True interpolates
+    exp = (
+        quantile_tier(ev, tier="1h", x_col="ts", y_col="value",
+                      by=["event_type"], ps=(0.5, 0.95), exact=False,
+                      accuracy=10_000)
+        .toPandas()
+        .sort_values(["event_type", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) > 0
+    assert (got.agg_cnt.to_numpy() == exp.agg_cnt.to_numpy()).all()
+    for col in ("p_50", "p_95"):
+        g, e = got[col].to_numpy(), exp[col].to_numpy()
+        assert np.array_equal(g, e), col

@@ -53,3 +53,46 @@ def stream_rollup(
         *by, F.col("w.start").alias("bucket_ts"), "agg_cnt", "agg_sum",
         "agg_min", "agg_max", "first_ts", "last_ts"
     )
+
+
+def stream_quantile_tier(
+    stream_df: DataFrame,
+    tier: str = "1m",
+    x_col: str = "ts",
+    y_col: str = "value",
+    by: Sequence[str] = ("event_type",),
+    ps: Sequence[float] = (0.5, 0.95, 0.99),
+    accuracy: int = 10_000,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming percentile tier: the live edge of
+    operators/rollup.py:quantile_tier's sketch path.
+
+    ``approx_percentile`` is a MERGEABLE sketch, so Spark keeps one bounded
+    sketch per open window in the state store (rank error ~1/accuracy) —
+    exact percentile is impossible on a stream without retaining every
+    point, which is precisely why the batch operator's 100 TB path is the
+    sketch too.  Column names match quantile_tier (``p_{percent}``) so the
+    streaming tier lands in the same table schema.
+    """
+    win = TIER_WINDOW[tier]
+
+    def _name(p: float) -> str:
+        s = f"{p * 100:g}".replace(".", "_")
+        return f"p_{s}"
+
+    agg = (
+        stream_df.withWatermark(x_col, watermark)
+        .groupBy(*by, F.window(F.col(x_col), win).alias("w"))
+        .agg(
+            F.count(y_col).cast("long").alias("agg_cnt"),
+            *[
+                F.approx_percentile(y_col, F.lit(p), F.lit(accuracy)).alias(_name(p))
+                for p in ps
+            ],
+        )
+    )
+    return agg.select(
+        *by, F.col("w.start").alias("bucket_ts"), "agg_cnt",
+        *[_name(p) for p in ps]
+    )
