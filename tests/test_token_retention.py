@@ -212,3 +212,53 @@ def test_tier_schema_and_provenance(spark, token_df):
     assert row["n_tok"] == 1000
     assert len(row["sel_idx"]) == 8 and max(row["sel_idx"]) < 1000
     assert sorted(row["sel_idx"]) == list(row["sel_idx"])
+
+
+def test_ladder_single_pass_equals_cascade(spark):
+    """One-job full-ladder build == the per-tier cascade, every tier
+    (raw indices AND tier tokens), and the plan is a single MapInArrow."""
+    import numpy as np
+
+    from tsdownsample_spark.operators.token_retention import (
+        ladder_single_pass,
+        tier_view,
+        token_tier_cascade,
+    )
+    from tsdownsample_spark.sources.synth import synth_token_table
+
+    df = synth_token_table(spark, n_docs=120, seed=5)
+    tiers = (256, 64, 16)
+    ladder = ladder_single_pass(df, tiers, algo="minmax")
+    plan = ladder._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and plan.count("MapInArrow") == 1
+    cascade = token_tier_cascade(df, tiers, algo="minmax", mode="auto")
+    for n in tiers:
+        got = {
+            r["doc_id"]: r
+            for r in tier_view(ladder, n).collect()
+        }
+        exp = {r["doc_id"]: r for r in cascade[n].collect()}
+        assert set(got) == set(exp) and len(got) > 0
+        for doc, er in exp.items():
+            gr = got[doc]
+            assert gr["tier_n_out"] == er["tier_n_out"] == n
+            if er["sel_idx"] is None:
+                assert gr["sel_idx"] is None
+                continue
+            assert np.array_equal(gr["sel_idx"], er["sel_idx"]), (n, doc)
+            assert np.array_equal(gr["tokens"], er["tokens"]), (n, doc)
+
+
+def test_ladder_single_pass_rejects_non_raw(spark):
+    import pytest as _pytest
+
+    from tsdownsample_spark.operators.token_retention import (
+        downsample_tier,
+        ladder_single_pass,
+    )
+    from tsdownsample_spark.sources.synth import synth_token_table
+
+    df = synth_token_table(spark, n_docs=10, seed=5)
+    t = downsample_tier(df, 64)
+    with _pytest.raises(ValueError, match="RAW token table"):
+        ladder_single_pass(t, (16, 8))

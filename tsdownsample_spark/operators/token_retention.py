@@ -170,6 +170,62 @@ def resolve_plan(
     return plan
 
 
+def ladder_single_pass(
+    df: DataFrame,
+    tiers: Sequence[int],
+    algo: str = "minmax",
+    tokens_col: str = "tokens",
+    **kw,
+) -> DataFrame:
+    """Build the WHOLE retention ladder from raw in ONE narrow job.
+
+    The cascade (above) is the steady-state refresh shape — tier k costs
+    ∝ tier k-1's size.  For a FULL build or backfill, though, the cascade
+    pays one Spark job per tier, and the measured fixed per-job driver cost
+    (~0.5 s, BENCH/BASELINE.md's Amdahl decomposition) dominates exactly
+    when tiers are small; this builder instead computes every tier's
+    selection against raw in one ``mapInArrow`` pass (the pyramid
+    machinery: one scan, one Arrow crossing, k kernels on the in-cache
+    batch).  Equality with the cascade is the module's proven
+    cascade == from-raw property — asserted per tier in
+    tests/test_token_retention.py.
+
+    Output: one row per sequence with, per tier n, ``tokens_{n}`` (the
+    tier's selected values) and ``sel_idx_{n}`` (RAW indices) — a single
+    wide table a ladder writer commits in ONE job; per-tier reads are
+    column-pruned projections (:func:`tier_view`).  Raw columns other than
+    ``tokens_col`` pass through.
+    """
+    from tsdownsample_spark.operators.downsample import downsample_tokens_pyramid
+
+    if "sel_idx" in df.columns or "tier_n_out" in df.columns:
+        raise ValueError("ladder_single_pass expects the RAW token table")
+    resolve_plan(tiers, algo, "auto")  # validates ordering/uniqueness
+    out = downsample_tokens_pyramid(
+        df, tiers, algo=algo, tokens_col=tokens_col, output="select", **kw
+    )
+    renames = [(f"sel_tokens_{n}", f"{tokens_col}_{n}") for n in tiers]
+    for old, new in renames:
+        out = out.withColumnRenamed(old, new)
+    return out
+
+
+def tier_view(
+    ladder: DataFrame, n_out: int, tokens_col: str = "tokens"
+) -> DataFrame:
+    """Project one tier out of a :func:`ladder_single_pass` table, in the
+    ``downsample_tier`` output contract (tokens, sel_idx, tier_n_out)."""
+    others = [
+        c for c in ladder.columns
+        if not (c.startswith(f"{tokens_col}_") or c.startswith("sel_idx_"))
+    ]
+    return ladder.select(
+        *[F.col(c) for c in others],
+        F.col(f"{tokens_col}_{n_out}").alias(tokens_col),
+        F.col(f"sel_idx_{n_out}").alias("sel_idx"),
+    ).withColumn("tier_n_out", F.lit(n_out))
+
+
 def token_tier_cascade(
     df: DataFrame,
     tiers: Sequence[int],
