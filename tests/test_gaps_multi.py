@@ -340,3 +340,37 @@ def test_pyramid_validation_and_plan(spark):
     out = downsample_tokens_pyramid(df, (8, 20), algo="minmax")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and plan.count("MapInArrow") == 1
+
+
+# ------------------------------------------------------------- sessionize
+
+
+def test_sessionize_boundary_rule_and_gap_duality(spark):
+    from tsdownsample_spark.operators.gaps import sessionize
+
+    rows = [
+        ("a", "2024-01-01 00:00:00"),
+        ("a", "2024-01-01 00:05:00"),   # exactly gap apart: EXTENDS
+        ("a", "2024-01-01 00:10:00.000001"),  # 1us over: NEW session
+        ("a", "2024-01-01 01:00:00"),
+        ("b", "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "k string, s string").select(
+        "k", F.col("s").cast("timestamp").alias("ts")
+    )
+    out = sessionize(df, x_col="ts", by=["k"], gap="5 minutes")
+    got = sorted(
+        (r["k"], str(r["session_start"]), r["n_events"], r["duration_s"])
+        for r in out.collect()
+    )
+    assert got == [
+        ("a", "2024-01-01 00:00:00", 2, 300.0),
+        ("a", "2024-01-01 00:10:00.000001", 1, 0.0),
+        ("a", "2024-01-01 01:00:00", 1, 0.0),
+        ("b", "2024-01-01 00:00:00", 1, 0.0),
+    ]
+    # duality: sessions per series == gaps-over-threshold + 1
+    from tsdownsample_spark.operators.gaps import detect_gaps
+
+    n_gaps = detect_gaps(df, x_col="ts", by=["k"], min_gap=300.0).count()
+    assert out.count() == n_gaps + df.select("k").distinct().count()

@@ -20,7 +20,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["detect_gaps"]
+__all__ = ["detect_gaps", "sessionize"]
 
 
 def detect_gaps(
@@ -48,4 +48,45 @@ def detect_gaps(
         .select(*by, prev.alias("gap_start"), F.col(x_col).alias("gap_end"),
                 gap.alias("gap_s"))
         .where(F.col("gap_s") > F.lit(min_gap))
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    x_col: str = "ts",
+    by: Sequence[str] = ("series_key",),
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Split each series into activity sessions separated by inactivity
+    longer than ``gap`` — the dual of :func:`detect_gaps` (gaps report the
+    holes; sessions report the stretches between them).
+
+    Spark-first: the native ``session_window`` grouping — Catalyst's
+    dedicated merging-session aggregation (one shuffle on the keys, then
+    in-partition window merging; in Structured Streaming the same call is
+    the stateful sessionization operator).  Boundary semantics (verified,
+    not assumed; the DuckDB oracle re-derives them with a cumulative
+    break-flag window): a point exactly ``gap`` after its predecessor
+    EXTENDS the session; strictly later starts a new one.
+
+    Returns ``by + session_start + session_end + n_events + duration_s``
+    (observed first/last timestamps, not the window's ``+gap`` end).
+    NULL ``x_col`` rows are dropped (a session needs a time).
+    """
+    by = list(by)
+    agg = (
+        df.where(F.col(x_col).isNotNull())
+        .groupBy(*by, F.session_window(F.col(x_col), gap).alias("_w"))
+        .agg(
+            F.min(x_col).alias("session_start"),
+            F.max(x_col).alias("session_end"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )
+    dur = (
+        F.unix_micros(F.col("session_end").cast("timestamp"))
+        - F.unix_micros(F.col("session_start").cast("timestamp"))
+    ) / F.lit(1_000_000.0)
+    return agg.select(
+        *by, "session_start", "session_end", "n_events", dur.alias("duration_s")
     )

@@ -1066,6 +1066,38 @@ FROM d WHERE date_diff('microsecond', prev, ts) / 1e6 > {_GAP_S}
 """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity sessions per event_type split by >30 min inactivity —
+    engine uses Catalyst's native session_window aggregation; the oracle
+    re-derives sessions INDEPENDENTLY via a cumulative break-flag window
+    (two different algorithms, same semantics)."""
+    from tsdownsample_spark.operators.gaps import sessionize
+
+    ev = load(spark, sf_dir, "events")
+    return sessionize(ev, x_col="ts", by=["event_type"], gap="30 minutes")
+
+
+_ORACLE_SESSIONIZE = f"""
+WITH d AS (
+    SELECT event_type, ts,
+           CASE WHEN date_diff('microsecond',
+                               LAG(ts) OVER (PARTITION BY event_type ORDER BY ts),
+                               ts) / 1e6 > {_GAP_S} THEN 1 ELSE 0 END AS brk
+    FROM events WHERE ts IS NOT NULL
+),
+s AS (
+    SELECT event_type, ts,
+           SUM(brk) OVER (PARTITION BY event_type ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+    FROM d
+)
+SELECT event_type, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       date_diff('microsecond', MIN(ts), MAX(ts)) / 1e6 AS duration_s
+FROM s GROUP BY event_type, sid
+"""
+
+
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentile rollup (operators/rollup.py:quantile_tier): per
     (event_type, day) p50/p95/p99 + count.  Spark's exact `percentile`
@@ -1633,6 +1665,7 @@ def queries() -> dict:
         "q_compress_roundtrip": _q_compress_roundtrip,
         "q_asof_join": q_asof_join,
         "q_gap_detect": q_gap_detect,
+        "q_sessionize": q_sessionize,
         "q_quantiles": q_quantiles,
         "q_counter_rate": q_counter_rate,
         "q_twa": q_twa,
@@ -1688,6 +1721,7 @@ def oracle_sql() -> dict:
         "q_compress_roundtrip": "SELECT event_type, ts, value FROM events",
         "q_asof_join": _ORACLE_ASOF,
         "q_gap_detect": _ORACLE_GAPS,
+        "q_sessionize": _ORACLE_SESSIONIZE,
         "q_quantiles": _ORACLE_QUANTILES,
         "q_counter_rate": _ORACLE_COUNTER_RATE,
         "q_twa": _ORACLE_TWA,
