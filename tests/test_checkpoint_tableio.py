@@ -289,3 +289,52 @@ def test_continuous_rollup_skips_replace_and_guards_lost_cursor(spark, tmp_path)
         continuous_rollup(
             spark, raw, tier, tier="1m", x_col="ts", y_col="value", by=["k"]
         )
+
+
+def test_retention_sweep_ages_out_rows_without_disturbing_tiers(spark, tmp_path):
+    """rewrite_filtered drops aged rows as a replace commit: newer rows
+    intact, time travel to the pre-sweep snapshot intact, and a
+    continuous_rollup consumer neither reprocesses nor starves."""
+    import pandas as pd
+
+    from tsdownsample_spark.operators.rollup import continuous_rollup
+
+    raw = SnapshotTable(str(tmp_path / "raw"))
+    tier = SnapshotTable(str(tmp_path / "tier"))
+    base = pd.Timestamp("2024-06-01")
+
+    def batch(day, n=30):
+        return spark.createDataFrame(
+            [("a", (base + pd.Timedelta(days=day, seconds=30 * i)).to_pydatetime(),
+              float(i)) for i in range(n)],
+            "k string, ts timestamp, value double",
+        )
+
+    raw.append(batch(0))
+    raw.append(batch(10))
+    continuous_rollup(spark, raw, tier, tier="1m", x_col="ts", y_col="value", by=["k"])
+    assert tier.read(spark).agg(F.sum("agg_cnt")).collect()[0][0] == 60
+    pre = raw.current_snapshot_id()
+    # sweep: keep only day-10 data
+    sid = raw.rewrite_filtered(spark, "ts >= timestamp '2024-06-08'")
+    assert sid is not None
+    assert raw.snapshot()["operation"] == "replace"
+    assert raw.read(spark).count() == 30
+    assert raw.read(spark).agg(F.min("ts")).collect()[0][0].day == 11
+    # pre-sweep snapshot still reads everything (until expiry)
+    assert raw.read(spark, snapshot_id=pre).count() == 60
+    # the tier consumer sees nothing new (replace skipped, cursor intact)
+    assert (
+        continuous_rollup(spark, raw, tier, tier="1m", x_col="ts", y_col="value",
+                          by=["k"])
+        is None
+    )
+    assert tier.read(spark).agg(F.sum("agg_cnt")).collect()[0][0] == 60
+    # and a fresh append after the sweep flows through normally
+    raw.append(batch(20))
+    assert (
+        continuous_rollup(spark, raw, tier, tier="1m", x_col="ts", y_col="value",
+                          by=["k"])
+        is not None
+    )
+    assert tier.read(spark).agg(F.sum("agg_cnt")).collect()[0][0] == 90

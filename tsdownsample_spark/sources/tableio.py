@@ -147,6 +147,41 @@ class SnapshotTable:
             {"compacted_from": len(snap["files"]), "rows": rows},
         )
 
+    def rewrite_filtered(
+        self, spark: SparkSession, predicate: str, summary: dict | None = None
+    ) -> str | None:
+        """TTL / retention sweep: rewrite the current rows KEEPING only
+        those satisfying ``predicate`` (a SQL boolean over the table's
+        columns), as a REPLACE commit.
+
+        This is how a retention policy ages raw data out while coarser
+        tiers (already aggregated elsewhere) persist — e.g.
+        ``raw.rewrite_filtered(spark, "ts >= timestamp '2024-06-01'")``
+        after the 1m/1h/1d tiers have consumed the older rows.  Old files
+        stay on disk for time travel until ``expire_snapshots``; replace
+        commits are skipped by incremental consumers (continuous_rollup),
+        so a sweep never double-feeds or starves a tier refresh.  Returns
+        the new snapshot id, or None for an empty table.  The predicate is
+        evaluated by Spark — partition pruning / pushdown applies, and rows
+        are rewritten only once however many files they spanned.
+        """
+        snap = self.snapshot()
+        if snap is None or not snap["files"]:
+            return None
+        commit_id = uuid.uuid4().hex[:12]
+        data_dir = os.path.join(self.root, "data", commit_id)
+        df = spark.read.parquet(*snap["files"]).where(predicate)
+        df.write.mode("overwrite").parquet(data_dir)
+        files = sorted(
+            os.path.join(data_dir, f)
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        )
+        return self._commit(
+            files, files, "replace",
+            dict(summary or {}, retention_predicate=predicate),
+        )
+
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Drop all but the last ``keep_last`` snapshots and delete data
         files no surviving snapshot references (Iceberg's
