@@ -374,3 +374,48 @@ def test_sessionize_boundary_rule_and_gap_duality(spark):
 
     n_gaps = detect_gaps(df, x_col="ts", by=["k"], min_gap=300.0).count()
     assert out.count() == n_gaps + df.select("k").distinct().count()
+
+
+# ------------------------------------------------------- rolling_zscore
+
+
+def test_rolling_zscore_flags_injected_spike(spark):
+    from tsdownsample_spark.operators.anomaly import rolling_zscore
+
+    rng = np.random.default_rng(41)
+    vals = rng.normal(0, 1, 300)
+    vals[200] = 15.0  # unmistakable spike
+    df = spark.createDataFrame(
+        [("a", i, float(v)) for i, v in enumerate(vals)],
+        "k string, t long, value double",
+    )
+    out = rolling_zscore(df, x_col="t", y_col="value", by=["k"], window=50,
+                         threshold=3.0, min_obs=10)
+    rows = {r["t"]: r for r in out.collect()}
+    # the spike is flagged; z matches a trailing-window numpy derivation
+    assert rows[200]["is_anomaly"] is True
+    w = vals[150:200]
+    exp_z = (15.0 - w.mean()) / w.std(ddof=1)
+    assert rows[200]["z"] == pytest.approx(exp_z, rel=1e-9)
+    # warm-up rows (< min_obs priors) score nothing
+    assert rows[0]["z"] is None and rows[0]["is_anomaly"] is None
+    assert rows[9]["z"] is None and rows[10]["z"] is not None
+    # ordinary rows are not flagged en masse
+    flagged = sum(1 for r in rows.values() if r["is_anomaly"])
+    assert flagged <= 4
+
+
+def test_rolling_zscore_constant_window_scores_nothing(spark):
+    from tsdownsample_spark.operators.anomaly import rolling_zscore
+
+    df = spark.createDataFrame(
+        [("a", i, 5.0) for i in range(40)] + [("a", 40, 9.0)],
+        "k string, t long, value double",
+    )
+    out = {r["t"]: r for r in
+           rolling_zscore(df, x_col="t", y_col="value", by=["k"], window=20,
+                          min_obs=5).collect()}
+    # zero-variance trailing window: NULL z even for the deviating point
+    assert out[40]["z"] is None and out[40]["is_anomaly"] is None
+    with pytest.raises(ValueError, match=">= 2"):
+        rolling_zscore(df, window=1, by=["k"], x_col="t", y_col="value")

@@ -1098,6 +1098,48 @@ FROM s GROUP BY event_type, sid
 """
 
 
+def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags per event_type (trailing 50 obs,
+    3-sigma, min 10 obs).  The contract projects z (rounded 6dp) and the
+    flag, NOT the raw rolling mean/std: input values have 2 decimals, so
+    a window mean can land EXACTLY on a decimal rounding tie where
+    Spark's HALF_UP and DuckDB's HALF_EVEN legitimately disagree
+    (observed at sf0.01: 51.9603125).  z is a ratio — tie-free in
+    practice — and verifies mean+std implicitly; the flag is computed on
+    the UNROUNDED z in both engines."""
+    from tsdownsample_spark.operators.anomaly import rolling_zscore
+
+    ev = load(spark, sf_dir, "events")
+    out = rolling_zscore(
+        ev, x_col="ts", y_col="value", by=["event_type"], window=50,
+        threshold=3.0, tiebreak=["event_id"], min_obs=10,
+    )
+    return out.select(
+        "event_type",
+        "ts",
+        "value",
+        F.round("z", 6).alias("z_r"),
+        "is_anomaly",
+    )
+
+
+_ORACLE_ANOMALY = """
+WITH w AS (
+    SELECT event_type, ts, value,
+           AVG(value) OVER fr AS m,
+           STDDEV_SAMP(value) OVER fr AS s,
+           COUNT(value) OVER fr AS c
+    FROM events
+    WINDOW fr AS (PARTITION BY event_type ORDER BY ts, event_id
+                  ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, ts, value,
+       ROUND(CASE WHEN c >= 10 AND s > 0 THEN (value - m) / s END, 6) AS z_r,
+       CASE WHEN c >= 10 AND s > 0 THEN ABS((value - m) / s) > 3.0 END AS is_anomaly
+FROM w
+"""
+
+
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentile rollup (operators/rollup.py:quantile_tier): per
     (event_type, day) p50/p95/p99 + count.  Spark's exact `percentile`
@@ -1666,6 +1708,7 @@ def queries() -> dict:
         "q_asof_join": q_asof_join,
         "q_gap_detect": q_gap_detect,
         "q_sessionize": q_sessionize,
+        "q_anomaly": q_anomaly,
         "q_quantiles": q_quantiles,
         "q_counter_rate": q_counter_rate,
         "q_twa": q_twa,
@@ -1722,6 +1765,7 @@ def oracle_sql() -> dict:
         "q_asof_join": _ORACLE_ASOF,
         "q_gap_detect": _ORACLE_GAPS,
         "q_sessionize": _ORACLE_SESSIONIZE,
+        "q_anomaly": _ORACLE_ANOMALY,
         "q_quantiles": _ORACLE_QUANTILES,
         "q_counter_rate": _ORACLE_COUNTER_RATE,
         "q_twa": _ORACLE_TWA,
