@@ -135,3 +135,41 @@ def test_token_tier_cascade_is_shuffle_free(spark):
     assert plan.count("MapInArrow") == 3
     # the sel_idx re-basing is a JVM expression, not a 4th Python stage
     assert plan.count("ArrowEvalPython") == 0
+
+
+def test_rate_twa_gaps_single_exchange(spark, sf_dir):
+    """The round-3 window operators each shuffle exactly once on the series
+    key — no joins, no broadcasts, no second exchange."""
+    from tsdownsample_spark.operators.gaps import detect_gaps, sessionize
+    from tsdownsample_spark.operators.rate import counter_rate, time_weighted_avg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    for out in (
+        counter_rate(ev, x_col="ts", y_col="value", by=["event_type"],
+                     tiebreak=["event_id"]),
+        detect_gaps(ev, x_col="ts", by=["event_type"], min_gap=60.0),
+    ):
+        plan = _plan(out)
+        assert plan.count("Exchange") == 1, plan
+        assert "Join" not in plan and "BroadcastExchange" not in plan
+    # twa + sessionize aggregate after their window: the groupBy reuses the
+    # window's partitioning (bucket/session key extends it), so AQE-planned
+    # exchanges stay <= 2 and nothing broadcasts
+    for out in (
+        time_weighted_avg(ev, tier="1h", x_col="ts", y_col="value",
+                          by=["event_type"], tiebreak=["event_id"]),
+        sessionize(ev, x_col="ts", by=["event_type"], gap="30 minutes"),
+    ):
+        plan = _plan(out)
+        assert plan.count("Exchange") <= 2, plan
+        assert "Join" not in plan and "BroadcastExchange" not in plan
+
+
+def test_anomaly_and_evaluator_plan_shape(spark, sf_dir):
+    from tsdownsample_spark.operators.anomaly import rolling_zscore
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = _plan(rolling_zscore(ev, x_col="ts", y_col="value",
+                                by=["event_type"], tiebreak=["event_id"]))
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan
