@@ -131,3 +131,52 @@ def test_stream_quantile_tier_tracks_exact(spark, tmp_path, sf_dir):
     for col in ("p_50", "p_95"):
         g, e = got[col].to_numpy(), exp[col].to_numpy()
         assert np.array_equal(g, e), col
+
+
+@pytest.mark.slow
+def test_stream_sessionize_matches_batch(spark, tmp_path, sf_dir):
+    """sessionize's session_window call IS the streaming sessionization
+    operator: the same grouping over a file stream (sessions merging
+    across micro-batches in the state store) equals the batch sessions."""
+    from tsdownsample_spark.operators.gaps import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    src_dir = str(tmp_path / "stream_in")
+    os.makedirs(src_dir)
+    a, b = ev.randomSplit([0.5, 0.5], seed=7)
+    a.write.mode("overwrite").parquet(src_dir + "/batch1")
+    b.write.mode("overwrite").parquet(src_dir + "/batch2")
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    i = 0
+    for sub in ("batch1", "batch2"):
+        for f in os.listdir(f"{src_dir}/{sub}"):
+            if f.endswith(".parquet"):
+                shutil.copy(f"{src_dir}/{sub}/{f}", f"{flat}/{i:04d}.parquet")
+                i += 1
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    out = sessionize(stream, x_col="ts", by=["event_type"], gap="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssess")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        tuple(r) for r in spark.table("ssess").collect()
+    )
+    exp = sorted(
+        tuple(r) for r in sessionize(ev, x_col="ts", by=["event_type"],
+                                     gap="30 minutes").collect()
+    )
+    assert len(got) == len(exp) > 0
+    assert got == exp
