@@ -180,3 +180,63 @@ def test_stream_sessionize_matches_batch(spark, tmp_path, sf_dir):
     )
     assert len(got) == len(exp) > 0
     assert got == exp
+
+
+@pytest.mark.slow
+def test_stream_asof_enrich_batch_splitting_invariant(spark, tmp_path, sf_dir):
+    """foreachBatch as-of enrichment against a static 1m tier: micro-batch
+    results concatenated == the single batch join over all events (the
+    as-of match of a row depends only on that row and the right side)."""
+    from tsdownsample_spark.operators.asof import asof_join
+    from tsdownsample_spark.operators.rollup import retention_tiers
+    from tsdownsample_spark.streaming.stream_asof import asof_enrich_foreach_batch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    full = spark.read.parquet(f"{sf_dir}/events.parquet")
+    right = (
+        retention_tiers(full, x_col="ts", y_col="value", by=["event_type"],
+                        uid_col="event_id")["1m"]
+        .select(
+            "event_type",
+            (F.col("bucket_ts") + F.expr("INTERVAL 1 MINUTE")).alias("ts"),
+            F.col("agg_min").alias("tier_min"),
+        )
+        .cache()
+    )
+    kw = dict(on="ts", by=["event_type"], value_cols=["tier_min"],
+              matched_col="matched_ts")
+
+    src_dir = str(tmp_path / "stream_in")
+    os.makedirs(src_dir)
+    a, b = ev.randomSplit([0.5, 0.5], seed=9)
+    a.write.mode("overwrite").parquet(src_dir + "/batch1")
+    b.write.mode("overwrite").parquet(src_dir + "/batch2")
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    i = 0
+    for sub in ("batch1", "batch2"):
+        for f in os.listdir(f"{src_dir}/{sub}"):
+            if f.endswith(".parquet"):
+                shutil.copy(f"{src_dir}/{sub}/{f}", f"{flat}/{i:04d}.parquet")
+                i += 1
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    collected = []
+
+    def sink(df, batch_id):
+        collected.extend(tuple(r) for r in df.collect())
+
+    q = (
+        stream.writeStream.foreachBatch(asof_enrich_foreach_batch(right, sink, **kw))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    exp = sorted(tuple(r) for r in asof_join(ev, right, **kw).collect())
+    assert sorted(collected) == exp and len(exp) > 0
