@@ -19,3 +19,39 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def make_file_stream(spark, df, tmp_path, seed=1, time_col=None):
+    """Stage ``df`` as a flat directory of numbered parquet files for a
+    maxFilesPerTrigger=1 file stream: two parts via randomSplit(seed), or —
+    when ``time_col`` is given — split at the median of that column with
+    file mtimes pinned so batch 1 strictly precedes batch 2 (for stateful
+    operators whose cross-batch carry is under test).  Returns the dir."""
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    from pyspark.sql import functions as _F
+
+    if time_col is None:
+        a, b = df.randomSplit([0.5, 0.5], seed=seed)
+    else:
+        cut = df.selectExpr(
+            f"percentile_approx(CAST({time_col} AS DOUBLE), 0.5) p"
+        ).collect()[0]["p"]
+        a = df.filter(_F.col(time_col).cast("double") <= cut)
+        b = df.filter(_F.col(time_col).cast("double") > cut)
+    flat = str(tmp_path / "flat_stream_in")
+    _os.makedirs(flat)
+    i, now = 0, _time.time()
+    for j, part in enumerate((a, b)):
+        d = str(tmp_path / f"_stream_part{j}")
+        part.coalesce(1).write.mode("overwrite").parquet(d)
+        for f in sorted(_os.listdir(d)):
+            if f.endswith(".parquet"):
+                dst = f"{flat}/{i:04d}.parquet"
+                _shutil.copy(_os.path.join(d, f), dst)
+                if time_col is not None:
+                    _os.utime(dst, (now - 120 + 60 * j, now - 120 + 60 * j))
+                i += 1
+    return flat

@@ -1,14 +1,27 @@
-"""Streaming rollup: file-stream ingestion must produce the same 1m tier as
-the batch rollup over the same data."""
-
-import os
-import shutil
+"""Streaming rollup / quantile tier / sessionize / as-of enrichment:
+file-stream ingestion must produce the same results as the batch
+operators over the same data (micro-batch staging via conftest's
+make_file_stream)."""
 
 import pytest
 from pyspark.sql import functions as F
 
+from conftest import make_file_stream
 from tsdownsample_spark.operators.rollup import rollup_raw
 from tsdownsample_spark.streaming.stream_rollup import stream_rollup
+
+
+def _run_stream(spark, out, tmp_path, name):
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
 
 
 @pytest.mark.slow
@@ -16,40 +29,15 @@ def test_stream_matches_batch(spark, tmp_path, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_type", F.col("ts").cast("timestamp").alias("ts"), "value"
     )
-    # stage the input as two incremental files (micro-batches)
-    src_dir = str(tmp_path / "stream_in")
-    os.makedirs(src_dir)
-    a, b = ev.randomSplit([0.5, 0.5], seed=1)
-    a.write.mode("overwrite").parquet(src_dir + "/batch1")
-    b.write.mode("overwrite").parquet(src_dir + "/batch2")
-    # flatten: streaming source wants a flat dir of files
-    flat = str(tmp_path / "flat")
-    os.makedirs(flat)
-    i = 0
-    for sub in ("batch1", "batch2"):
-        for f in os.listdir(f"{src_dir}/{sub}"):
-            if f.endswith(".parquet"):
-                shutil.copy(f"{src_dir}/{sub}/{f}", f"{flat}/{i:04d}.parquet")
-                i += 1
-
+    flat = make_file_stream(spark, ev, tmp_path, seed=1)
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(flat)
     )
-    out = stream_rollup(stream, "1m", by=["event_type"])
-    q = (
-        out.writeStream.format("memory")
-        .queryName("t1m")
-        .outputMode("complete")
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-
     got = (
-        spark.table("t1m")
+        _run_stream(spark, stream_rollup(stream, "1m", by=["event_type"]),
+                    tmp_path, "t1m")
         .select("event_type", "bucket_ts", "agg_cnt", "agg_min", "agg_max")
         .toPandas()
         .sort_values(["event_type", "bucket_ts"])
@@ -70,8 +58,10 @@ def test_stream_matches_batch(spark, tmp_path, sf_dir):
 
 @pytest.mark.slow
 def test_stream_quantile_tier_tracks_exact(spark, tmp_path, sf_dir):
-    """Streaming sketch percentiles land within rank error of the batch
-    EXACT percentiles (counts exactly equal) — 1h buckets over events."""
+    """Streaming sketch percentiles == the batch sketch (lossless GK merge
+    at these bucket sizes), counts exact.  The sketch is the right
+    baseline: it returns discrete rank values while exact=True
+    interpolates."""
     import numpy as np
 
     from tsdownsample_spark.operators.rollup import quantile_tier
@@ -80,44 +70,22 @@ def test_stream_quantile_tier_tracks_exact(spark, tmp_path, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_type", F.col("ts").cast("timestamp").alias("ts"), "value"
     )
-    src_dir = str(tmp_path / "stream_in")
-    os.makedirs(src_dir)
-    a, b = ev.randomSplit([0.5, 0.5], seed=3)
-    a.write.mode("overwrite").parquet(src_dir + "/batch1")
-    b.write.mode("overwrite").parquet(src_dir + "/batch2")
-    flat = str(tmp_path / "flat")
-    os.makedirs(flat)
-    i = 0
-    for sub in ("batch1", "batch2"):
-        for f in os.listdir(f"{src_dir}/{sub}"):
-            if f.endswith(".parquet"):
-                shutil.copy(f"{src_dir}/{sub}/{f}", f"{flat}/{i:04d}.parquet")
-                i += 1
+    flat = make_file_stream(spark, ev, tmp_path, seed=3)
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(flat)
     )
-    out = stream_quantile_tier(stream, "1h", by=["event_type"], ps=(0.5, 0.95))
-    q = (
-        out.writeStream.format("memory")
-        .queryName("sq1h")
-        .outputMode("complete")
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
     got = (
-        spark.table("sq1h")
+        _run_stream(
+            spark,
+            stream_quantile_tier(stream, "1h", by=["event_type"], ps=(0.5, 0.95)),
+            tmp_path, "sq1h",
+        )
         .toPandas()
         .sort_values(["event_type", "bucket_ts"])
         .reset_index(drop=True)
     )
-    # baseline = the BATCH sketch: at these bucket sizes (tens of points,
-    # accuracy=10k) the GK summary retains every sample, so merges are
-    # lossless and stream == batch exactly — the right comparison, since
-    # the sketch returns discrete rank values while exact=True interpolates
     exp = (
         quantile_tier(ev, tier="1h", x_col="ts", y_col="value",
                       by=["event_type"], ps=(0.5, 0.95), exact=False,
@@ -129,8 +97,7 @@ def test_stream_quantile_tier_tracks_exact(spark, tmp_path, sf_dir):
     assert len(got) == len(exp) > 0
     assert (got.agg_cnt.to_numpy() == exp.agg_cnt.to_numpy()).all()
     for col in ("p_50", "p_95"):
-        g, e = got[col].to_numpy(), exp[col].to_numpy()
-        assert np.array_equal(g, e), col
+        assert np.array_equal(got[col].to_numpy(), exp[col].to_numpy()), col
 
 
 @pytest.mark.slow
@@ -143,36 +110,19 @@ def test_stream_sessionize_matches_batch(spark, tmp_path, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_type", F.col("ts").cast("timestamp").alias("ts")
     )
-    src_dir = str(tmp_path / "stream_in")
-    os.makedirs(src_dir)
-    a, b = ev.randomSplit([0.5, 0.5], seed=7)
-    a.write.mode("overwrite").parquet(src_dir + "/batch1")
-    b.write.mode("overwrite").parquet(src_dir + "/batch2")
-    flat = str(tmp_path / "flat")
-    os.makedirs(flat)
-    i = 0
-    for sub in ("batch1", "batch2"):
-        for f in os.listdir(f"{src_dir}/{sub}"):
-            if f.endswith(".parquet"):
-                shutil.copy(f"{src_dir}/{sub}/{f}", f"{flat}/{i:04d}.parquet")
-                i += 1
+    flat = make_file_stream(spark, ev, tmp_path, seed=7)
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(flat)
     )
-    out = sessionize(stream, x_col="ts", by=["event_type"], gap="30 minutes")
-    q = (
-        out.writeStream.format("memory")
-        .queryName("ssess")
-        .outputMode("complete")
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
     got = sorted(
-        tuple(r) for r in spark.table("ssess").collect()
+        tuple(r)
+        for r in _run_stream(
+            spark,
+            sessionize(stream, x_col="ts", by=["event_type"], gap="30 minutes"),
+            tmp_path, "ssess",
+        ).collect()
     )
     exp = sorted(
         tuple(r) for r in sessionize(ev, x_col="ts", by=["event_type"],
@@ -207,20 +157,7 @@ def test_stream_asof_enrich_batch_splitting_invariant(spark, tmp_path, sf_dir):
     )
     kw = dict(on="ts", by=["event_type"], value_cols=["tier_min"],
               matched_col="matched_ts")
-
-    src_dir = str(tmp_path / "stream_in")
-    os.makedirs(src_dir)
-    a, b = ev.randomSplit([0.5, 0.5], seed=9)
-    a.write.mode("overwrite").parquet(src_dir + "/batch1")
-    b.write.mode("overwrite").parquet(src_dir + "/batch2")
-    flat = str(tmp_path / "flat")
-    os.makedirs(flat)
-    i = 0
-    for sub in ("batch1", "batch2"):
-        for f in os.listdir(f"{src_dir}/{sub}"):
-            if f.endswith(".parquet"):
-                shutil.copy(f"{src_dir}/{sub}/{f}", f"{flat}/{i:04d}.parquet")
-                i += 1
+    flat = make_file_stream(spark, ev, tmp_path, seed=9)
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)

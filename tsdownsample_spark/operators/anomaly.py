@@ -38,6 +38,11 @@ def rolling_zscore(
     """
     if window < 2 or min_obs < 2:
         raise ValueError("window and min_obs must be >= 2")
+    if min_obs > window:
+        raise ValueError(
+            f"min_obs ({min_obs}) > window ({window}): the trailing frame "
+            "can never satisfy it — every z would be silently NULL"
+        )
     by = list(by)
     w = (
         Window.partitionBy(*by)
@@ -50,10 +55,10 @@ def rolling_zscore(
     z = F.when(
         (cnt >= F.lit(min_obs)) & (std > 0), (F.col(y_col) - mean) / std
     )
+    # true append: every input column passes through (callers join flags
+    # back to source rows by their own id columns)
     return df.select(
-        *by,
-        F.col(x_col),
-        F.col(y_col),
+        "*",
         mean.alias("roll_mean"),
         std.alias("roll_std"),
         z.alias("z"),

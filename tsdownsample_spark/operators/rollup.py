@@ -135,21 +135,32 @@ def quantile_tier(
     """
     unit = TIER_UNITS[tier]
     bucket = F.date_trunc(unit, F.col(x_col)).alias("bucket_ts")
-
-    def _name(p: float) -> str:
-        s = f"{p * 100:g}".replace(".", "_")
-        return f"p_{s}"
-
     if exact:
-        aggs = [F.percentile(y_col, F.lit(p)).alias(_name(p)) for p in ps]
-    else:
         aggs = [
-            F.approx_percentile(y_col, F.lit(p), F.lit(accuracy)).alias(_name(p))
-            for p in ps
+            F.percentile(y_col, F.lit(p)).alias(quantile_col_name(p)) for p in ps
         ]
-    return df.groupBy(*by, bucket).agg(
-        F.count(y_col).cast("long").alias("agg_cnt"), *aggs
+        return df.groupBy(*by, bucket).agg(
+            F.count(y_col).cast("long").alias("agg_cnt"), *aggs
+        )
+    # ONE sketch computing every requested quantile (array form): k
+    # percentiles cost one GK summary per group, not k
+    arr = F.approx_percentile(
+        y_col, F.array(*[F.lit(float(p)) for p in ps]), F.lit(accuracy)
     )
+    out = df.groupBy(*by, bucket).agg(
+        F.count(y_col).cast("long").alias("agg_cnt"), arr.alias("_ps")
+    )
+    return out.select(
+        *by, "bucket_ts", "agg_cnt",
+        *[F.col("_ps")[i].alias(quantile_col_name(p)) for i, p in enumerate(ps)],
+    )
+
+
+def quantile_col_name(p: float) -> str:
+    """Column name for quantile ``p`` (0.95 -> 'p_95'), shared by the batch
+    and streaming percentile tiers so both land in one table schema."""
+    s = f"{p * 100:g}".replace(".", "_")
+    return f"p_{s}"
 
 
 def with_derived(df: DataFrame) -> DataFrame:

@@ -201,6 +201,17 @@ def ladder_single_pass(
     if "sel_idx" in df.columns or "tier_n_out" in df.columns:
         raise ValueError("ladder_single_pass expects the RAW token table")
     resolve_plan(tiers, algo, "auto")  # validates ordering/uniqueness
+    # tier_view classifies columns by the {tokens_col}_/sel_idx_ prefixes,
+    # so passthrough columns in that namespace would be silently dropped or
+    # collide with the renames — refuse up front
+    for c in df.columns:
+        if c != tokens_col and (
+            c.startswith(f"{tokens_col}_") or c.startswith("sel_idx_")
+        ):
+            raise ValueError(
+                f"input column {c!r} collides with the ladder's "
+                f"'{tokens_col}_<n>'/'sel_idx_<n>' output namespace"
+            )
     out = downsample_tokens_pyramid(
         df, tiers, algo=algo, tokens_col=tokens_col, output="select", **kw
     )

@@ -1079,15 +1079,19 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_SESSIONIZE = f"""
 WITH d AS (
-    SELECT event_type, ts,
+    SELECT event_type, ts, event_id,
            CASE WHEN date_diff('microsecond',
-                               LAG(ts) OVER (PARTITION BY event_type ORDER BY ts),
+                               LAG(ts) OVER (PARTITION BY event_type
+                                             ORDER BY ts, event_id),
                                ts) / 1e6 > {_GAP_S} THEN 1 ELSE 0 END AS brk
     FROM events WHERE ts IS NOT NULL
 ),
 s AS (
+    -- the event_id tiebreak keeps BOTH windows on the same total order:
+    -- with ties ordered differently between d and s, equal-ts rows at a
+    -- session boundary could land in different sessions
     SELECT event_type, ts,
-           SUM(brk) OVER (PARTITION BY event_type ORDER BY ts
+           SUM(brk) OVER (PARTITION BY event_type ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS sid
     FROM d
 )

@@ -65,17 +65,20 @@ class SnapshotTable:
     def append(self, df: DataFrame, summary: dict | None = None) -> str:
         """Commit an append: write data files, then atomically publish a new
         snapshot whose file list = parent's files + the new ones."""
-        commit_id = uuid.uuid4().hex[:12]
-        data_dir = os.path.join(self.root, "data", commit_id)
+        files = self._write_data(df)
+        parent = self.current_snapshot_id()
+        prev_files = self.snapshot(parent)["files"] if parent else []
+        return self._commit(prev_files + files, files, "append", summary)
+
+    def _write_data(self, df: DataFrame) -> list:
+        """Write ``df`` into a fresh commit directory; return its files."""
+        data_dir = os.path.join(self.root, "data", uuid.uuid4().hex[:12])
         df.write.mode("overwrite").parquet(data_dir)
-        files = sorted(
+        return sorted(
             os.path.join(data_dir, f)
             for f in os.listdir(data_dir)
             if f.endswith(".parquet")
         )
-        parent = self.current_snapshot_id()
-        prev_files = self.snapshot(parent)["files"] if parent else []
-        return self._commit(prev_files + files, files, "append", summary)
 
     def _commit(
         self, files: list, added: list, operation: str, summary: dict | None
@@ -133,14 +136,8 @@ class SnapshotTable:
         n_files = max(1, -(-rows // target_rows_per_file))
         if n_files >= len(snap["files"]):
             return None  # already at/above target density
-        commit_id = uuid.uuid4().hex[:12]
-        data_dir = os.path.join(self.root, "data", commit_id)
-        df = spark.read.parquet(*snap["files"]).repartition(n_files)
-        df.write.mode("overwrite").parquet(data_dir)
-        files = sorted(
-            os.path.join(data_dir, f)
-            for f in os.listdir(data_dir)
-            if f.endswith(".parquet")
+        files = self._write_data(
+            spark.read.parquet(*snap["files"]).repartition(n_files)
         )
         return self._commit(
             files, files, "replace",
@@ -161,25 +158,28 @@ class SnapshotTable:
         stay on disk for time travel until ``expire_snapshots``; replace
         commits are skipped by incremental consumers (continuous_rollup),
         so a sweep never double-feeds or starves a tier refresh.  Returns
-        the new snapshot id, or None for an empty table.  The predicate is
-        evaluated by Spark — partition pruning / pushdown applies, and rows
-        are rewritten only once however many files they spanned.
+        the new snapshot id, or None for an empty table or a sweep that
+        would remove nothing (no-op guard: a scheduled sweep in a window
+        where nothing aged out must not rewrite the whole table).  The
+        predicate is evaluated by Spark — partition pruning / pushdown
+        applies, and rows are rewritten only once however many files they
+        spanned.
         """
+        import pyarrow.parquet as pq
+
         snap = self.snapshot()
         if snap is None or not snap["files"]:
             return None
-        commit_id = uuid.uuid4().hex[:12]
-        data_dir = os.path.join(self.root, "data", commit_id)
+        total = sum(pq.ParquetFile(f).metadata.num_rows for f in snap["files"])
         df = spark.read.parquet(*snap["files"]).where(predicate)
-        df.write.mode("overwrite").parquet(data_dir)
-        files = sorted(
-            os.path.join(data_dir, f)
-            for f in os.listdir(data_dir)
-            if f.endswith(".parquet")
-        )
+        kept = df.count()
+        if kept == total:
+            return None
+        files = self._write_data(df)
         return self._commit(
             files, files, "replace",
-            dict(summary or {}, retention_predicate=predicate),
+            dict(summary or {}, retention_predicate=predicate,
+                 rows_kept=kept, rows_removed=total - kept),
         )
 
     def expire_snapshots(self, keep_last: int = 1) -> dict:

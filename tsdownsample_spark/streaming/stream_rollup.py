@@ -75,24 +75,20 @@ def stream_quantile_tier(
     sketch too.  Column names match quantile_tier (``p_{percent}``) so the
     streaming tier lands in the same table schema.
     """
+    from tsdownsample_spark.operators.rollup import quantile_col_name
+
     win = TIER_WINDOW[tier]
-
-    def _name(p: float) -> str:
-        s = f"{p * 100:g}".replace(".", "_")
-        return f"p_{s}"
-
+    # ONE sketch per open window computing every quantile (array form) —
+    # k percentiles must not multiply the state store's per-window size
+    arr = F.approx_percentile(
+        y_col, F.array(*[F.lit(float(p)) for p in ps]), F.lit(accuracy)
+    )
     agg = (
         stream_df.withWatermark(x_col, watermark)
         .groupBy(*by, F.window(F.col(x_col), win).alias("w"))
-        .agg(
-            F.count(y_col).cast("long").alias("agg_cnt"),
-            *[
-                F.approx_percentile(y_col, F.lit(p), F.lit(accuracy)).alias(_name(p))
-                for p in ps
-            ],
-        )
+        .agg(F.count(y_col).cast("long").alias("agg_cnt"), arr.alias("_ps"))
     )
     return agg.select(
         *by, F.col("w.start").alias("bucket_ts"), "agg_cnt",
-        *[_name(p) for p in ps]
+        *[F.col("_ps")[i].alias(quantile_col_name(p)) for i, p in enumerate(ps)],
     )
