@@ -419,3 +419,42 @@ def test_rolling_zscore_constant_window_scores_nothing(spark):
     assert out[40]["z"] is None and out[40]["is_anomaly"] is None
     with pytest.raises(ValueError, match=">= 2"):
         rolling_zscore(df, window=1, by=["k"], x_col="t", y_col="value")
+
+
+def test_sessionize_oracle_agrees_on_duplicate_ts_at_boundary(spark):
+    """The review-flagged latent tie: duplicate (key, ts) rows AT a session
+    boundary.  Spark's session_window decides membership from ts values
+    alone; the DuckDB oracle re-derives via lag + cumulative sum — with the
+    event_id tiebreak on BOTH its windows, equal-ts rows stay in one
+    session.  Crafted input pins the agreement the sf fixtures never
+    exercise (their microsecond timestamps do not collide)."""
+    import duckdb
+    import pandas as pd
+
+    from tsdownsample_spark.operators.gaps import sessionize
+    from tsdownsample_spark.queries import _GAP_S, _ORACLE_SESSIONIZE
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    eid = 0
+    for off_s, n_dup in [(0, 1), (60, 2), (5000, 3), (5000 + 30, 1), (12000, 2)]:
+        for _ in range(n_dup):
+            rows.append(
+                ("a", (base + pd.Timedelta(seconds=off_s)).to_pydatetime(),
+                 float(eid), eid)
+            )
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_type", "ts", "value", "event_id"])
+    df = spark.createDataFrame(pdf)
+    got = sorted(
+        (r["event_type"], r["session_start"], r["session_end"], r["n_events"],
+         r["duration_s"])
+        for r in sessionize(df, x_col="ts", by=["event_type"],
+                            gap=f"{int(_GAP_S)} seconds").collect()
+    )
+    con = duckdb.connect()
+    con.register("events", pdf)
+    exp = sorted(tuple(r) for r in con.sql(_ORACLE_SESSIONIZE).fetchall())
+    assert got == exp
+    # shape sanity: dup rows at 5000s sit in the second session together
+    assert [g[3] for g in got] == [3, 4, 2]
