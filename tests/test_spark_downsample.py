@@ -113,6 +113,31 @@ def test_long_form_series_parity(spark):
         np.testing.assert_array_equal(sub.ts.to_numpy(), x[idx])
 
 
+def test_long_form_lttb_with_x_parity(spark):
+    """With-x LTTB (lttb.rs:17-92) through downsample_series == kernel: the
+    real-x triangle area / avg_x-midpoint path end-to-end, irregular x."""
+    rng = np.random.default_rng(17)
+    pdfs = []
+    expected = {}
+    for d in range(4):
+        n = int(rng.integers(400, 2_500))
+        x = np.cumsum(rng.integers(1, 900, size=n)).astype(np.int64)  # very irregular
+        y = rng.standard_normal(n)
+        expected[f"d{d}"] = (x, y)
+        pdfs.append(pd.DataFrame({"doc_id": f"d{d}", "ts": x, "value": y}))
+    big = pd.concat(pdfs)
+    df = spark.createDataFrame(big.sample(frac=1.0, random_state=3))
+
+    out = downsample_series(df, 101, algo="lttb", x_col="ts", y_col="value", by=["doc_id"])
+    got = out.toPandas().sort_values(["doc_id", "sel_idx"], kind="mergesort")
+    for d, (x, y) in expected.items():
+        idx = downsample_array(y, 101, algo="lttb", x=x)
+        sub = got[got.doc_id == d]
+        np.testing.assert_array_equal(sub.sel_idx.to_numpy(), idx)
+        np.testing.assert_array_equal(sub.value.to_numpy(), y[idx])
+        np.testing.assert_array_equal(sub.ts.to_numpy(), x[idx])
+
+
 def test_long_form_with_timestamps(spark):
     rng = np.random.default_rng(13)
     n = 2_000
