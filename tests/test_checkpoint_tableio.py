@@ -338,3 +338,69 @@ def test_retention_sweep_ages_out_rows_without_disturbing_tiers(spark, tmp_path)
         is not None
     )
     assert tier.read(spark).agg(F.sum("agg_cnt")).collect()[0][0] == 90
+
+
+def test_fresh_consumer_bootstrap_after_compact_expire(spark, tmp_path):
+    """A consumer with NO cursor attaching to a replace-rooted chain
+    (compact + expire already ran) must consume the full live baseline —
+    not silently skip rows whose only surviving home is a replace commit."""
+    import pandas as pd
+
+    from tsdownsample_spark.operators.rollup import continuous_rollup
+
+    raw = SnapshotTable(str(tmp_path / "raw"))
+    base = pd.Timestamp("2024-03-01")
+    for off in range(2):
+        raw.append(
+            spark.createDataFrame(
+                [("a", (base + pd.Timedelta(seconds=off * 3600 + 30 * i)).to_pydatetime(),
+                  float(i)) for i in range(30)],
+                "k string, ts timestamp, value double",
+            )
+        )
+    assert raw.compact(spark, target_rows_per_file=10_000, min_files=1) is not None
+    raw.expire_snapshots(keep_last=1)
+    assert raw.snapshot()["operation"] == "replace"  # replace-rooted chain
+    tier = SnapshotTable(str(tmp_path / "tier"))
+    sid = continuous_rollup(spark, raw, tier, tier="1m", x_col="ts", y_col="value",
+                            by=["k"])
+    assert sid is not None
+    assert tier.read(spark).agg(F.sum("agg_cnt")).collect()[0][0] == 60
+    # idempotent after bootstrap: cursor recorded, nothing new -> no commit
+    assert continuous_rollup(spark, raw, tier, tier="1m", x_col="ts",
+                             y_col="value", by=["k"]) is None
+    # new appends flow incrementally, not via another full read
+    raw.append(
+        spark.createDataFrame(
+            [("a", (base + pd.Timedelta(hours=9, seconds=30 * i)).to_pydatetime(),
+              float(i)) for i in range(30)],
+            "k string, ts timestamp, value double",
+        )
+    )
+    assert continuous_rollup(spark, raw, tier, tier="1m", x_col="ts",
+                             y_col="value", by=["k"]) is not None
+    assert tier.read(spark).agg(F.sum("agg_cnt")).collect()[0][0] == 90
+
+
+def test_expire_refuses_past_consumer_cursor(spark, tmp_path):
+    """expire_snapshots(min_retained_snapshot_id=...) widens retention to
+    cover every consumer cursor, and raises when a cursor is already gone."""
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    sids = []
+    for i in range(4):
+        sids.append(tbl.append(spark.range(i * 10, i * 10 + 10).toDF("v")))
+    # cursor at the 2nd snapshot: expiry may only drop the 1st
+    res = tbl.expire_snapshots(keep_last=1, min_retained_snapshot_id=sids[1])
+    assert res["expired_snapshots"] == 1
+    hist_ids = [s["snapshot_id"] for s in tbl.history()]
+    assert hist_ids == sids[1:]
+    # every retained snapshot still reads correctly
+    assert tbl.read(spark, snapshot_id=sids[1]).count() == 20
+    assert tbl.read(spark).count() == 40
+    # a list of cursors retains back to the OLDEST one
+    assert tbl.expire_snapshots(
+        keep_last=1, min_retained_snapshot_id=[sids[3], sids[1]]
+    ) == {"expired_snapshots": 0, "deleted_files": 0}
+    # an expired/unknown cursor refuses loudly instead of orphaning data
+    with pytest.raises(ValueError, match="consumer cursor"):
+        tbl.expire_snapshots(keep_last=1, min_retained_snapshot_id=sids[0])

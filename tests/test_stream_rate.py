@@ -185,3 +185,86 @@ def test_stream_detect_gaps_matches_batch(spark, tmp_path, sf_dir):
     )
     assert len(got) == len(exp) > 0
     assert got == exp
+
+
+def _stage_batches(spark, tmp_path, batches, schema):
+    """Write each row-list as one parquet file with ascending mtimes so
+    maxFilesPerTrigger=1 replays them as ordered micro-batches."""
+    flat = str(tmp_path / "in")
+    os.makedirs(flat)
+    now = _time.time()
+    for j, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, schema)
+        d = str(tmp_path / f"b{j}")
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                dst = f"{flat}/{j:04d}.parquet"
+                shutil.copy(os.path.join(d, f), dst)
+                os.utime(dst, (now - 600 + 60 * j, now - 600 + 60 * j))
+    return flat
+
+
+def test_stream_rate_all_late_batch_does_not_regress_state(spark, tmp_path):
+    """A micro-batch composed ENTIRELY of late data must not move the
+    carried last_ts backwards: the next in-order batch still pairs against
+    the true frontier (t=10s, v=20), not the late point."""
+    import pandas as pd
+
+    t = lambda s: pd.Timestamp(f"2024-01-01 00:00:{s:02d}").to_pydatetime()
+    batches = [
+        [("a", t(0), 10.0), ("a", t(10), 20.0)],
+        [("a", t(5), 15.0)],           # all-late batch
+        [("a", t(20), 32.0)],          # in-order batch
+    ]
+    flat = _stage_batches(spark, tmp_path, batches,
+                          "event_type string, ts timestamp, value double")
+    stream = (
+        spark.readStream.schema("event_type string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1).parquet(flat)
+    )
+    out = stream_counter_rate(stream, x_col="ts", y_col="value", by=["event_type"])
+    q = (
+        out.writeStream.format("memory").queryName("crate_late")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = {r["value"]: r for r in spark.table("crate_late").collect()}
+    # frontier pairing: 32 - 20 over 10 s, NOT 32 - 15 over 15 s
+    assert rows[32.0]["delta"] == 12.0
+    assert rows[32.0]["rate_s"] == pytest.approx(1.2)
+
+
+def test_stream_gaps_all_late_batch_does_not_regress_state(spark, tmp_path):
+    """Same frontier guard for gap detection: after an all-late batch, the
+    next in-order point closes its gap against t=10s, not the late t=5s."""
+    import pandas as pd
+
+    from tsdownsample_spark.streaming.stream_gaps import stream_detect_gaps
+
+    t = lambda s: pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=s)
+    batches = [
+        [("a", t(0).to_pydatetime()), ("a", t(10).to_pydatetime())],
+        [("a", t(5).to_pydatetime())],            # all-late batch
+        [("a", t(200).to_pydatetime())],          # in-order batch
+    ]
+    flat = _stage_batches(spark, tmp_path, batches, "event_type string, ts timestamp")
+    stream = (
+        spark.readStream.schema("event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(flat)
+    )
+    out = stream_detect_gaps(stream, x_col="ts", by=["event_type"], min_gap=30.0)
+    q = (
+        out.writeStream.format("memory").queryName("sgaps_late")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = [(r["gap_start_us"], r["gap_end_us"], r["gap_s"])
+           for r in spark.table("sgaps_late").collect()]
+    base_us = int(pd.Timestamp("2024-01-01").value // 1000)
+    # exactly one gap, closed against the true frontier t=10s: 190 s
+    assert got == [(base_us + 10_000_000, base_us + 200_000_000, 190.0)]

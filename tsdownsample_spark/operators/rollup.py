@@ -237,11 +237,19 @@ def continuous_rollup(
                 "rebuild the tier from scratch or repoint the cursor"
             )
     new_files: list[str] = []
-    for snap in chain[start:]:
-        # replace commits (compaction) rewrite EXISTING rows into new files;
-        # consuming their added_files would double-count every row
-        if snap.get("operation", "append") == "append":
-            new_files.extend(snap["added_files"])
+    if done is None:
+        # fresh consumer: the live baseline is the CURRENT snapshot's full
+        # file list.  Walking append commits only would silently skip rows
+        # whose surviving home is a replace commit (compact/rewrite +
+        # expire leaves a replace-rooted chain whose added_files never
+        # carried them as an append).
+        new_files = list(chain[-1]["files"])
+    else:
+        for snap in chain[start:]:
+            # replace commits (compaction) rewrite EXISTING rows into new
+            # files; consuming their added_files would double-count
+            if snap.get("operation", "append") == "append":
+                new_files.extend(snap["added_files"])
     if not new_files:
         return None
     delta = rollup_raw(

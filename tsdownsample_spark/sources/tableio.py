@@ -182,7 +182,11 @@ class SnapshotTable:
                  rows_kept=kept, rows_removed=total - kept),
         )
 
-    def expire_snapshots(self, keep_last: int = 1) -> dict:
+    def expire_snapshots(
+        self,
+        keep_last: int = 1,
+        min_retained_snapshot_id: "str | list[str] | None" = None,
+    ) -> dict:
         """Drop all but the last ``keep_last`` snapshots and delete data
         files no surviving snapshot references (Iceberg's
         ``expire_snapshots``).  The oldest kept snapshot becomes the chain
@@ -193,10 +197,30 @@ class SnapshotTable:
         every downstream cursor (continuous_rollup's raw_snapshot marker)
         has moved past — expiring an unconsumed append deletes files its
         delta still needs (the read then fails loudly, never silently).
+        Pass those cursors as ``min_retained_snapshot_id`` (one id or a
+        list — Iceberg's ref-based retention) and expiry will widen
+        ``keep_last`` to retain every cursor snapshot and everything after
+        it; a cursor id not found in the chain raises (it was already
+        expired — the consumer must be rebuilt or repointed first).
         """
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         hist = self.history()
+        if min_retained_snapshot_id is not None:
+            cursors = (
+                [min_retained_snapshot_id]
+                if isinstance(min_retained_snapshot_id, str)
+                else list(min_retained_snapshot_id)
+            )
+            pos = {s["snapshot_id"]: i for i, s in enumerate(hist)}
+            for cur in cursors:
+                if cur not in pos:
+                    raise ValueError(
+                        f"consumer cursor {cur!r} is not in {self.root}'s "
+                        "snapshot chain (already expired?) — refusing to "
+                        "expire; rebuild or repoint the consumer first"
+                    )
+            keep_last = max(keep_last, len(hist) - min(pos[c] for c in cursors))
         if len(hist) <= keep_last:
             return {"expired_snapshots": 0, "deleted_files": 0}
         kept, expired = hist[-keep_last:], hist[:-keep_last]

@@ -64,7 +64,12 @@ def stream_detect_gaps(
             prev[0] = ts[0]
         gap_s = (ts - prev) / 1_000_000.0
         hit = valid & (gap_s > min_gap)
-        state.update((int(ts[-1]),))
+        # never move last_ts backwards: an all-late micro-batch must not
+        # regress the carried frontier and corrupt pairing for the next
+        # in-order batch (late rows themselves are still mispaired — see
+        # the docstring's late-data caveat)
+        new_last = int(ts[-1]) if last_ts is None else max(int(ts[-1]), int(last_ts))
+        state.update((new_last,))
         out = pd.DataFrame({c: pdf[c].to_numpy()[hit] for c in by})
         out["gap_start_us"] = prev[hit]
         out["gap_end_us"] = ts[hit]

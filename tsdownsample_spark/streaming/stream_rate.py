@@ -120,10 +120,14 @@ def stream_counter_rate(
         mask_delta = ~has_prev | isnull | prev_null  # True -> NULL out
         mask_rate = mask_delta | ~pos
         last = len(vals) - 1
-        state.update(
-            (int(ts[last]), None if isnull[last] else float(vals[last]),
-             bool(isnull[last]))
-        )
+        # only advance the frontier: an all-late micro-batch keeps the
+        # carried (ts, val, null) triple intact so subsequent in-order
+        # batches still pair against the true latest point
+        if last_ts is None or int(ts[last]) >= int(last_ts):
+            state.update(
+                (int(ts[last]), None if isnull[last] else float(vals[last]),
+                 bool(isnull[last]))
+            )
         out = pd.DataFrame({c: pdf[c] for c in by})
         out["ts_us"] = pdf["ts_us"]
         out[y_col] = pd.arrays.FloatingArray(vals, isnull)
