@@ -3,7 +3,7 @@
 from N to 4N executors; sandbox stand-in: the same job at two local[...]
 parallelism levels on identical input).
 
-Three workloads, because the sandbox VM is memory-bandwidth-starved (see
+Four workloads, because the sandbox VM is memory-bandwidth-starved (see
 the ceiling microbenchmark it emits — often < 2 effective cores of stream
 bandwidth for 32 logical CPUs):
 
@@ -16,6 +16,10 @@ bandwidth for 32 logical CPUs):
 * ``dedup`` — MinHash signatures (k=16) + SimHash over a synthetic
   documents table.  JVM md5-compute-bound: shows the engine's scheduling /
   plan overheads scale, independent of memory bandwidth.
+* ``window`` — rolling z-score over 10^4 series (bench.bench_series_path):
+  per-series ROWS windows after one shuffle on series_key — core-scaling
+  here IS series-scaling, the dimension the 5-series contract fixture
+  serializes away.
 
 Levels are run in interleaved rounds (2, 8, 32, 2, 8, 32, ...) and the
 per-level minimum is taken, so bursty co-tenant contention (observed 3-4x
@@ -157,6 +161,20 @@ def pipeline_job(spark, path, out_root):
         prev = table
 
 
+def window_job(spark, path):
+    """Rolling z-score over 10^4 series: one shuffle on series_key, then a
+    ROWS window per series — scaling across cores == scaling across
+    series, the shape the 5-series contract fixture cannot evidence."""
+    from pyspark.sql import functions as F
+
+    from tsdownsample_spark.operators.anomaly import rolling_zscore
+
+    df = spark.read.parquet(path)
+    rolling_zscore(
+        df, x_col="ts", y_col="value", by=["series_key"], impl="prefix"
+    ).select(F.count(F.when(F.col("is_anomaly"), 1))).collect()
+
+
 def _bw_work(_):
     import numpy as np
 
@@ -185,15 +203,17 @@ def memory_bandwidth_ceiling() -> dict:
 
 
 def main() -> None:
-    from bench import bench_tokens_path
+    from bench import bench_series_path, bench_tokens_path
 
     tok_path, total_points = bench_tokens_path(DOCS, NTOK)
     doc_path = synth_docs_path()
+    ser_path, ser_rows = bench_series_path(10_000, 1_000)
 
     walls: dict[str, dict[int, list[float]]] = {
         "downsample": {c: [] for c in LEVELS},
         "pipeline": {c: [] for c in LEVELS},
         "dedup": {c: [] for c in LEVELS},
+        "window": {c: [] for c in LEVELS},
     }
     for rnd in range(ROUNDS + 1):  # round 0 = warm-up, discarded
         for cores in LEVELS:
@@ -207,11 +227,15 @@ def main() -> None:
             t0 = time.time()
             dedup_job(spark, doc_path)
             w_dd = time.time() - t0
+            t0 = time.time()
+            window_job(spark, ser_path)
+            w_wn = time.time() - t0
             spark.stop()
             if rnd > 0:
                 walls["downsample"][cores].append(round(w_ds, 3))
                 walls["pipeline"][cores].append(round(w_pl, 3))
                 walls["dedup"][cores].append(round(w_dd, 3))
+                walls["window"][cores].append(round(w_wn, 3))
 
     out: dict = {"metric": "scaling_efficiency_N_to_4N", "workloads": {}}
     for wl, per_level in walls.items():
@@ -224,6 +248,7 @@ def main() -> None:
                 # tier outputs (docs * (1024 + 256) extra points)
                 "pipeline": total_points + DOCS * (1024 + 256),
                 "dedup": DEDUP_DOCS,
+                "window": ser_rows,
             }[wl]
             levels[str(cores)] = {
                 "wall_s_min": wmin,
@@ -244,6 +269,7 @@ def main() -> None:
         "n_out": N_OUT,
         "downsample_points_per_algo": total_points,
         "dedup_docs": DEDUP_DOCS,
+        "window_series_rows": ser_rows,
         "rounds": ROUNDS,
         "levels": LEVELS,
     }

@@ -458,3 +458,35 @@ def test_sessionize_oracle_agrees_on_duplicate_ts_at_boundary(spark):
     assert got == exp
     # shape sanity: dup rows at 5000s sit in the second session together
     assert [g[3] for g in got] == [3, 4, 2]
+
+
+def test_rolling_zscore_prefix_impl_matches_frame(spark):
+    """The O(n) prefix-sum impl agrees with the exact O(n*window) frame
+    impl to float tolerance on every output column, including NULL
+    placement (warm-up rows, NULL y, zero-variance windows)."""
+    from tsdownsample_spark.operators.anomaly import rolling_zscore
+
+    rng = np.random.default_rng(43)
+    rows = []
+    for k in ("a", "b", "c"):
+        vals = rng.normal(5.0, 2.0, 400)
+        vals[150] = 60.0
+        for i, v in enumerate(vals):
+            # sprinkle NULL y and a constant stretch into one series
+            if k == "b" and 40 <= i < 70:
+                v = 7.0
+            rows.append((k, i, None if (k == "c" and i % 17 == 0) else float(v)))
+    df = spark.createDataFrame(rows, "k string, t long, value double")
+    kw = dict(x_col="t", y_col="value", by=["k"], window=50, min_obs=10)
+    a = rolling_zscore(df, impl="frame", **kw).collect()
+    b = rolling_zscore(df, impl="prefix", **kw).collect()
+    key = lambda r: (r["k"], r["t"])
+    for ra, rb in zip(sorted(a, key=key), sorted(b, key=key)):
+        for col in ("roll_mean", "roll_std", "z"):
+            va, vb = ra[col], rb[col]
+            assert (va is None) == (vb is None), (ra, col)
+            if va is not None:
+                assert vb == pytest.approx(va, rel=1e-7, abs=1e-9), (ra, col)
+        assert ra["is_anomaly"] == rb["is_anomaly"], ra
+    with pytest.raises(ValueError, match="impl"):
+        rolling_zscore(df, impl="nope", **kw)

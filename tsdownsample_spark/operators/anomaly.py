@@ -27,6 +27,7 @@ def rolling_zscore(
     threshold: float = 3.0,
     tiebreak: Sequence[str] = (),
     min_obs: int = 10,
+    impl: str = "frame",
 ) -> DataFrame:
     """Append ``roll_mean``, ``roll_std``, ``z`` and ``is_anomaly``.
 
@@ -35,6 +36,22 @@ def rolling_zscore(
     when the trailing std is zero (a constant window scores nothing —
     avoids division blow-ups on flatlines).  ``threshold`` is in sigmas;
     ``is_anomaly`` is strictly-greater on |z|.
+
+    ``impl``: Spark re-aggregates a sliding ROWS frame from scratch at
+    every row, so the default ``"frame"`` impl is O(n * window) — exact
+    (textbook two-pass variance per frame, matches SQL engines bit for
+    bit) but 10-20x slower than the scan at window=50.  ``"prefix"``
+    computes the same trailing mean/std from RUNNING sums of y and y^2
+    (cumulative frames are incremental in Spark) minus their lag(window)
+    — O(n) regardless of window, the 100 TB path.  Same NULL/min_obs/
+    flatline semantics (NULL y contributes to neither sum nor count in
+    either impl); values differ only by float-summation order, so scores
+    agree to ~1e-9 relative except when |mean| >> std (catastrophic
+    cancellation in the sum-of-squares variance) — monitoring thresholds
+    don't care, bit-exact parity tests should use "frame".  One more edge:
+    a NaN *payload* (not NULL) poisons only its own frames under "frame"
+    but every later row of its series under "prefix" (running sums never
+    forget) — scrub NaN to NULL upstream when using "prefix".
     """
     if window < 2 or min_obs < 2:
         raise ValueError("window and min_obs must be >= 2")
@@ -43,15 +60,43 @@ def rolling_zscore(
             f"min_obs ({min_obs}) > window ({window}): the trailing frame "
             "can never satisfy it — every z would be silently NULL"
         )
+    if impl not in ("frame", "prefix"):
+        raise ValueError("impl must be 'frame' or 'prefix'")
     by = list(by)
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(x_col, *tiebreak)
-        .rowsBetween(-window, -1)
-    )
-    mean = F.avg(y_col).over(w)
-    std = F.stddev_samp(y_col).over(w)
-    cnt = F.count(y_col).over(w)
+    if impl == "prefix":
+        wc = (
+            Window.partitionBy(*by)
+            .orderBy(x_col, *tiebreak)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        wl = Window.partitionBy(*by).orderBy(x_col, *tiebreak)
+        y = F.col(y_col).cast("double")
+        # running sums up to the PREVIOUS row; subtracting their value at
+        # `window` rows back leaves exactly the trailing frame's sums (a
+        # NULL lag means the frame starts at the partition start: minus 0)
+        s1 = F.sum(y).over(wc)
+        s2 = F.sum(y * y).over(wc)
+        c = F.count(y).over(wc)
+        fs1 = s1 - F.coalesce(F.lag(s1, window).over(wl), F.lit(0.0))
+        fs2 = s2 - F.coalesce(F.lag(s2, window).over(wl), F.lit(0.0))
+        cnt = F.coalesce(c, F.lit(0)) - F.coalesce(
+            F.lag(c, window).over(wl), F.lit(0)
+        )
+        mean = fs1 / cnt
+        var = (fs2 - fs1 * fs1 / cnt) / (cnt - 1)
+        # FP round-off can drive a tiny positive variance negative
+        std = F.sqrt(F.greatest(var, F.lit(0.0)))
+        mean = F.when(cnt > 0, mean)
+        std = F.when(cnt > 1, std)
+    else:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(x_col, *tiebreak)
+            .rowsBetween(-window, -1)
+        )
+        mean = F.avg(y_col).over(w)
+        std = F.stddev_samp(y_col).over(w)
+        cnt = F.count(y_col).over(w)
     z = F.when(
         (cnt >= F.lit(min_obs)) & (std > 0), (F.col(y_col) - mean) / std
     )
