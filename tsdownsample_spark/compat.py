@@ -99,6 +99,11 @@ class AbstractDownsampler:
                 f"No parallel implementation of {type(self).__name__} exists; "
                 "falling back to the sequential implementation"
             )
+        # f16 upcast instead of the reference's ordinal-i16 reinterpretation
+        # (README.md:37-43): the cast is exact and order-isomorphic to that
+        # mapping over the full f16 grid (tests/test_f16_parity.py), so
+        # selection is identical — except the +-0 tie, where the ordinal
+        # view ranks -0.0 strictly below +0.0 and IEEE comparison ties them
         y16 = y.astype(np.float32) if y.dtype == np.float16 else y
         idx = downsample_array(y16, int(n_out), algo=self._algo, x=x, **kwargs)
         return idx.astype(np.uint64)

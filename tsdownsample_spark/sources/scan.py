@@ -43,13 +43,34 @@ def _list_parquet_files(path: str) -> list[str]:
     return [path]
 
 
-def plan_row_group_tasks(path: str, tasks: int) -> list[tuple[str, list[int]]]:
-    """(file, row_group_ids) batches, greedily balanced by compressed size."""
+def parquet_footers(files: Sequence[str], max_workers: int = 16) -> list:
+    """Parquet footer metadata for every file, read on a thread pool
+    (pyarrow releases the GIL during footer I/O), in ``files`` order.
+
+    Driver-side planning cost is bounded by footer latency x files /
+    max_workers; on object storage each footer is a round-trip, so the
+    pool matters even more than locally.  Above ~10^4 files stop reading
+    footers at all: consult the table format's own metadata instead
+    (SnapshotTable manifests carry file lists; Iceberg manifests carry
+    per-file row counts and sizes) — plan_row_group_tasks is the
+    direct-parquet path, not the catalog path.
+    """
     import pyarrow.parquet as pq
 
+    files = list(files)
+    if len(files) <= 1:
+        return [pq.ParquetFile(f).metadata for f in files]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(max_workers, len(files))) as ex:
+        return list(ex.map(lambda f: pq.ParquetFile(f).metadata, files))
+
+
+def plan_row_group_tasks(path: str, tasks: int) -> list[tuple[str, list[int]]]:
+    """(file, row_group_ids) batches, greedily balanced by compressed size."""
+    files = _list_parquet_files(path)
     per_file: list[tuple[str, int, int]] = []  # (file, rg, bytes)
-    for f in _list_parquet_files(path):
-        md = pq.ParquetFile(f).metadata
+    for f, md in zip(files, parquet_footers(files)):
         for rg in range(md.num_row_groups):
             per_file.append((f, rg, md.row_group(rg).total_byte_size))
     if not per_file:

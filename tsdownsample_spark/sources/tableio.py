@@ -127,12 +127,12 @@ class SnapshotTable:
         already at/above the target density (idempotent: compacting a
         compacted table is a no-op; oversized files are never split).
         """
-        import pyarrow.parquet as pq
+        from tsdownsample_spark.sources.scan import parquet_footers
 
         snap = self.snapshot()
         if snap is None or len(snap["files"]) < min_files:
             return None
-        rows = sum(pq.ParquetFile(f).metadata.num_rows for f in snap["files"])
+        rows = sum(md.num_rows for md in parquet_footers(snap["files"]))
         n_files = max(1, -(-rows // target_rows_per_file))
         if n_files >= len(snap["files"]):
             return None  # already at/above target density
@@ -165,12 +165,12 @@ class SnapshotTable:
         applies, and rows are rewritten only once however many files they
         spanned.
         """
-        import pyarrow.parquet as pq
+        from tsdownsample_spark.sources.scan import parquet_footers
 
         snap = self.snapshot()
         if snap is None or not snap["files"]:
             return None
-        total = sum(pq.ParquetFile(f).metadata.num_rows for f in snap["files"])
+        total = sum(md.num_rows for md in parquet_footers(snap["files"]))
         df = spark.read.parquet(*snap["files"]).where(predicate)
         kept = df.count()
         if kept == total:
