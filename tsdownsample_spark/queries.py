@@ -1020,9 +1020,12 @@ def q_stream_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("s.tokens").alias("sel_token"),
             )
         )
-        # materialize before the tmp dir disappears
-        rows = tier8.collect()
-        return spark.createDataFrame(rows, tier8.schema)
+        # materialize to a stable path before the tmp tier tables disappear
+        # (distributed write + re-read, not a driver-side collect: the
+        # result is n_out-bounded here but the pattern must hold at scale)
+        stable = path + ".stream_tier8"
+        tier8.write.mode("overwrite").parquet(stable)
+        return spark.read.parquet(stable)
     finally:
         shutil.rmtree(out_root, ignore_errors=True)
 
