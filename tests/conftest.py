@@ -55,3 +55,26 @@ def make_file_stream(spark, df, tmp_path, seed=1, time_col=None):
                     _os.utime(dst, (now - 120 + 60 * j, now - 120 + 60 * j))
                 i += 1
     return flat
+
+
+def stage_batches(spark, tmp_path, batches, schema):
+    """Write each row-list as one parquet file with ascending mtimes so a
+    maxFilesPerTrigger=1 file stream replays them as ordered micro-batches
+    (explicit-batch sibling of make_file_stream).  Returns the dir."""
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    flat = str(tmp_path / "flat_batches_in")
+    _os.makedirs(flat)
+    now = _time.time()
+    for j, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, schema)
+        d = str(tmp_path / f"_batch{j}")
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        for f in sorted(_os.listdir(d)):
+            if f.endswith(".parquet"):
+                dst = f"{flat}/{j:04d}.parquet"
+                _shutil.copy(_os.path.join(d, f), dst)
+                _os.utime(dst, (now - 600 + 60 * j, now - 600 + 60 * j))
+    return flat

@@ -2,13 +2,10 @@
 events, including frames that straddle the micro-batch boundary, NULL y,
 and the warm-up NULL placement; plus the all-late-batch frontier guard."""
 
-import os
-import shutil
-import time as _time
-
 import numpy as np
 import pandas as pd
 import pytest
+from conftest import make_file_stream, stage_batches
 from pyspark.sql import functions as F
 
 from tsdownsample_spark.operators.anomaly import rolling_zscore
@@ -29,24 +26,7 @@ def test_stream_zscore_matches_batch(spark, tmp_path, sf_dir):
             .alias("value"),
         )
     )
-    cut = ev.selectExpr("percentile_approx(CAST(ts AS DOUBLE), 0.5) p").collect()[0][
-        "p"
-    ]
-    b1 = ev.filter(F.col("ts").cast("double") <= cut)
-    b2 = ev.filter(F.col("ts").cast("double") > cut)
-    flat = str(tmp_path / "in")
-    os.makedirs(flat)
-    now = _time.time()
-    i = 0
-    for j, part in enumerate((b1, b2)):
-        d = str(tmp_path / f"b{j}")
-        part.coalesce(1).write.mode("overwrite").parquet(d)
-        for f in sorted(os.listdir(d)):
-            if f.endswith(".parquet"):
-                dst = f"{flat}/{i:04d}.parquet"
-                shutil.copy(os.path.join(d, f), dst)
-                os.utime(dst, (now - 120 + 60 * j, now - 120 + 60 * j))
-                i += 1
+    flat = make_file_stream(spark, ev, tmp_path, time_col="ts")
     stream = (
         spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(flat)
     )
@@ -99,18 +79,8 @@ def test_stream_zscore_all_late_batch_does_not_regress_state(spark, tmp_path):
         [("a", t(5).to_pydatetime() + pd.Timedelta(microseconds=1), 500.0)],  # all late
         [("a", t(30).to_pydatetime(), 100.0)],       # in-order spike
     ]
-    flat = str(tmp_path / "in")
-    os.makedirs(flat)
-    now = _time.time()
-    for j, rows in enumerate(batches):
-        df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
-        d = str(tmp_path / f"b{j}")
-        df.coalesce(1).write.mode("overwrite").parquet(d)
-        for f in sorted(os.listdir(d)):
-            if f.endswith(".parquet"):
-                dst = f"{flat}/{j:04d}.parquet"
-                shutil.copy(os.path.join(d, f), dst)
-                os.utime(dst, (now - 600 + 60 * j, now - 600 + 60 * j))
+    flat = stage_batches(spark, tmp_path, batches,
+                         "event_type string, ts timestamp, value double")
     stream = (
         spark.readStream.schema("event_type string, ts timestamp, value double")
         .option("maxFilesPerTrigger", 1).parquet(flat)
@@ -126,8 +96,8 @@ def test_stream_zscore_all_late_batch_does_not_regress_state(spark, tmp_path):
     )
     q.awaitTermination(120)
     rows = {r["value"]: r for r in spark.table("szscore_late").collect()}
-    # the spike's trailing frame is the last 10 IN-ORDER values (mean 2.0 of
-    # 0..4 cycle), NOT polluted by the late 500.0
+    # the spike's trailing frame is the last 10 IN-ORDER values (0..4
+    # cycle), NOT polluted by the late 500.0
     tail = np.array([(10 + i) % 5 for i in range(10)], dtype=float)
     exp_mean = tail.mean()
     exp_z = (100.0 - exp_mean) / tail.std(ddof=1)

@@ -187,22 +187,7 @@ def test_stream_detect_gaps_matches_batch(spark, tmp_path, sf_dir):
     assert got == exp
 
 
-def _stage_batches(spark, tmp_path, batches, schema):
-    """Write each row-list as one parquet file with ascending mtimes so
-    maxFilesPerTrigger=1 replays them as ordered micro-batches."""
-    flat = str(tmp_path / "in")
-    os.makedirs(flat)
-    now = _time.time()
-    for j, rows in enumerate(batches):
-        df = spark.createDataFrame(rows, schema)
-        d = str(tmp_path / f"b{j}")
-        df.coalesce(1).write.mode("overwrite").parquet(d)
-        for f in sorted(os.listdir(d)):
-            if f.endswith(".parquet"):
-                dst = f"{flat}/{j:04d}.parquet"
-                shutil.copy(os.path.join(d, f), dst)
-                os.utime(dst, (now - 600 + 60 * j, now - 600 + 60 * j))
-    return flat
+from conftest import stage_batches as _stage_batches
 
 
 def test_stream_rate_all_late_batch_does_not_regress_state(spark, tmp_path):

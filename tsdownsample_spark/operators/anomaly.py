@@ -79,9 +79,9 @@ def rolling_zscore(
         c = F.count(y).over(wc)
         fs1 = s1 - F.coalesce(F.lag(s1, window).over(wl), F.lit(0.0))
         fs2 = s2 - F.coalesce(F.lag(s2, window).over(wl), F.lit(0.0))
-        cnt = F.coalesce(c, F.lit(0)) - F.coalesce(
-            F.lag(c, window).over(wl), F.lit(0)
-        )
+        # COUNT over an empty frame is 0, never NULL; only the lag needs
+        # the partition-start fallback
+        cnt = c - F.coalesce(F.lag(c, window).over(wl), F.lit(0))
         mean = fs1 / cnt
         var = (fs2 - fs1 * fs1 / cnt) / (cnt - 1)
         # FP round-off can drive a tiny positive variance negative

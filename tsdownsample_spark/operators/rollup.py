@@ -209,7 +209,6 @@ def continuous_rollup(
     Returns the new tier snapshot id, or None when there is nothing new
     (idempotent: re-running without new raw data commits nothing).
     """
-    cur = raw_table.current_snapshot_id()
     # resume marker: the LATEST tier commit that carries one — commits
     # without it (e.g. a compaction rewrite) must not reset the cursor
     done = None
@@ -217,11 +216,16 @@ def continuous_rollup(
         if snap["summary"].get("raw_snapshot"):
             done = snap["summary"]["raw_snapshot"]
             break
+    # ONE consistent read of the raw chain; the cursor recorded below MUST
+    # be the chain tail actually consumed — a separate current_snapshot_id()
+    # call could see an older (or newer) commit than the walked chain and
+    # double-count the difference on the next refresh
+    chain = raw_table.history()
+    cur = chain[-1]["snapshot_id"] if chain else None
     if cur is None or cur == done:
         return None
     # everything strictly AFTER `done` in the raw parent chain (positional —
     # snapshot ids are not reliably ordered when commits share a timestamp)
-    chain = raw_table.history()
     start = 0
     if done is not None:
         for i, snap in enumerate(chain):

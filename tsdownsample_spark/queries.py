@@ -1020,10 +1020,13 @@ def q_stream_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("s.tokens").alias("sel_token"),
             )
         )
-        # materialize to a stable path before the tmp tier tables disappear
-        # (distributed write + re-read, not a driver-side collect: the
-        # result is n_out-bounded here but the pattern must hold at scale)
-        stable = path + ".stream_tier8"
+        # materialize before the tmp tier tables disappear (distributed
+        # write + re-read, not a driver-side collect: the result is
+        # n_out-bounded here but the pattern must hold at scale).  The
+        # output dir is unique per run — overwriting a shared path would
+        # race a concurrent session still reading its returned DataFrame.
+        # Tiny (n_out=8 rows per doc) and under /tmp, so not cleaned here.
+        stable = tempfile.mkdtemp(prefix="tsds_stream_tier8_")
         tier8.write.mode("overwrite").parquet(stable)
         return spark.read.parquet(stable)
     finally:
