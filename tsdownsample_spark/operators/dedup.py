@@ -84,6 +84,25 @@ def minhash_signatures(
     )
 
 
+def banded_signatures(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows: int = 4,
+) -> DataFrame:
+    """(id, band_idx, band_hash) rows: each signature split into ``bands``
+    bands of ``rows`` values, each band hashed to one md5 — the canonical
+    LSH shuffle key (docs sharing any band hash are candidates)."""
+    band_expr = (
+        f"transform(sequence(0, {bands - 1}), "
+        f"b -> md5(concat_ws('|', transform(slice(sig, b * {rows} + 1, {rows}), "
+        f"v -> CAST(v AS STRING)))))"
+    )
+    return sig_df.select(
+        F.col(id_col), F.posexplode(F.expr(band_expr)).alias("band_idx", "band_hash")
+    )
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     id_col: str = "doc_id",
@@ -92,14 +111,7 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Banded LSH: docs sharing any band hash become a candidate pair
     (id_a < id_b, distinct)."""
-    band_expr = (
-        f"transform(sequence(0, {bands - 1}), "
-        f"b -> md5(concat_ws('|', transform(slice(sig, b * {rows} + 1, {rows}), "
-        f"v -> CAST(v AS STRING)))))"
-    )
-    banded = sig_df.select(
-        F.col(id_col), F.posexplode(F.expr(band_expr)).alias("band_idx", "band_hash")
-    )
+    banded = banded_signatures(sig_df, id_col=id_col, bands=bands, rows=rows)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

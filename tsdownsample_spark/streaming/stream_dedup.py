@@ -1,0 +1,111 @@
+"""Streaming near-duplicate detection at ingest: incremental MinHash-LSH
+via ``foreachBatch`` against an accumulated banded-signature table.
+
+A 100 TB training-data pipeline dedups AT INGEST, not as an offline pass:
+each arriving micro-batch of documents must be checked against everything
+already accepted.  The LSH decomposition makes this incremental for free —
+a pair of docs is a candidate iff they share a band hash, a per-doc
+property, so checking a batch means joining ONLY the batch's banded rows
+against the accumulated band table (shuffle on (band_idx, band_hash), the
+same canonical LSH key as the batch operator; per-batch cost is
+batch-size x matched buckets, never corpus x corpus).
+
+Exactly-once output (stream == batch): a candidate pair (x, y) with y in
+the later (or same) batch is emitted exactly once — in y's batch, where x
+is already in the band table (or arrives alongside y).  The union of
+per-batch pair outputs therefore EQUALS ``lsh_candidate_pairs`` over the
+full corpus — set-for-set, proved by the equivalence pytest — because
+signatures are deterministic per document.  Crash safety follows
+stream_token_tiers' two layers: Spark's checkpoint for source offsets and
+a (batch, stage) ledger so a redelivered batch id never double-appends
+pairs or bands ("pairs" commits BEFORE "bands", so pair computation always
+sees the pre-batch band table).
+
+Reference framing: the batch operators in operators/dedup.py pin the
+semantics (MinHash signatures, banded LSH); this module only changes WHEN
+the join runs, not what it computes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tsdownsample_spark.operators.dedup import banded_signatures, minhash_signatures
+from tsdownsample_spark.sources.tableio import SnapshotTable
+from tsdownsample_spark.streaming.stream_token_tiers import _BatchLedger
+
+__all__ = ["stream_dedup_minhash"]
+
+
+def stream_dedup_minhash(
+    stream_df: DataFrame,
+    out_root: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    shingle: int = 3,
+    bands: int = 4,
+    rows: int = 4,
+    checkpoint: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Start the ingest-dedup stream.
+
+    ``stream_df``: any streaming DataFrame with (id_col, text_col).
+    Candidate pairs land in ``{out_root}/pairs`` (id_a < id_b, exactly
+    once across all batches); the accumulated banded signatures in
+    ``{out_root}/bands``.  Returns the started StreamingQuery.
+    """
+    pairs_table = SnapshotTable(os.path.join(out_root, "pairs"))
+    bands_table = SnapshotTable(os.path.join(out_root, "bands"))
+    ledger = _BatchLedger(out_root)
+    # ledger stages ride the tier slot: 0 = pairs, 1 = bands
+    PAIRS, BANDS = 0, 1
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if ledger.seen(batch_id, PAIRS) and ledger.seen(batch_id, BANDS):
+            return
+        spark = batch_df.sparkSession
+        new_banded = banded_signatures(
+            minhash_signatures(
+                batch_df, text_col=text_col, id_col=id_col, k=k, shingle=shingle
+            ),
+            id_col=id_col,
+            bands=bands,
+            rows=rows,
+        ).localCheckpoint(eager=True)  # md5 work once, not once per self-join side
+        if not ledger.seen(batch_id, PAIRS):
+            if bands_table.current_snapshot_id() is not None:
+                all_banded = bands_table.read(spark).unionByName(new_banded)
+            else:
+                all_banded = new_banded
+            a, b = all_banded.alias("a"), new_banded.alias("b")
+            pairs = (
+                a.join(
+                    b,
+                    (F.col("a.band_idx") == F.col("b.band_idx"))
+                    & (F.col("a.band_hash") == F.col("b.band_hash"))
+                    & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+                )
+                .select(
+                    F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+                    F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+                )
+                .distinct()
+            )
+            sid = pairs_table.append(pairs, summary={"batch_id": batch_id})
+            ledger.commit(batch_id, PAIRS, {"snapshot": sid})
+        if not ledger.seen(batch_id, BANDS):
+            sid = bands_table.append(new_banded, summary={"batch_id": batch_id})
+            ledger.commit(batch_id, BANDS, {"snapshot": sid})
+
+    writer = stream_df.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation",
+        checkpoint or os.path.join(out_root, "_checkpoint"),
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
