@@ -260,8 +260,9 @@ def main() -> None:
     sdf.select(F.count("*")).collect()  # warm page cache
     win_jobs = {
         # exact sliding-frame impl: O(n*window) in Spark (frames are
-        # re-aggregated per row) — benched at 2 reps as the cost record
-        "win_many_zscore": (2, lambda: rolling_zscore(
+        # re-aggregated per row) — benched at 1 rep as the cost record
+        # (it is 4x the prefix impl by design; keep the bench budget lean)
+        "win_many_zscore": (1, lambda: rolling_zscore(
             sdf, x_col="ts", y_col="value", by=["series_key"]
         ).select(F.count(F.when(F.col("is_anomaly"), 1)))),
         # O(n) prefix-sum impl — the 100 TB path (see anomaly.py)

@@ -261,3 +261,19 @@ def test_plan_row_group_tasks_1k_files(tmp_path):
     # generous bound for co-tenant swings; sequential cold footer reads at
     # object-storage latencies would be minutes, local sequential ~2-3 s
     assert wall < 20.0, wall
+
+
+def test_downsample_series_max_points_guard(spark):
+    """A series larger than max_points fails loudly with routing guidance
+    instead of OOMing the worker opaquely."""
+    df = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(500)], "doc_id string, ts long, value double"
+    )
+    out = downsample_series(df, 100, algo="minmax", x_col="ts", y_col="value",
+                            by=["doc_id"], max_points=100)
+    with pytest.raises(Exception, match="sql_selectors"):
+        out.collect()
+    # None disables the guard
+    ok = downsample_series(df, 100, algo="minmax", x_col="ts", y_col="value",
+                           by=["doc_id"], max_points=None)
+    assert ok.count() == 100

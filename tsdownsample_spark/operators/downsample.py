@@ -275,6 +275,7 @@ def downsample_series(
     y_col: str = "value",
     by: Sequence[str] = ("doc_id",),
     tiebreak: Sequence[str] = (),
+    max_points: int | None = 50_000_000,
     **kw,
 ) -> DataFrame:
     """Downsample long-form series ("with x" mode) per group.
@@ -284,6 +285,12 @@ def downsample_series(
     ``x_col`` (plus optional ``tiebreak`` columns for a deterministic total
     order under duplicate x) before the kernel runs — the reference requires
     monotone x (README.md:130-135).
+
+    One group = one task: a series larger than executor memory cannot run
+    here (it OOMs the worker with an opaque crash).  ``max_points`` turns
+    that into a loud, actionable error — the 100 TB route for huge series
+    is ``operators/sql_selectors.py`` (bounded per-task state).  Set
+    ``max_points=None`` to disable the guard.
     """
     _validate(algo, n_out)
     x_field = df.schema[x_col]
@@ -297,6 +304,15 @@ def downsample_series(
     sort_cols = [x_col] + list(tiebreak)
 
     def _fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if max_points is not None and len(pdf) > max_points:
+            raise ValueError(
+                f"series {tuple(pdf[c].iloc[0] for c in by)!r} has "
+                f"{len(pdf)} points > max_points={max_points}; one group = "
+                "one task here — use the distributed selectors "
+                "(operators/sql_selectors.py) for series this long, or "
+                "pass max_points=None if the executors really have the "
+                "memory"
+            )
         pdf = pdf.sort_values(sort_cols, kind="mergesort", ignore_index=True)
         x = pdf[x_col].to_numpy()
         y = pdf[y_col].to_numpy()
