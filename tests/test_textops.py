@@ -207,3 +207,37 @@ class TestMultimodal:
             xi = np.minimum(((np.arange(16) + 0.5) * w / 16).astype(int), w - 1)
             exp = pix[yi][:, xi].tobytes()
             assert bytes(r["data"])[14:] == exp
+
+
+def test_curate_documents_all_gates_and_priority(spark):
+    """Every gate fires on crafted docs, and priority is duplicate >
+    language > too_short > low_quality (first failing wins)."""
+    from tsdownsample_spark.operators.curate import curate_documents
+
+    good = ("the project and the team worked through the plan of the day "
+            "and shipped the build to the users in the morning")
+    docs = [
+        ("d1", good),                                  # ok
+        ("d2", good),                                  # duplicate of d1
+        ("d3", "der und die der und die der und die der und die der und die"),  # language
+        ("d4", "the cat sat"),                         # too_short (3 words)
+        # English (one 'the') but punctuation-heavy, stopword-poor, short:
+        # quality ~0.42 < 0.45 while the language gate still reads 'en'
+        ("d5", "the x1; x2; x3; x4; x5; x6; x7; x8; x9; x10; x11;"),
+        # duplicate AND foreign: duplicate wins (priority)
+        ("d6", "der und die der und die der und die der und die der und die"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in
+           curate_documents(df, min_quality=0.45, langs=("en",), min_words=8).collect()}
+    assert out["d1"]["reason"] == "ok" and out["d1"]["keep"] is True
+    assert out["d2"]["reason"] == "duplicate" and out["d2"]["keep"] is False
+    assert out["d3"]["reason"] == "language"
+    assert out["d4"]["reason"] == "too_short"
+    assert out["d5"]["reason"] == "low_quality"
+    # d3 < d6 lexicographically, so d6 is the non-keeper of the dup group
+    # AND foreign — duplicate outranks language
+    assert out["d6"]["reason"] == "duplicate"
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="langs"):
+        curate_documents(df, langs=())

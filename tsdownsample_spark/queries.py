@@ -1771,7 +1771,6 @@ def queries() -> dict:
         "q_rollup_1h": _q_rollup("1h"),
         "q_rollup_1d": _q_rollup("1d"),
         "q_gapfill_null": _q_gapfill("null"),
-        "q_gapfill_zero": _q_gapfill("zero"),
         "q_gapfill_locf": _q_gapfill("locf"),
         "q_gapfill_linear": _q_gapfill("linear"),
         "q_compress_roundtrip": _q_compress_roundtrip,
@@ -1793,9 +1792,10 @@ def queries() -> dict:
     # --- LLM-data-pipeline queries (13 text + 1 media) — inside the window
     base.update(queries_text.queries())
     base.update(queries_media.queries())
-    # --- tail: twice-green selector variants (r02 + r03 driver rows)
+    # --- tail: twice-green entries (r02 + r03 driver rows)
     base.update(
         {
+            "q_gapfill_zero": _q_gapfill("zero"),
             "q_nanminmax": _downsample_query("nanminmax", nan_inject=True),
             "q_nanm4": _downsample_query("nanm4", nan_inject=True),
             "q_minmax_long": _long_query("minmax"),

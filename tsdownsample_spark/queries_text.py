@@ -529,10 +529,42 @@ SELECT * FROM big UNION ALL SELECT * FROM small
 """
 
 
+def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation verdict (operators/curate.py): dup > language >
+    too_short > low_quality gate cascade, one scan + one window."""
+    from tsdownsample_spark.operators.curate import curate_documents
+
+    docs = _load(spark, sf_dir, "documents")
+    return curate_documents(docs, min_quality=0.45, langs=("en",), min_words=8)
+
+
+_ORACLE_CURATE = f"""
+WITH feats AS ({_ORACLE_TEXT_FEATURES}),
+lang AS ({_ORACLE_LANG_ID}),
+uniq AS (
+    SELECT doc_id, doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_uniq
+    FROM documents
+),
+verdict AS (
+    SELECT f.doc_id,
+           CASE WHEN NOT u.is_uniq THEN 'duplicate'
+                WHEN l.lang_pred <> 'en' THEN 'language'
+                WHEN f.n_words < 8 THEN 'too_short'
+                WHEN f.quality_score < 0.45 THEN 'low_quality'
+                ELSE 'ok' END AS reason
+    FROM feats f
+    JOIN lang l USING (doc_id)
+    JOIN uniq u USING (doc_id)
+)
+SELECT doc_id, reason = 'ok' AS keep, reason FROM verdict
+"""
+
+
 def queries() -> dict:
     return {
         "q_text_features": q_text_features,
         "q_lang_id": q_lang_id,
+        "q_curate": q_curate,
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_lsh": q_minhash_lsh,
         "q_jaccard_pairs": q_jaccard_pairs,
@@ -551,6 +583,7 @@ def oracle_sql() -> dict:
     return {
         "q_text_features": _ORACLE_TEXT_FEATURES,
         "q_lang_id": _ORACLE_LANG_ID,
+        "q_curate": _ORACLE_CURATE,
         "q_dedup_exact": _ORACLE_DEDUP_EXACT,
         "q_minhash_lsh": _ORACLE_MINHASH_LSH,
         "q_jaccard_pairs": _ORACLE_JACCARD,
