@@ -173,3 +173,28 @@ def test_anomaly_and_evaluator_plan_shape(spark, sf_dir):
                                 by=["event_type"], tiebreak=["event_id"]))
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan
+
+
+def test_prefix_zscore_plan_shape(spark, sf_dir):
+    """The O(n) prefix impl stays one shuffle: running sums + lag share the
+    same partitioning/ordering, so no extra Exchange appears and no join."""
+    from tsdownsample_spark.operators.anomaly import rolling_zscore
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = _plan(rolling_zscore(ev, x_col="ts", y_col="value",
+                                by=["event_type"], tiebreak=["event_id"],
+                                impl="prefix"))
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan
+
+
+def test_curate_plan_shape(spark, sf_dir):
+    """Curation is one scan + the dedup window's single Exchange — the
+    feature/language gates are pure expressions, no joins, no UDFs."""
+    from tsdownsample_spark.operators.curate import curate_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(curate_documents(docs))
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan
+    assert "Python" not in plan  # no UDFs anywhere in the cascade
