@@ -24,6 +24,11 @@ sees the pre-batch band table).
 Reference framing: the batch operators in operators/dedup.py pin the
 semantics (MinHash signatures, banded LSH); this module only changes WHEN
 the join runs, not what it computes.
+
+Id discipline: the exactly-once argument assumes each ``id_col`` value is
+ingested once.  Re-ingesting an id appends its bands again and
+re-announces its pairs — upstream exact dedup (or the pairs consumer)
+owns id uniqueness, exactly as in a batch re-run.
 """
 
 from __future__ import annotations

@@ -16,6 +16,8 @@ cosines are deterministic per vector.  Crash safety: the shared
 Recall caveat is inherited from the batch LSH path, not added by
 streaming: a near-dup pair hashing to different buckets is missed by
 BOTH engines identically (raise n_planes or verify candidates exactly).
+Id discipline as in stream_dedup: re-ingesting a ``vec_id`` re-announces
+its pairs — upstream ownership of id uniqueness is assumed.
 """
 
 from __future__ import annotations
