@@ -137,3 +137,31 @@ def test_constant_series_duplicate_indices():
     assert len(idx) == 10
     np.testing.assert_array_equal(K.minmax(y, 10), O.naive_minmax(y, 10))
     np.testing.assert_array_equal(K.m4(y, 12), O.naive_m4(y, 12))
+
+
+def test_flat_lttb_adaptive_route_identical():
+    """The few-huge-series route (per-series kernel) and the lockstep route
+    select IDENTICAL indices — the threshold is purely physical."""
+    from tsdownsample_spark.kernels import flat as FL
+
+    rng = np.random.default_rng(31)
+    # shape on the per-series side of the threshold (bucket ~ 3000 pts)
+    ys = [rng.standard_normal(300_000) for _ in range(3)]
+    values = np.concatenate(ys)
+    offsets = np.int64([0, 300_000, 600_000, 900_000])
+    a_flat, a_off = FL._flat_lttb(values, offsets, 100)
+    # force the lockstep route for the same input
+    old = FL._LTTB_PER_SERIES_BUCKET
+    FL._LTTB_PER_SERIES_BUCKET = 10**12
+    try:
+        b_flat, b_off = FL._flat_lttb(values, offsets, 100)
+    finally:
+        FL._LTTB_PER_SERIES_BUCKET = old
+    np.testing.assert_array_equal(a_off, b_off)
+    np.testing.assert_array_equal(a_flat, b_flat)
+    # mixed identity + big series keeps order on the per-series route
+    values2 = np.concatenate([ys[0], np.arange(5.0)])
+    offsets2 = np.int64([0, 300_000, 300_005])
+    f2, o2 = FL._flat_lttb(values2, offsets2, 100)
+    assert o2.tolist() == [0, 100, 105]
+    np.testing.assert_array_equal(f2[100:], np.arange(5))

@@ -191,9 +191,20 @@ def _flat_per_series(values, offsets, n_out, fn):
     return flat.astype(np.int64, copy=False), out_offsets
 
 
+# Mean bucket size above which the per-series kernel beats the lockstep:
+# per-series pays ~10us of Python per (series, bucket) but runs each bucket
+# as one large contiguous vectorized op; lockstep pays O(1 gather + index
+# arithmetic) per ELEMENT to amortize Python across series.  Measured
+# crossover ~625 pts/bucket (parity); at 12.5k pts/bucket per-series is
+# 4.6x faster, at 200 pts/bucket lockstep is 2.2x faster.  Both paths are
+# bit-identical (pytest pins it), so this is purely a physical choice.
+_LTTB_PER_SERIES_BUCKET = 1000
+
+
 def _flat_lttb(values, offsets, n_out):
     """LTTB: lockstep across the non-identity series, identity short-circuit
-    for the rest, preserving input order."""
+    for the rest, preserving input order; few-huge-series batches (zoom-out:
+    small n_out over long series) route to the per-series kernel instead."""
     offsets = np.asarray(offsets, dtype=np.int64)
     ns = np.diff(offsets)
     S = len(ns)
@@ -202,15 +213,23 @@ def _flat_lttb(values, offsets, n_out):
     for s in np.flatnonzero(ns <= n_out):
         results[s] = np.arange(ns[s], dtype=np.int64)
     if len(big):
-        if len(big) == S and offsets[0] == 0:
+        mean_bucket = ns[big].sum() / (len(big) * n_out)
+        if mean_bucket >= _LTTB_PER_SERIES_BUCKET:
+            from tsdownsample_spark.kernels.selectors import lttb
+
+            for s in big:
+                results[s] = lttb(values[offsets[s] : offsets[s + 1]], n_out)
+            sel_flat = None
+        elif len(big) == S and offsets[0] == 0:
             sel_flat, sel_off = _lttb_lockstep(values, offsets, n_out)
         else:
             sub_off = np.zeros(len(big) + 1, dtype=np.int64)
             np.cumsum(ns[big], out=sub_off[1:])
             sub = np.concatenate([values[offsets[s] : offsets[s + 1]] for s in big])
             sel_flat, sel_off = _lttb_lockstep(sub, sub_off, n_out)
-        for j, s in enumerate(big):
-            results[s] = sel_flat[sel_off[j] : sel_off[j + 1]]
+        if sel_flat is not None:
+            for j, s in enumerate(big):
+                results[s] = sel_flat[sel_off[j] : sel_off[j + 1]]
     out_lens = np.array([len(r) for r in results], dtype=np.int64)
     out_offsets = np.zeros(S + 1, dtype=np.int64)
     np.cumsum(out_lens, out=out_offsets[1:])
