@@ -49,16 +49,31 @@ def test_stream_dedup_pairs_equal_batch(spark, tmp_path, sf_dir):
     bands_rows = SnapshotTable(f"{out_root}/bands").read(spark).count()
     assert bands_rows == n_docs * 4
 
-    # redelivery: same batches, fresh checkpoint, same out_root -> the
-    # ledger skips both stages of both batches; nothing is double-appended
+    # redelivery: simulate a LOST Spark checkpoint (same path wiped) — the
+    # stream replays batches 0..1 from scratch and the ledger + the tables'
+    # self-marking batch_id summaries make every stage a no-op
+    import shutil
+
     pairs_snaps = len(SnapshotTable(f"{out_root}/pairs").history())
-    _run_stream(spark, flat, docs.schema, out_root, str(tmp_path / "ckpt2"))
+    shutil.rmtree(str(tmp_path / "ckpt1"))
+    _run_stream(spark, flat, docs.schema, out_root, str(tmp_path / "ckpt1"))
     assert len(SnapshotTable(f"{out_root}/pairs").history()) == pairs_snaps
     regot = sorted(
         (r["id_a"], r["id_b"])
         for r in SnapshotTable(f"{out_root}/pairs").read(spark).collect()
     )
     assert regot == exp
+
+    # a DIFFERENT checkpoint against the same out_root is a new stream
+    # whose batch ids alias the ledger — refused loudly, not silently
+    from tsdownsample_spark.streaming.stream_dedup import stream_dedup_minhash
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(flat)
+    )
+    with pytest.raises(ValueError, match="bound to streaming checkpoint"):
+        stream_dedup_minhash(stream, out_root, checkpoint=str(tmp_path / "ckpt2"))
 
 
 def test_stream_dedup_cross_batch_pair(spark, tmp_path):

@@ -55,14 +55,30 @@ def test_stream_embed_neardup_equals_batch(spark, tmp_path, sf_dir):
     assert len(got) == len(set((x, y) for x, y, _ in got))  # exactly once
     assert got == exp
 
-    # redelivery with a fresh checkpoint: ledger makes both batches no-ops
+    # redelivery: lost Spark checkpoint (same path wiped) replays both
+    # batches; ledger + summary self-marking make every stage a no-op
+    import shutil
+
     snaps = len(SnapshotTable(f"{out_root}/pairs").history())
+    shutil.rmtree(str(tmp_path / "ckpt1"))
     stream2 = (
         spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1).parquet(flat)
     )
     q2 = stream_embed_neardup(
         stream2, out_root, dim=dim, n_planes=4, threshold=0.28,
-        checkpoint=str(tmp_path / "ckpt2"),
+        checkpoint=str(tmp_path / "ckpt1"),
     )
     assert q2.awaitTermination(240)
     assert len(SnapshotTable(f"{out_root}/pairs").history()) == snaps
+
+    # a wrong dim fails loudly instead of degenerating to one bucket
+    stream3 = (
+        spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1).parquet(flat)
+    )
+    q3 = stream_embed_neardup(
+        stream3, str(tmp_path / "embdup_wrongdim"), dim=dim + 1, n_planes=4,
+        threshold=0.28, checkpoint=str(tmp_path / "ckpt3"),
+    )
+    with pytest.raises(Exception, match="hyperplane bucketing"):
+        q3.awaitTermination(240)
+        raise RuntimeError("stream should have failed")  # pragma: no cover

@@ -112,3 +112,42 @@ def test_sink_crash_between_tiers_does_not_double_append(spark, tmp_path):
     assert _tier_rows(spark, out, 16) == _expected(spark, w, 16)
     t64 = SnapshotTable(os.path.join(out, "tier_64"))
     assert t64.current_snapshot_id() is None  # no duplicate append
+
+
+def test_append_exactly_once_repairs_lost_marker(spark, tmp_path):
+    """Crash between table.append and ledger.commit: the table's batch_id
+    summary is the durable marker — redelivery repairs the ledger entry
+    instead of double-appending."""
+    from tsdownsample_spark.streaming.stream_token_tiers import (
+        append_exactly_once,
+    )
+
+    table = SnapshotTable(str(tmp_path / "t"))
+    ledger = _BatchLedger(str(tmp_path / "led"))
+    df = spark.range(5).toDF("v")
+    sid = append_exactly_once(table, ledger, 0, 7, df)
+    assert sid is not None and ledger.seen(0, 7)
+    # simulate the crash window: marker lost, append survived
+    import os
+
+    os.remove(os.path.join(str(tmp_path / "led"), "_batches", "0_7.json"))
+    assert not ledger.seen(0, 7)
+    assert append_exactly_once(table, ledger, 0, 7, df) is None  # repaired
+    assert ledger.seen(0, 7)
+    assert len(table.history()) == 1  # no double append
+    assert table.read(spark).count() == 5
+    # a genuinely new unit still appends
+    assert append_exactly_once(table, ledger, 1, 7, df) is not None
+    assert table.read(spark).count() == 10
+
+
+def test_claim_stream_refuses_checkpoint_rebind(tmp_path):
+    from tsdownsample_spark.streaming.stream_token_tiers import claim_stream
+
+    out = str(tmp_path / "out")
+    claim_stream(out, str(tmp_path / "ck1"))
+    claim_stream(out, str(tmp_path / "ck1"))  # same lineage: fine
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bound to streaming checkpoint"):
+        claim_stream(out, str(tmp_path / "ck2"))

@@ -241,3 +241,14 @@ def test_curate_documents_all_gates_and_priority(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="langs"):
         curate_documents(df, langs=())
+    # a bare string would explode into per-character codes -> loud error
+    with _pytest.raises(ValueError, match="sequence"):
+        curate_documents(df, langs="en")
+    # NULL-text docs report no_text, not a bogus shared-md5(NULL) duplicate
+    nulls = spark.createDataFrame(
+        [("n1", None), ("n2", None), ("n3", good)], "doc_id string, text string"
+    )
+    outn = {r["doc_id"]: r for r in curate_documents(nulls).collect()}
+    assert outn["n1"]["reason"] == "no_text" and outn["n1"]["keep"] is False
+    assert outn["n2"]["reason"] == "no_text"
+    assert outn["n3"]["reason"] == "ok"

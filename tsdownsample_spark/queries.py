@@ -1743,7 +1743,7 @@ def queries() -> dict:
     """Contract-query registry.  ORDER MATTERS: the driver's correctness
     harness checks the first 50 entries, so the first 50 are the queries
     that most need a fresh green row this round (core kernels, round-3
-    additions, the engine/production layer, and ALL 14 LLM-pipeline
+    additions, the engine/production layer, and ALL 15 LLM-pipeline
     queries); the tail holds selector variants that already have two rounds
     of driver-green history (CORRECTNESS_r02 + r03)."""
     from tsdownsample_spark import queries_media, queries_text
@@ -1789,7 +1789,8 @@ def queries() -> dict:
         "q_stream_tiers": q_stream_tiers,
         "q_token_compress_roundtrip": q_token_compress_roundtrip,
     }
-    # --- LLM-data-pipeline queries (13 text + 1 media) — inside the window
+    # --- LLM-data-pipeline queries (14 text + 1 media) — inside the window
+    # (35 base entries above + 15 here = exactly the driver's 50-slot check)
     base.update(queries_text.queries())
     base.update(queries_media.queries())
     # --- tail: twice-green entries (r02 + r03 driver rows)

@@ -542,12 +542,14 @@ _ORACLE_CURATE = f"""
 WITH feats AS ({_ORACLE_TEXT_FEATURES}),
 lang AS ({_ORACLE_LANG_ID}),
 uniq AS (
-    SELECT doc_id, doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_uniq
+    SELECT doc_id, text IS NULL AS no_text,
+           doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_uniq
     FROM documents
 ),
 verdict AS (
     SELECT f.doc_id,
-           CASE WHEN NOT u.is_uniq THEN 'duplicate'
+           CASE WHEN u.no_text THEN 'no_text'
+                WHEN NOT u.is_uniq THEN 'duplicate'
                 WHEN l.lang_pred <> 'en' THEN 'language'
                 WHEN f.n_words < 8 THEN 'too_short'
                 WHEN f.quality_score < 0.45 THEN 'low_quality'

@@ -40,7 +40,11 @@ from pyspark.sql import functions as F
 
 from tsdownsample_spark.operators.dedup import banded_signatures, minhash_signatures
 from tsdownsample_spark.sources.tableio import SnapshotTable
-from tsdownsample_spark.streaming.stream_token_tiers import _BatchLedger
+from tsdownsample_spark.streaming.stream_token_tiers import (
+    _BatchLedger,
+    append_exactly_once,
+    claim_stream,
+)
 
 __all__ = ["stream_dedup_minhash"]
 
@@ -67,6 +71,8 @@ def stream_dedup_minhash(
     pairs_table = SnapshotTable(os.path.join(out_root, "pairs"))
     bands_table = SnapshotTable(os.path.join(out_root, "bands"))
     ledger = _BatchLedger(out_root)
+    ckpt = checkpoint or os.path.join(out_root, "_checkpoint")
+    claim_stream(out_root, ckpt)
     # ledger stages ride the tier slot: 0 = pairs, 1 = bands
     PAIRS, BANDS = 0, 1
 
@@ -74,6 +80,8 @@ def stream_dedup_minhash(
         if ledger.seen(batch_id, PAIRS) and ledger.seen(batch_id, BANDS):
             return
         spark = batch_df.sparkSession
+        # cached, then unpersisted before return: the md5/shingle work runs
+        # once and serves both the pairs join (twice) and the bands append
         new_banded = banded_signatures(
             minhash_signatures(
                 batch_df, text_col=text_col, id_col=id_col, k=k, shingle=shingle
@@ -81,8 +89,8 @@ def stream_dedup_minhash(
             id_col=id_col,
             bands=bands,
             rows=rows,
-        ).localCheckpoint(eager=True)  # md5 work once, not once per self-join side
-        if not ledger.seen(batch_id, PAIRS):
+        ).persist()
+        try:
             if bands_table.current_snapshot_id() is not None:
                 all_banded = bands_table.read(spark).unionByName(new_banded)
             else:
@@ -101,15 +109,13 @@ def stream_dedup_minhash(
                 )
                 .distinct()
             )
-            sid = pairs_table.append(pairs, summary={"batch_id": batch_id})
-            ledger.commit(batch_id, PAIRS, {"snapshot": sid})
-        if not ledger.seen(batch_id, BANDS):
-            sid = bands_table.append(new_banded, summary={"batch_id": batch_id})
-            ledger.commit(batch_id, BANDS, {"snapshot": sid})
+            append_exactly_once(pairs_table, ledger, batch_id, PAIRS, pairs)
+            append_exactly_once(bands_table, ledger, batch_id, BANDS, new_banded)
+        finally:
+            new_banded.unpersist()
 
     writer = stream_df.writeStream.foreachBatch(_sink).option(
-        "checkpointLocation",
-        checkpoint or os.path.join(out_root, "_checkpoint"),
+        "checkpointLocation", ckpt
     )
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)

@@ -34,7 +34,11 @@ from tsdownsample_spark.operators.similarity import (
     lsh_planes,
 )
 from tsdownsample_spark.sources.tableio import SnapshotTable
-from tsdownsample_spark.streaming.stream_token_tiers import _BatchLedger
+from tsdownsample_spark.streaming.stream_token_tiers import (
+    _BatchLedger,
+    append_exactly_once,
+    claim_stream,
+)
 
 __all__ = ["stream_embed_neardup"]
 
@@ -62,19 +66,35 @@ def stream_embed_neardup(
     pairs_table = SnapshotTable(os.path.join(out_root, "pairs"))
     vecs_table = SnapshotTable(os.path.join(out_root, "vecs"))
     ledger = _BatchLedger(out_root)
+    ckpt = checkpoint or os.path.join(out_root, "_checkpoint")
+    claim_stream(out_root, ckpt)
     PAIRS, VECS = 0, 1
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if ledger.seen(batch_id, PAIRS) and ledger.seen(batch_id, VECS):
             return
         spark = batch_df.sparkSession
+        # a dim mismatch NULLs every plane dot product and hashes the whole
+        # batch into bucket 0 — silently corpus x corpus; one column-pruned
+        # agg per batch buys the loud failure instead
+        lens = batch_df.select(
+            F.min(F.size(vec_col)).alias("mn"), F.max(F.size(vec_col)).alias("mx")
+        ).first()
+        if lens["mx"] is not None and (lens["mn"] != dim or lens["mx"] != dim):
+            raise ValueError(
+                f"embedding length {lens['mn']}..{lens['mx']} != dim={dim}: "
+                "hyperplane bucketing would degenerate to one bucket "
+                "(corpus x corpus join) — pass the true dimensionality"
+            )
+        # cached, then unpersisted before return: norms/buckets computed
+        # once for both the pairs join (twice) and the vecs append
         new = batch_df.select(
             F.col(id_col),
             F.col(vec_col).alias("v"),
             F.expr(_norm_expr(vec_col)).alias("nrm"),
             F.expr(bucket_expr(vec_col, planes)).alias("bucket"),
-        ).localCheckpoint(eager=True)
-        if not ledger.seen(batch_id, PAIRS):
+        ).persist()
+        try:
             if vecs_table.current_snapshot_id() is not None:
                 allv = vecs_table.read(spark).unionByName(new)
             else:
@@ -102,15 +122,13 @@ def stream_embed_neardup(
                 )
                 .distinct()
             )
-            sid = pairs_table.append(pairs, summary={"batch_id": batch_id})
-            ledger.commit(batch_id, PAIRS, {"snapshot": sid})
-        if not ledger.seen(batch_id, VECS):
-            sid = vecs_table.append(new, summary={"batch_id": batch_id})
-            ledger.commit(batch_id, VECS, {"snapshot": sid})
+            append_exactly_once(pairs_table, ledger, batch_id, PAIRS, pairs)
+            append_exactly_once(vecs_table, ledger, batch_id, VECS, new)
+        finally:
+            new.unpersist()
 
     writer = stream_df.writeStream.foreachBatch(_sink).option(
-        "checkpointLocation",
-        checkpoint or os.path.join(out_root, "_checkpoint"),
+        "checkpointLocation", ckpt
     )
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)

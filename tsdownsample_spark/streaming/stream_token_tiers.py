@@ -66,6 +66,68 @@ class _BatchLedger:
         return sorted(rows, key=lambda r: (r["batch_id"], -r["tier"]))
 
 
+def claim_stream(out_root: str, checkpoint: str) -> None:
+    """Bind ``out_root`` to ONE streaming-checkpoint lineage.
+
+    Batch ids are only meaningful within a checkpoint; pointing a DIFFERENT
+    checkpoint (i.e. a new stream, whose batch ids restart at 0) at tables
+    whose ledger already holds those ids would silently skip the new
+    stream's first batches.  First use records the checkpoint path
+    atomically; any later mismatch raises instead of dropping data.
+    """
+    os.makedirs(out_root, exist_ok=True)
+    p = os.path.join(out_root, "_stream_checkpoint")
+    cp = os.path.abspath(checkpoint)
+    if os.path.exists(p):
+        with open(p) as f:
+            prev = f.read().strip()
+        if prev != cp:
+            raise ValueError(
+                f"out_root {out_root!r} is bound to streaming checkpoint "
+                f"{prev!r} but this query uses {cp!r}; resume with the "
+                "original checkpoint or use a fresh out_root (reusing the "
+                "batch-id ledger across checkpoints would silently skip "
+                "the new stream's first batches)"
+            )
+        return
+    tmp = p + f".tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(cp)
+    os.replace(tmp, p)
+
+
+def append_exactly_once(
+    table: SnapshotTable,
+    ledger: _BatchLedger,
+    batch_id: int,
+    stage: int,
+    df: DataFrame,
+    summary: dict | None = None,
+) -> str | None:
+    """Append ``df`` to ``table`` at most once per (batch_id, stage),
+    surviving a crash BETWEEN the table append and the ledger marker (two
+    non-atomic filesystem operations): redelivery consults the ledger
+    first, then the table's own snapshot summaries — the append is
+    self-marking via its ``batch_id`` summary — and only then appends,
+    repairing a missing marker when the summary is found.  Returns the new
+    snapshot id, or None when the unit was already done.  The summary scan
+    is O(snapshots) per call — fine for micro-batch cadence; a warehouse
+    deployment would index summaries or bound the scan to recent commits.
+    """
+    if ledger.seen(batch_id, stage):
+        return None
+    for snap in table.history():
+        if snap["summary"].get("batch_id") == batch_id:
+            ledger.commit(
+                batch_id, stage,
+                {"snapshot": snap["snapshot_id"], "recovered": True},
+            )
+            return None
+    sid = table.append(df, summary=dict(summary or {}, batch_id=batch_id))
+    ledger.commit(batch_id, stage, {"snapshot": sid})
+    return sid
+
+
 def stream_token_tiers(
     stream_df: DataFrame,
     out_root: str,
@@ -84,21 +146,19 @@ def stream_token_tiers(
     """
     tables = {n: SnapshotTable(os.path.join(out_root, f"tier_{n}")) for n in tiers}
     ledger = _BatchLedger(out_root)
+    ckpt = checkpoint or os.path.join(out_root, "_checkpoint")
+    claim_stream(out_root, ckpt)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         todo = [n for n in tiers if not ledger.seen(batch_id, n)]
         if not todo:
             return
         out = token_tier_cascade(batch_df, list(tiers), algo=algo, mode=mode)
-        for n in tiers:
-            if n not in todo:  # written before a crash; skip, don't duplicate
-                continue
-            sid = tables[n].append(out[n], summary={"batch_id": batch_id})
-            ledger.commit(batch_id, n, {"snapshot": sid})
+        for n in todo:  # finished-before-crash tiers no-op inside
+            append_exactly_once(tables[n], ledger, batch_id, n, out[n])
 
     writer = stream_df.writeStream.foreachBatch(_sink).option(
-        "checkpointLocation",
-        checkpoint or os.path.join(out_root, "_checkpoint"),
+        "checkpointLocation", ckpt
     )
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
