@@ -1770,8 +1770,6 @@ def queries() -> dict:
         "q_rollup_1m": _q_rollup("1m"),
         "q_rollup_1h": _q_rollup("1h"),
         "q_rollup_1d": _q_rollup("1d"),
-        "q_gapfill_null": _q_gapfill("null"),
-        "q_gapfill_locf": _q_gapfill("locf"),
         "q_gapfill_linear": _q_gapfill("linear"),
         "q_compress_roundtrip": _q_compress_roundtrip,
         "q_asof_join": q_asof_join,
@@ -1789,13 +1787,15 @@ def queries() -> dict:
         "q_stream_tiers": q_stream_tiers,
         "q_token_compress_roundtrip": q_token_compress_roundtrip,
     }
-    # --- LLM-data-pipeline queries (14 text + 1 media) — inside the window
-    # (35 base entries above + 15 here = exactly the driver's 50-slot check)
+    # --- LLM-data-pipeline queries (16 text + 1 media) — inside the window
+    # (33 base entries above + 17 here = exactly the driver's 50-slot check)
     base.update(queries_text.queries())
     base.update(queries_media.queries())
     # --- tail: twice-green entries (r02 + r03 driver rows)
     base.update(
         {
+            "q_gapfill_null": _q_gapfill("null"),
+            "q_gapfill_locf": _q_gapfill("locf"),
             "q_gapfill_zero": _q_gapfill("zero"),
             "q_nanminmax": _downsample_query("nanminmax", nan_inject=True),
             "q_nanm4": _downsample_query("nanm4", nan_inject=True),

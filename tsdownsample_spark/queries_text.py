@@ -529,6 +529,84 @@ SELECT * FROM big UNION ALL SELECT * FROM small
 """
 
 
+_PACK_WINDOW = 256
+
+
+def q_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (operators/pack.py:pack_concat):
+    per-source token streams cut into fixed 256-token training rows; the
+    checked shape is the per-document placement (offset + window span).
+    Pure prefix-sum plan — one Exchange, no Python."""
+    from tsdownsample_spark.operators.pack import pack_concat
+
+    toks = tokenize_docs(spark, sf_dir)
+    return pack_concat(toks, window=_PACK_WINDOW, by="source", order="doc_id")
+
+
+_ORACLE_PACK_CONCAT = f"""
+WITH toks AS (
+    SELECT doc_id, source,
+           CAST(len({_DUCK_TOKENIZE}) AS BIGINT) AS n_tok
+    FROM documents WHERE text IS NOT NULL
+),
+placed AS (
+    SELECT doc_id, source, n_tok,
+           -- SUM() widens to HUGEINT (float64 in pandas); pin to BIGINT so
+           -- the driver's value-hash sees '32', not '32.0'
+           CAST(COALESCE(SUM(n_tok) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_off
+    FROM toks WHERE n_tok > 0
+)
+SELECT doc_id, source, n_tok, tok_off,
+       CAST(FLOOR(tok_off / {_PACK_WINDOW}.0) AS BIGINT) AS first_win,
+       CAST(FLOOR((tok_off + n_tok - 1) / {_PACK_WINDOW}.0) AS BIGINT) AS last_win,
+       CAST(FLOOR((tok_off + n_tok - 1) / {_PACK_WINDOW}.0) AS BIGINT)
+         - CAST(FLOOR(tok_off / {_PACK_WINDOW}.0) AS BIGINT) + 1 AS n_windows
+FROM placed
+"""
+
+
+def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy first-fit no-split packing (operators/pack.py:pack_greedy):
+    per-source applyInPandas recurrence; oracle replays the same
+    recurrence as a recursive CTE."""
+    from tsdownsample_spark.operators.pack import pack_greedy
+
+    toks = tokenize_docs(spark, sf_dir)
+    return pack_greedy(toks, window=_PACK_WINDOW, by="source", order="doc_id")
+
+
+_ORACLE_PACK_GREEDY = f"""
+WITH RECURSIVE toks AS (
+    SELECT doc_id, source,
+           CAST(len({_DUCK_TOKENIZE}) AS BIGINT) AS n_tok
+    FROM documents WHERE text IS NOT NULL
+),
+t AS (
+    SELECT doc_id, source, n_tok,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+    FROM toks WHERE n_tok > 0
+),
+p AS (
+    SELECT doc_id, source, n_tok, rn,
+           CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS pack_off,
+           n_tok AS fill
+    FROM t WHERE rn = 1
+    UNION ALL
+    SELECT t.doc_id, t.source, t.n_tok, t.rn,
+           CASE WHEN p.fill > 0 AND p.fill + t.n_tok > {_PACK_WINDOW}
+                THEN p.pack_id + 1 ELSE p.pack_id END,
+           CASE WHEN p.fill > 0 AND p.fill + t.n_tok > {_PACK_WINDOW}
+                THEN CAST(0 AS BIGINT) ELSE p.fill END,
+           CASE WHEN p.fill > 0 AND p.fill + t.n_tok > {_PACK_WINDOW}
+                THEN t.n_tok ELSE p.fill + t.n_tok END
+    FROM t JOIN p ON t.source = p.source AND t.rn = p.rn + 1
+)
+SELECT doc_id, source AS group_key, n_tok, pack_id, pack_off FROM p
+"""
+
+
 def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation verdict (operators/curate.py): dup > language >
     too_short > low_quality gate cascade, one scan + one window."""
@@ -578,6 +656,8 @@ def queries() -> dict:
         "q_tokenize": q_tokenize,
         "q_doc_downsample": q_doc_downsample,
         "q_fingerprint": q_fingerprint,
+        "q_pack_concat": q_pack_concat,
+        "q_pack_greedy": q_pack_greedy,
     }
 
 
@@ -597,4 +677,6 @@ def oracle_sql() -> dict:
         "q_tokenize": _ORACLE_TOKENIZE,
         "q_doc_downsample": _ORACLE_DOC_DOWNSAMPLE,
         "q_fingerprint": _ORACLE_FINGERPRINT,
+        "q_pack_concat": _ORACLE_PACK_CONCAT,
+        "q_pack_greedy": _ORACLE_PACK_GREEDY,
     }
