@@ -183,6 +183,16 @@ def main() -> None:
                 "minmax_scan": lambda: scan_downsample_tokens(
                     spark, path, n_out, algo="minmax", tasks=64
                 ),
+                # impl="jvm": the selector as pure Catalyst expressions —
+                # no Arrow pipe, no Python workers; beats the arrow impl in
+                # interleaved A/B (m4 ~2.4x) and is NOT bounded by the
+                # arrow_pipe_only roofline below
+                "minmax_jvm": lambda: downsample_tokens(
+                    df, n_out, algo="minmax", impl="jvm", output="select"
+                ),
+                "m4_jvm": lambda: downsample_tokens(
+                    df, n_out, algo="m4", impl="jvm", output="select"
+                ),
             }
             for key, mk in variants.items():
                 mk().select(F.sum(F.size("sel_idx"))).collect()  # warm

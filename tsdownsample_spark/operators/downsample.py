@@ -91,6 +91,8 @@ def downsample_tokens(
     _validate(algo, n_out)
     if output not in ("append", "select"):
         raise ValueError("output must be 'append' or 'select'")
+    if impl == "jvm":
+        return _jvm_downsample(df, n_out, algo, tokens_col, idx_col, output)
     if impl == "pandas":
         if output != "append":
             raise ValueError("output='select' requires impl='arrow'")
@@ -107,6 +109,108 @@ def downsample_tokens(
     return _arrow_downsample_specs(
         df, [(algo, n_out, idx_col, "sel_tokens")], tokens_col, output, **kw
     )
+
+
+_JVM_ALGOS = ("minmax", "m4", "everynth")
+
+
+def jvm_select_expr(algo: str, n_out: int, tokens_col: str = "tokens") -> str:
+    """Selected-indices expression for ``algo`` as a pure Catalyst
+    higher-order-function SQL string — ZERO Python in the plan.
+
+    Replicates the no-x kernel rules bit-for-bit (pytest-pinned vs
+    kernels/selectors.py):
+
+    - equal-count bins ``hi(b) = floor(bs*(b+1)) + 1``, ``bs = (n-1)/nb``
+      in float64, ``lo(b)`` chained (minmax.rs:110-119 rule);
+    - minmax: per bin ``[argmin, argmax]`` first-occurrence, emitted in
+      index order; m4: ``[first, min(am,aM), max(am,aM), last]``;
+    - everynth: ``step = max(1, n/n_out)`` float64, indices
+      ``floor(i*step)`` while ``i*step < n - 0.1``;
+    - ``n_out >= n`` -> identity; NULL row -> NULL; empty array -> empty.
+
+    The ``transform(array(slice(...)), sub -> ...)`` shape is the SQL
+    let-binding idiom: each bin's slice is materialized once and its
+    argmin/argmax found by ``array_position`` (first hit == kernel tie
+    rule).  Cost is one slice copy + three scans per bin — O(n) total per
+    series, no shuffle, and because no Python worker is involved this path
+    also runs on executors with no Python runtime at all.
+    """
+    if algo not in _JVM_ALGOS:
+        raise ValueError(
+            f"impl='jvm' supports {_JVM_ALGOS}; {algo!r} needs the arrow impl "
+            "(LTTB's sequential recurrence has no closed SQL form)"
+        )
+    t = tokens_col
+    if algo == "everynth":
+        step = f"GREATEST(CAST(1 AS DOUBLE), size({t}) / CAST({n_out} AS DOUBLE))"
+        body = (
+            f"transform(sequence(0, CAST(CEIL((size({t}) - 0.1) / {step}) AS INT) - 1), "
+            f"i -> CAST(FLOOR(i * {step}) AS BIGINT))"
+        )
+        # step is exactly 1.0 whenever n <= n_out, so everynth needs no
+        # identity branch — only the empty/null guards below.
+        return (
+            f"CASE WHEN {t} IS NULL THEN NULL "
+            f"WHEN size({t}) = 0 THEN array() "
+            f"ELSE {body} END"
+        )
+    nb = n_out // (2 if algo == "minmax" else 4)
+    bs = f"((size({t}) - 1) / CAST({nb} AS DOUBLE))"
+    lo = f"(CASE WHEN b = 0 THEN 0 ELSE CAST(FLOOR({bs} * b) AS INT) + 1 END)"
+    hi = f"(CAST(FLOOR({bs} * (b + 1)) AS INT) + 1)"
+    amin = f"CAST({lo} + array_position(sub, array_min(sub)) - 1 AS BIGINT)"
+    amax = f"CAST({lo} + array_position(sub, array_max(sub)) - 1 AS BIGINT)"
+    if algo == "minmax":
+        per_bin = (
+            f"element_at(transform(array(named_struct('i', {amin}, 'j', {amax})), "
+            f"s -> array(LEAST(s.i, s.j), GREATEST(s.i, s.j))), 1)"
+        )
+    else:  # m4
+        per_bin = (
+            f"element_at(transform(array(named_struct('i', {amin}, 'j', {amax})), "
+            f"s -> array(CAST({lo} AS BIGINT), LEAST(s.i, s.j), "
+            f"GREATEST(s.i, s.j), CAST({hi} - 1 AS BIGINT))), 1)"
+        )
+    body = (
+        f"flatten(transform(sequence(0, {nb - 1}), b -> "
+        f"element_at(transform(array(slice({t}, {lo} + 1, {hi} - {lo})), "
+        f"sub -> {per_bin}), 1)))"
+    )
+    return (
+        f"CASE WHEN {t} IS NULL THEN NULL "
+        f"WHEN size({t}) = 0 THEN array() "
+        f"WHEN size({t}) <= {n_out} THEN "
+        f"sequence(CAST(0 AS BIGINT), CAST(size({t}) - 1 AS BIGINT)) "
+        f"ELSE {body} END"
+    )
+
+
+def _jvm_downsample(
+    df: DataFrame,
+    n_out: int,
+    algo: str,
+    tokens_col: str,
+    idx_col: str,
+    output: str,
+) -> DataFrame:
+    """``impl="jvm"`` branch of :func:`downsample_tokens`: the whole
+    selector runs as Catalyst expressions inside whole-stage codegen — no
+    Arrow pipe, no Python workers.  Same output contract as the arrow
+    impl (append keeps input columns; select swaps ``tokens_col`` for the
+    gathered ``sel_tokens``)."""
+    if idx_col in df.columns:
+        raise ValueError(f"column {idx_col!r} already exists")
+    sel = F.expr(jvm_select_expr(algo, n_out, tokens_col)).alias(idx_col)
+    if output == "append":
+        return df.select("*", sel)
+    gathered = F.expr(
+        f"transform({idx_col}, i -> element_at({tokens_col}, CAST(i + 1 AS INT)))"
+    ).alias("sel_tokens")
+    if "sel_tokens" in df.columns:
+        raise ValueError("column 'sel_tokens' already exists")
+    keep = [c for c in df.columns if c != tokens_col]
+    return df.select("*", sel).select(*keep, idx_col, gathered)
 
 
 def _arrow_downsample_specs(
