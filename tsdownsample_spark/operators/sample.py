@@ -1,0 +1,102 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+All three operators key on a stable hash of an id column (md5 prefix →
+uint32), so results are reproducible across runs, clusters, and engines —
+the property that makes train/test splits auditable.  None of them uses
+Spark's ``sample()`` (seed-dependent per-partition RNG, not stable under
+repartitioning).
+
+``hash_sample``
+    Keep rows whose hash falls below ``fraction`` of the hash space.
+    Pure projection + filter: NO shuffle, pushes down past column pruning,
+    and the same row set is selected no matter how the data is
+    partitioned — the 100 TB way to cut a corpus down.
+
+``split_assign``
+    Label every row train/val/test (arbitrary named weights) by hash
+    range.  Pure projection; a row's split never changes when the corpus
+    grows (hash ranges are fixed), which is exactly what leakage audits
+    require.
+
+``quota_sample``
+    Exactly ``quota`` rows per group (e.g. per source), chosen as the
+    lowest-hash rows — deterministic "mixture sampling" for dataset
+    recipes.  One window shuffle on the group key; ties broken by the id
+    itself so the result is total-order stable.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_HASH_SPACE = 1 << 32
+
+
+def _hash32(key_col: str, seed: str) -> F.Column:
+    """Stable uint32 from md5 — the same arithmetic is expressible in any
+    engine with md5/substr/conv (DuckDB oracle uses CAST('0x'||... )."""
+    s = F.concat(F.col(key_col).cast("string"), F.lit(":"), F.lit(seed))
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, key: str = "doc_id", seed: str = "0"
+) -> DataFrame:
+    """Deterministic ~``fraction`` subsample: keep rows with
+    ``hash32(key) < fraction * 2^32``.  Shuffle-free."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    threshold = int(fraction * _HASH_SPACE)
+    return df.where(_hash32(key, seed) < F.lit(threshold))
+
+
+def split_assign(
+    df: DataFrame,
+    weights: Mapping[str, float] | None = None,
+    key: str = "doc_id",
+    seed: str = "0",
+    split_col: str = "split",
+) -> DataFrame:
+    """Append ``split_col`` assigning each row to a named split by fixed
+    hash ranges.  Weight order is the mapping's iteration order; integer
+    thresholds are precomputed so both engines compare exactly."""
+    weights = dict(weights or {"train": 0.9, "val": 0.05, "test": 0.05})
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-empty and non-negative")
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    h = _hash32(key, seed)
+    acc = 0.0
+    names = list(weights)
+    col = F.lit(names[-1])  # last split takes the hash-space remainder
+    # build CASE from the end so the first matching range wins
+    cases = []
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cases.append((int(acc * _HASH_SPACE), name))
+    for threshold, name in reversed(cases):
+        col = F.when(h < F.lit(threshold), F.lit(name)).otherwise(col)
+    return df.withColumn(split_col, col)
+
+
+def quota_sample(
+    df: DataFrame,
+    quota: int,
+    by: str = "source",
+    key: str = "doc_id",
+    seed: str = "0",
+) -> DataFrame:
+    """Exactly ``min(quota, group size)`` rows per group: the lowest-hash
+    rows, ties broken by ``key``.  One window shuffle on ``by``."""
+    if quota < 0:
+        raise ValueError(f"quota must be non-negative, got {quota}")
+    w = Window.partitionBy(by).orderBy(_hash32(key, seed), F.col(key))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= quota)
+        .drop("_rk")
+    )

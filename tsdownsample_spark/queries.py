@@ -1767,8 +1767,6 @@ def queries() -> dict:
         "q_nanminmax_x_long": _x_long_query("nanminmax", nan_inject=True),
         "q_nanm4_x_long": _x_long_query("nanm4", nan_inject=True),
         # --- engine / production layer
-        "q_rollup_1m": _q_rollup("1m"),
-        "q_rollup_1h": _q_rollup("1h"),
         "q_rollup_1d": _q_rollup("1d"),
         "q_gapfill_linear": _q_gapfill("linear"),
         "q_compress_roundtrip": _q_compress_roundtrip,
@@ -1777,7 +1775,6 @@ def queries() -> dict:
         "q_sessionize": q_sessionize,
         "q_anomaly": q_anomaly,
         "q_quantiles": q_quantiles,
-        "q_counter_rate": q_counter_rate,
         "q_twa": q_twa,
         "q_downsample_error": q_downsample_error,
         "q_multi_select": q_multi_select,
@@ -1787,13 +1784,16 @@ def queries() -> dict:
         "q_stream_tiers": q_stream_tiers,
         "q_token_compress_roundtrip": q_token_compress_roundtrip,
     }
-    # --- LLM-data-pipeline queries (16 text + 1 media) — inside the window
-    # (33 base entries above + 17 here = exactly the driver's 50-slot check)
+    # --- LLM-data-pipeline queries (19 text + 1 media) — inside the window
+    # (30 base entries above + 20 here = exactly the driver's 50-slot check)
     base.update(queries_text.queries())
     base.update(queries_media.queries())
     # --- tail: twice-green entries (r02 + r03 driver rows)
     base.update(
         {
+            "q_rollup_1m": _q_rollup("1m"),
+            "q_rollup_1h": _q_rollup("1h"),
+            "q_counter_rate": q_counter_rate,
             "q_gapfill_null": _q_gapfill("null"),
             "q_gapfill_locf": _q_gapfill("locf"),
             "q_gapfill_zero": _q_gapfill("zero"),

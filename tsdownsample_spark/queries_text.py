@@ -607,6 +607,71 @@ SELECT doc_id, source AS group_key, n_tok, pack_id, pack_off FROM p
 """
 
 
+_DUCK_HASH32 = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{seed}'), 1, 8)) AS BIGINT)"
+)
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by fixed hash ranges
+    (operators/sample.py:split_assign) — pure projection, no shuffle."""
+    from tsdownsample_spark.operators.sample import split_assign
+
+    docs = _load(spark, sf_dir, "documents")
+    return split_assign(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05}, seed="r4"
+    ).select("doc_id", "source", "split")
+
+
+_ORACLE_SPLIT_ASSIGN = f"""
+WITH h AS (
+    SELECT doc_id, source, {_DUCK_HASH32.format(seed="r4")} AS h32 FROM documents
+)
+SELECT doc_id, source,
+       CASE WHEN h32 < {int(0.9 * (1 << 32))} THEN 'train'
+            WHEN h32 < {int(0.95 * (1 << 32))} THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+"""
+
+
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling: exactly 10 lowest-hash docs per
+    source (operators/sample.py:quota_sample)."""
+    from tsdownsample_spark.operators.sample import quota_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    return quota_sample(docs, 10, by="source", seed="r4").select("doc_id", "source")
+
+
+_ORACLE_QUOTA_SAMPLE = f"""
+WITH h AS (
+    SELECT doc_id, source, {_DUCK_HASH32.format(seed="r4")} AS h32 FROM documents
+),
+rk AS (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY h32, doc_id) AS r
+    FROM h
+)
+SELECT doc_id, source FROM rk WHERE r <= 10
+"""
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shuffle-free ~25% subsample
+    (operators/sample.py:hash_sample)."""
+    from tsdownsample_spark.operators.sample import hash_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    return hash_sample(docs, 0.25, seed="r4").select("doc_id", "source")
+
+
+_ORACLE_HASH_SAMPLE = f"""
+SELECT doc_id, source FROM documents
+WHERE {_DUCK_HASH32.format(seed="r4")} < {int(0.25 * (1 << 32))}
+"""
+
+
 def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation verdict (operators/curate.py): dup > language >
     too_short > low_quality gate cascade, one scan + one window."""
@@ -658,6 +723,9 @@ def queries() -> dict:
         "q_fingerprint": q_fingerprint,
         "q_pack_concat": q_pack_concat,
         "q_pack_greedy": q_pack_greedy,
+        "q_split_assign": q_split_assign,
+        "q_quota_sample": q_quota_sample,
+        "q_hash_sample": q_hash_sample,
     }
 
 
@@ -679,4 +747,7 @@ def oracle_sql() -> dict:
         "q_fingerprint": _ORACLE_FINGERPRINT,
         "q_pack_concat": _ORACLE_PACK_CONCAT,
         "q_pack_greedy": _ORACLE_PACK_GREEDY,
+        "q_split_assign": _ORACLE_SPLIT_ASSIGN,
+        "q_quota_sample": _ORACLE_QUOTA_SAMPLE,
+        "q_hash_sample": _ORACLE_HASH_SAMPLE,
     }
