@@ -315,6 +315,15 @@ def main() -> None:
             normalized["big_multi5_agg_over_arrow_pipe"] = round(
                 throughput["big_multi5_agg"] / pipe, 3
             )
+    # the jvm-expression variants never cross the pipe — their roofline is
+    # the JVM columnar scan itself
+    jvm_scan = roofline.get("jvm_scan_only")
+    if jvm_scan:
+        for k in ("big_minmax_jvm", "big_m4_jvm"):
+            if k in throughput:
+                normalized[f"{k}_over_jvm_scan"] = round(
+                    throughput[k] / jvm_scan, 3
+                )
 
     total = round(time.time() - t_start, 3)
     print(
