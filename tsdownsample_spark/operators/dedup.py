@@ -201,3 +201,43 @@ def simhash(
     return df.select(F.col(id_col), F.expr(hs).alias("_hs")).select(
         F.col(id_col), F.expr(sim).alias("simhash")
     )
+
+
+def cross_contamination(
+    train: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Train/eval contamination report: for every (train doc, eval doc)
+    pair sharing at least ``min_overlap`` distinct word-``shingle``-grams,
+    emit ``(train_doc, eval_doc, n_common)``.
+
+    The decontamination step of an LLM data pipeline: evaluation-set
+    n-grams leaking into training data inflate benchmark scores, so
+    training corpora are swept against the benchmark before a run.
+
+    Scale shape: both sides explode to distinct (id, shingle) rows and
+    meet in ONE equi-join keyed on the shingle itself — at 100 TB the
+    train side is huge but the eval side is a benchmark (thousands of
+    docs), so AQE turns the join broadcast automatically; the output is
+    bounded by actual contamination, and the groupBy pair-count is
+    map-side combinable.  No corpus-x-corpus comparison ever happens.
+    """
+    sh = F.expr(f"array_distinct({_shingles_expr(text_col, shingle)})")
+    t = (
+        train.select(F.col(id_col).alias("train_doc"), sh.alias("sh"))
+        .select("train_doc", F.explode("sh").alias("shingle"))
+    )
+    e = (
+        eval_set.select(F.col(id_col).alias("eval_doc"), sh.alias("sh"))
+        .select("eval_doc", F.explode("sh").alias("shingle"))
+    )
+    return (
+        t.join(e, "shingle")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count("*").cast("long").alias("n_common"))
+        .where(F.col("n_common") >= min_overlap)
+    )

@@ -1775,7 +1775,6 @@ def queries() -> dict:
         "q_sessionize": q_sessionize,
         "q_anomaly": q_anomaly,
         "q_quantiles": q_quantiles,
-        "q_twa": q_twa,
         "q_downsample_error": q_downsample_error,
         "q_multi_select": q_multi_select,
         "q_pyramid": q_pyramid,
@@ -1784,13 +1783,14 @@ def queries() -> dict:
         "q_stream_tiers": q_stream_tiers,
         "q_token_compress_roundtrip": q_token_compress_roundtrip,
     }
-    # --- LLM-data-pipeline queries (19 text + 1 media) — inside the window
-    # (30 base entries above + 20 here = exactly the driver's 50-slot check)
+    # --- LLM-data-pipeline queries (20 text + 1 media) — inside the window
+    # (29 base entries above + 21 here = exactly the driver's 50-slot check)
     base.update(queries_text.queries())
     base.update(queries_media.queries())
     # --- tail: twice-green entries (r02 + r03 driver rows)
     base.update(
         {
+            "q_twa": q_twa,
             "q_rollup_1m": _q_rollup("1m"),
             "q_rollup_1h": _q_rollup("1h"),
             "q_counter_rate": q_counter_rate,

@@ -672,6 +672,39 @@ WHERE {_DUCK_HASH32.format(seed="r4")} < {int(0.25 * (1 << 32))}
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination sweep (operators/dedup.py:
+    cross_contamination): the eval side is a deterministic 10% hash
+    sample, the train side the remainder; report pairs sharing >= 2
+    distinct 3-gram shingles."""
+    from tsdownsample_spark.operators.dedup import cross_contamination
+    from tsdownsample_spark.operators.sample import _hash32, hash_sample
+
+    docs = _load_wide(spark, sf_dir, "documents")
+    eval_set = hash_sample(docs, 0.1, seed="eval")
+    train = docs.where(~(_hash32("doc_id", "eval") < int(0.1 * (1 << 32))))
+    return cross_contamination(train, eval_set, min_overlap=2)
+
+
+_ORACLE_DECONTAMINATE = f"""
+WITH h AS (
+    SELECT doc_id, text, {_DUCK_HASH32.format(seed="eval")} AS h32 FROM documents
+),
+tsh AS (
+    SELECT doc_id AS train_doc, UNNEST(list_distinct({_DUCK_SHINGLES})) AS shingle
+    FROM h WHERE h32 >= {int(0.1 * (1 << 32))}
+),
+esh AS (
+    SELECT doc_id AS eval_doc, UNNEST(list_distinct({_DUCK_SHINGLES})) AS shingle
+    FROM h WHERE h32 < {int(0.1 * (1 << 32))}
+)
+SELECT train_doc, eval_doc, CAST(COUNT(*) AS BIGINT) AS n_common
+FROM tsh JOIN esh USING (shingle)
+GROUP BY train_doc, eval_doc
+HAVING COUNT(*) >= 2
+"""
+
+
 def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation verdict (operators/curate.py): dup > language >
     too_short > low_quality gate cascade, one scan + one window."""
@@ -726,6 +759,7 @@ def queries() -> dict:
         "q_split_assign": q_split_assign,
         "q_quota_sample": q_quota_sample,
         "q_hash_sample": q_hash_sample,
+        "q_decontaminate": q_decontaminate,
     }
 
 
@@ -750,4 +784,5 @@ def oracle_sql() -> dict:
         "q_split_assign": _ORACLE_SPLIT_ASSIGN,
         "q_quota_sample": _ORACLE_QUOTA_SAMPLE,
         "q_hash_sample": _ORACLE_HASH_SAMPLE,
+        "q_decontaminate": _ORACLE_DECONTAMINATE,
     }
