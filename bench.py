@@ -326,23 +326,53 @@ def main() -> None:
                 )
 
     total = round(time.time() - t_start, 3)
-    print(
-        json.dumps(
-            {
-                "metric": "downsample_bench_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": SF_DIR.rstrip("/").split("sf")[-1],
-                "throughput_pts_per_sec": throughput,
-                "roofline_pts_per_sec": roofline,
-                "roofline_normalized": normalized,
-                "n_out": {s: v[2] for s, v in SHAPES.items()},
-                "cores": CPUS,
-            }
-        )
-    )
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    full = {
+        "metric": "downsample_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "throughput_pts_per_sec": throughput,
+        "roofline_pts_per_sec": roofline,
+        "roofline_normalized": normalized,
+        "n_out": {s: v[2] for s, v in SHAPES.items()},
+        "cores": CPUS,
+    }
+    repo = os.path.dirname(os.path.abspath(__file__))
+    full_path = os.path.join(repo, "BENCH", "full_results.json")
+    os.makedirs(os.path.dirname(full_path), exist_ok=True)
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+
+    # The driver captures only the LAST ~2000 chars of output and parses the
+    # JSON line out of that window (BENCH_r03.json: the full-detail line grew
+    # past 2000 chars and recorded "parsed": null).  So stdout gets a compact
+    # line — the driver-checked first-50 contract queries plus the headline
+    # big-shape throughput — and everything else goes to BENCH/full_results.json.
+    window = list(E.queries())[:50]
+    line = {
+        "metric": "downsample_bench_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "cores": CPUS,
+        "queries": {k: round(timings[k], 2) for k in window if k in timings},
+        "tput_mpts": {
+            k: round(v / 1e6, 1)
+            for k, v in throughput.items()
+            if k.startswith("big_")
+        },
+        "roofline_mpts": {k: round(v / 1e6, 1) for k, v in roofline.items()},
+        "roofline_normalized": normalized,
+        "full": "BENCH/full_results.json",
+    }
+    out = json.dumps(line, separators=(",", ":"))
+    if len(out) > 1900:  # hard guard: never exceed the capture window
+        line["queries"] = dict(list(line["queries"].items())[:30])
+        out = json.dumps(line, separators=(",", ":"))
     spark.stop()
+    print(out, flush=True)
 
 
 if __name__ == "__main__":
