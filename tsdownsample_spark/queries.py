@@ -1117,6 +1117,61 @@ FROM events e ASOF LEFT JOIN tier t
 _GAP_S = 1800.0
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval (range) join: every event matched to the activity
+    session containing it.  Engine: chunked equi-join on (key, time-chunk)
+    (operators/rangejoin.py — candidate work proportional to true matches,
+    never |P|x|I|); oracle: DuckDB's plain inequality join, an independent
+    O(n^2)-per-key evaluation of the same containment semantics.  Sessions
+    come from the session_window operator, so this also cross-checks
+    sessionize: a session set that mislabels boundaries would orphan or
+    double-match edge events and break the row-count/hash here."""
+    from tsdownsample_spark.operators.gaps import sessionize
+    from tsdownsample_spark.operators.rangejoin import interval_join
+
+    ev = load(spark, sf_dir, "events")
+    sess = sessionize(ev, x_col="ts", by=["event_type"], gap="30 minutes")
+    return interval_join(
+        ev.select("event_id", "event_type", "ts"),
+        sess,
+        on="ts",
+        start_col="session_start",
+        end_col="session_end",
+        by=["event_type"],
+        value_cols=["n_events"],
+        how="inner",
+        closed="both",
+    )
+
+
+_ORACLE_INTERVAL_JOIN = f"""
+WITH d AS (
+    SELECT event_type, ts, event_id,
+           CASE WHEN date_diff('microsecond',
+                               LAG(ts) OVER (PARTITION BY event_type
+                                             ORDER BY ts, event_id),
+                               ts) / 1e6 > {_GAP_S} THEN 1 ELSE 0 END AS brk
+    FROM events WHERE ts IS NOT NULL
+),
+s AS (
+    SELECT event_type, ts,
+           SUM(brk) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+    FROM d
+),
+sess AS (
+    SELECT event_type, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY event_type, sid
+)
+SELECT e.event_id, e.event_type, e.ts,
+       x.session_start, x.session_end, x.n_events
+FROM events e JOIN sess x
+  ON e.event_type = x.event_type
+ AND e.ts >= x.session_start AND e.ts <= x.session_end
+"""
+
+
 def q_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Report every sampling gap > 30 min per event_type (operators/gaps.py:
     one lag window, output bounded by the number of gaps)."""
@@ -1771,13 +1826,13 @@ def queries() -> dict:
         "q_gapfill_linear": _q_gapfill("linear"),
         "q_compress_roundtrip": _q_compress_roundtrip,
         "q_asof_join": q_asof_join,
+        "q_interval_join": q_interval_join,
         "q_gap_detect": q_gap_detect,
         "q_sessionize": q_sessionize,
         "q_anomaly": q_anomaly,
         "q_quantiles": q_quantiles,
         "q_downsample_error": q_downsample_error,
         "q_multi_select": q_multi_select,
-        "q_pyramid": q_pyramid,
         "q_scan_downsample": q_scan_downsample,
         "q_token_tiers": q_token_tiers,
         "q_stream_tiers": q_stream_tiers,
@@ -1790,6 +1845,7 @@ def queries() -> dict:
     # --- tail: twice-green entries (r02 + r03 driver rows)
     base.update(
         {
+            "q_pyramid": q_pyramid,
             "q_twa": q_twa,
             "q_rollup_1m": _q_rollup("1m"),
             "q_rollup_1h": _q_rollup("1h"),
@@ -1853,6 +1909,7 @@ def oracle_sql() -> dict:
         "q_gapfill_linear": _ORACLE_GAPFILL_LINEAR,
         "q_compress_roundtrip": "SELECT event_type, ts, value FROM events",
         "q_asof_join": _ORACLE_ASOF,
+        "q_interval_join": _ORACLE_INTERVAL_JOIN,
         "q_gap_detect": _ORACLE_GAPS,
         "q_sessionize": _ORACLE_SESSIONIZE,
         "q_anomaly": _ORACLE_ANOMALY,
