@@ -252,3 +252,37 @@ def test_curate_documents_all_gates_and_priority(spark):
     assert outn["n1"]["reason"] == "no_text" and outn["n1"]["keep"] is False
     assert outn["n2"]["reason"] == "no_text"
     assert outn["n3"]["reason"] == "ok"
+
+
+def test_scrub_pii_counts_order_and_placeholders(spark):
+    from tsdownsample_spark.operators.text import scrub_pii
+
+    rows = [
+        # every kind once; SSN must win over phone for xxx-xx-xxxx
+        ("p1", "mail a.b+c@ex-ample.co.uk ssn 123-45-6789 "
+               "call 555.123.4567 host 10.0.0.255 end"),
+        ("p2", "no pii here at all"),
+        ("p3", None),
+        # two emails, dotted-quad INSIDE an email is consumed by the email
+        # pass first (redaction order), so n_ipv4 stays 0
+        ("p4", "x@1.2.3.4.example.com then y@z.org"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    p1 = out["p1"]
+    assert (p1.n_email, p1.n_ssn, p1.n_phone, p1.n_ipv4) == (1, 1, 1, 1)
+    assert p1.text == ("mail <EMAIL> ssn <SSN> call <PHONE> host <IP> end")
+    p2 = out["p2"]
+    assert (p2.n_email, p2.n_ssn, p2.n_phone, p2.n_ipv4) == (0, 0, 0, 0)
+    assert p2.text == "no pii here at all"
+    assert out["p3"].text is None  # NULL propagates, no crash
+    p4 = out["p4"]
+    assert (p4.n_email, p4.n_ipv4) == (2, 0)
+    assert p4.text == "<EMAIL> then <EMAIL>"
+    # other columns survive; out_col keeps the original
+    kept = scrub_pii(df, out_col="clean").collect()[0]
+    assert set(kept.asDict()) == {
+        "doc_id", "text", "clean", "n_email", "n_ssn", "n_phone", "n_ipv4"
+    }
+    with pytest.raises(ValueError, match="n_email"):
+        scrub_pii(df.withColumn("n_email", F.lit(1)))

@@ -463,6 +463,126 @@ FROM documents
 """
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most frequent token ids per source — corpus heavy hitters
+    (operators/frequency.py: partial-agg count shuffles only distinct
+    (source, token) rows; deterministic value tiebreak).  Oracle: DuckDB
+    unnest + COUNT + ROW_NUMBER, the same semantics evaluated by an
+    independent engine."""
+    from tsdownsample_spark.operators.frequency import heavy_hitters
+
+    toks = tokenize_docs(spark, sf_dir)
+    ex = toks.select("source", F.explode("tokens").alias("token"))
+    return heavy_hitters(ex, "token", by=["source"], k=10)
+
+
+_ORACLE_HEAVY_HITTERS = f"""
+WITH tok AS (
+    SELECT source, unnest({_DUCK_TOKENIZE}) AS token FROM documents
+),
+c AS (
+    SELECT source, token, COUNT(*) AS freq FROM tok GROUP BY 1, 2
+)
+SELECT source, token, freq,
+       ROW_NUMBER() OVER (PARTITION BY source
+                          ORDER BY freq DESC, token ASC) AS rank
+FROM c
+QUALIFY rank <= 10
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction sweep (operators/text.py:scrub_pii — chained JVM
+    regexp_replace, zero shuffle).  The synthetic corpus is digit-free, so
+    both engines first salt it with DETERMINISTIC doc_id-derived PII
+    (email / phone / SSN / IPv4 on different modulus classes, so docs
+    carry 0-4 hits in every combination); the checked shape is the four
+    per-pattern redaction counts + hash and length of the scrubbed text —
+    any count, placement, or placeholder difference flips the hash.
+    Patterns live in the Java-regex ∩ RE2 subset so the SAME strings run
+    in Spark and the DuckDB oracle."""
+    from tsdownsample_spark.operators.text import scrub_pii
+
+    docs = _load(spark, sf_dir, "documents")
+    sid = F.col("doc_id")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                sid % 3 == 0,
+                F.concat(F.lit(" contact user"), sid.cast("string"),
+                         F.lit("@mail.example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                sid % 4 == 0,
+                F.concat(F.lit(" call 555-123-"),
+                         F.lpad((sid % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+            F.when(sid % 5 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+            F.when(
+                sid % 7 == 0,
+                F.concat(F.lit(" from 10.0.0."), (sid % 256).cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = scrub_pii(salted, "text")
+    return out.select(
+        "doc_id", "n_email", "n_ssn", "n_phone", "n_ipv4",
+        F.md5("text").alias("scrub_hash"),
+        F.length("text").alias("scrub_len"),
+    )
+
+
+_ORACLE_PII_SCRUB = r"""
+WITH salted AS (
+    SELECT doc_id, text
+        || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+                || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+           ELSE '' END
+        || CASE WHEN doc_id % 4 = 0 THEN ' call 555-123-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           ELSE '' END
+        || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+        || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.0.'
+                || CAST(doc_id % 256 AS VARCHAR)
+           ELSE '' END AS t
+    FROM documents
+),
+s1 AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
+               AS n_email,
+           regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                          '<EMAIL>', 'g') AS t
+    FROM salted
+),
+s2 AS (
+    SELECT doc_id, n_email,
+           CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS INTEGER)
+               AS n_ssn,
+           regexp_replace(t, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS t
+    FROM s1
+),
+s3 AS (
+    SELECT doc_id, n_email, n_ssn,
+           CAST(len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+                AS INTEGER) AS n_phone,
+           regexp_replace(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS t
+    FROM s2
+)
+SELECT doc_id, n_email, n_ssn, n_phone,
+       CAST(len(regexp_extract_all(t,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ipv4,
+       md5(regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                          '<IP>', 'g')) AS scrub_hash,
+       CAST(len(regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                               '<IP>', 'g')) AS INTEGER) AS scrub_len
+FROM s3
+"""
+
+
 def q_doc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end token-table path on real documents: tokenize -> MinMax
     downsample (n_out=20) -> exploded selected (idx, token)."""
@@ -752,6 +872,8 @@ def queries() -> dict:
         "q_ann_ivf": q_ann_ivf,
         "q_embed_neardup": q_embed_neardup,
         "q_tokenize": q_tokenize,
+        "q_heavy_hitters": q_heavy_hitters,
+        "q_pii_scrub": q_pii_scrub,
         "q_doc_downsample": q_doc_downsample,
         "q_fingerprint": q_fingerprint,
         "q_pack_concat": q_pack_concat,
@@ -777,6 +899,8 @@ def oracle_sql() -> dict:
         "q_ann_ivf": _oracle_ann_ivf(),
         "q_embed_neardup": _ORACLE_EMBED_NEARDUP,
         "q_tokenize": _ORACLE_TOKENIZE,
+        "q_heavy_hitters": _ORACLE_HEAVY_HITTERS,
+        "q_pii_scrub": _ORACLE_PII_SCRUB,
         "q_doc_downsample": _ORACLE_DOC_DOWNSAMPLE,
         "q_fingerprint": _ORACLE_FINGERPRINT,
         "q_pack_concat": _ORACLE_PACK_CONCAT,
