@@ -78,3 +78,69 @@ def test_plan_partial_agg(spark, df):
     plan = heavy_hitters(df, "val", by=["grp"], k=2)._jdf.queryExecution(
     ).executedPlan().toString()
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+# ------------------------------------------------------------- tfidf_topk
+
+
+def test_tfidf_scores_and_ranks(spark):
+    import math
+
+    corpus = {
+        1: "apple banana apple cherry",
+        2: "banana banana durian",
+        3: "cherry durian elder elder elder",
+    }
+    occ = spark.createDataFrame(
+        [(d, t) for d, txt in corpus.items() for t in txt.split(" ")],
+        "doc_id long, term string",
+    )
+    from tsdownsample_spark.operators.frequency import tfidf_topk
+
+    got = tfidf_topk(occ, "doc_id", "term", k=2).collect()
+    # reference: plain python
+    tf = {}
+    for d, txt in corpus.items():
+        for t in txt.split(" "):
+            tf[(d, t)] = tf.get((d, t), 0) + 1
+    dfreq = {}
+    for (_, t) in tf:
+        dfreq[t] = dfreq.get(t, 0) + 1
+    n = len(corpus)
+    exp = {}
+    for d in corpus:
+        scored = sorted(
+            (
+                (round(c * (math.log((n + 1) / (dfreq[t] + 1)) + 1.0), 6), t)
+                for (dd, t), c in tf.items() if dd == d
+            ),
+            key=lambda st: (-st[0], st[1]),
+        )[:2]
+        exp[d] = [(t, s, i + 1) for i, (s, t) in enumerate(scored)]
+    for d in exp:
+        rows = sorted(
+            [(r.term, r.score, r.rank) for r in got if r.doc_id == d],
+            key=lambda t: t[2],
+        )
+        assert rows == pytest.approx(exp[d]) or rows == exp[d], (d, rows, exp[d])
+    # NULL terms dropped, not counted toward doc_freq or N
+    occ_null = occ.union(spark.createDataFrame([(1, None)], occ.schema))
+    assert sorted(map(tuple, tfidf_topk(occ_null, "doc_id", "term", k=2)
+                  .collect())) == sorted(map(tuple, got))
+    with pytest.raises(ValueError, match="k must"):
+        tfidf_topk(occ, "doc_id", "term", k=0)
+    with pytest.raises(ValueError, match="reserved"):
+        tfidf_topk(occ.withColumnRenamed("term", "score"), "doc_id", "score")
+
+
+def test_tfidf_plan_no_cartesian(spark):
+    """The 1-row N join must be a broadcast, never a real cartesian; the
+    doc_freq join must not be a nested loop."""
+    occ = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a")], "doc_id long, term string"
+    )
+    from tsdownsample_spark.operators.frequency import tfidf_topk
+
+    plan = tfidf_topk(occ, "doc_id", "term")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "CartesianProduct" not in plan

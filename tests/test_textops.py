@@ -286,3 +286,41 @@ def test_scrub_pii_counts_order_and_placeholders(spark):
     }
     with pytest.raises(ValueError, match="n_email"):
         scrub_pii(df.withColumn("n_email", F.lit(1)))
+
+
+def test_repetition_stats(spark):
+    from tsdownsample_spark.operators.text import repetition_stats
+
+    rows = [
+        # 6 words, 3 distinct; bigrams: 5 total ('a b','b a','a b','b c',
+        # 'c c') -> 4 distinct; trigrams: 4 total, 4 distinct; top word a/b=2
+        ("r1", "a b a b c c"),
+        ("r2", "x x x x"),           # all same: dup=0.75, top=1.0
+        ("r3", "u v w"),             # all distinct; <3+1 words: one 3-gram
+        ("r4", "solo"),              # 1 word: every ratio 0, top=1
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    r1 = out["r1"]
+    assert r1.n_words == 6
+    assert r1.dup_word_ratio == pytest.approx(1 - 3 / 6, abs=1e-6)
+    assert r1.dup_2gram_ratio == pytest.approx(1 - 4 / 5, abs=1e-6)
+    assert r1.dup_3gram_ratio == 0.0
+    assert r1.top_word_ratio == pytest.approx(2 / 6, abs=1e-6)
+    r2 = out["r2"]
+    assert r2.dup_word_ratio == 0.75 and r2.top_word_ratio == 1.0
+    assert r2.dup_2gram_ratio == pytest.approx(1 - 1 / 3, abs=1e-6)
+    r3 = out["r3"]
+    assert (r3.dup_word_ratio, r3.dup_3gram_ratio) == (0.0, 0.0)
+    r4 = out["r4"]
+    assert r4.n_words == 1 and r4.top_word_ratio == 1.0
+    assert (r4.dup_word_ratio, r4.dup_2gram_ratio, r4.dup_3gram_ratio) == (
+        0.0, 0.0, 0.0)
+
+
+def test_repetition_stats_no_shuffle(spark):
+    from tsdownsample_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame([("d", "a b c")], "doc_id string, text string")
+    plan = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # narrow map, zero shuffle

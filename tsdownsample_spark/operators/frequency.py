@@ -32,7 +32,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["heavy_hitters"]
+__all__ = ["heavy_hitters", "tfidf_topk"]
 
 
 def heavy_hitters(
@@ -67,4 +67,66 @@ def heavy_hitters(
     return (
         counts.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    doc_col: str,
+    term_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` terms per document by smoothed TF-IDF.
+
+    Input is the exploded (document, term) shape — one row per term
+    OCCURRENCE.  Output: ``doc_col, term_col, tf, doc_freq, score, rank``
+    with ``score = tf * (ln((N+1)/(doc_freq+1)) + 1)`` (sklearn's
+    ``smooth_idf``; N = distinct documents), rounded to 6 decimals, and
+    ``rank`` tie-broken by ascending term.  NULL terms are dropped.
+
+    Plan shape at scale: the occurrence stream collapses FIRST via a
+    map-side-combined ``groupBy(doc, term).count()`` — everything after
+    runs on distinct (doc, term) cardinality, never corpus size.
+    ``doc_freq`` is a second partial-agg over those distinct rows keyed by
+    term, joined back on the term key (both sides already
+    distinct-cardinality; AQE broadcasts it while the vocabulary is small
+    and falls back to a hash join on the term key when it is not — a web
+    corpus vocabulary can itself be billions of rows, so this join is NOT
+    hard-wired broadcast).  N rides in as a broadcast 1-row cross join,
+    staying inside the plan — no driver-side collect.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    for c in ("tf", "doc_freq", "score", "rank", "n_docs"):
+        if c in (doc_col, term_col):
+            raise ValueError(f"reserved output column name {c!r} in input")
+    occ = df.where(F.col(term_col).isNotNull()).select(doc_col, term_col)
+    tf = occ.groupBy(doc_col, term_col).agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy(term_col).agg(F.count(F.lit(1)).alias("doc_freq"))
+    ndocs = occ.agg(F.countDistinct(doc_col).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, term_col)
+        .join(F.broadcast(ndocs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1))
+                        / (F.col("doc_freq") + F.lit(1))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(doc_col).orderBy(
+        F.col("score").desc(), F.col(term_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(doc_col, term_col, "tf", "doc_freq", "score", "rank")
     )

@@ -134,6 +134,59 @@ def _shingles_expr(text_col: str, k: int) -> str:
     )
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition metrics — the Gopher-rule family
+    (Rae et al. 2021 §A1.1: repetitious documents are low-quality and
+    over-weight n-grams during training).
+
+    Adds per document:
+
+    * ``dup_word_ratio``  = 1 - distinct_words / n_words
+    * ``dup_2gram_ratio`` / ``dup_3gram_ratio`` — same over word n-grams
+    * ``top_word_ratio``  = count of the most frequent word / n_words
+
+    All pure JVM array expressions over one ``split`` (whole-stage
+    codegen, zero shuffle — this runs as a narrow map in the same scan as
+    the other quality gates).  The most-frequent-word count deliberately
+    avoids an explode→groupBy (which would shuffle corpus-size rows) AND
+    the naive O(words x distinct) nested filter: it is the longest equal
+    run in the SORTED word array, one ``aggregate`` fold, O(n log n) per
+    doc.  Docs with fewer than n words have exactly one n-gram (the whole
+    text — `_shingles_expr`), so their dup ratio is 0 by construction.
+    """
+    t = text_col
+    words = f"split({t}, ' ')"
+
+    def dup_ratio(arr: str) -> Column:
+        return F.round(
+            F.lit(1.0)
+            - F.expr(f"size(array_distinct({arr}))")
+            / F.expr(f"size({arr})"),
+            6,
+        )
+
+    # longest run in the sorted array == max frequency of any word
+    max_run = (
+        "aggregate(array_sort({w}), "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L), "
+        "(acc, x) -> named_struct("
+        "'prev', x, "
+        "'run', IF(acc.prev <=> x, acc.run + 1L, 1L), "
+        "'best', greatest(acc.best, IF(acc.prev <=> x, acc.run + 1L, 1L))), "
+        "acc -> acc.best)"
+    ).format(w=words)
+    return (
+        df.withColumn("n_words", F.expr(f"size({words})"))
+        .withColumn("dup_word_ratio", dup_ratio(words))
+        .withColumn("dup_2gram_ratio", dup_ratio(_shingles_expr(t, 2)))
+        .withColumn("dup_3gram_ratio", dup_ratio(_shingles_expr(t, 3)))
+        .withColumn(
+            "top_word_ratio",
+            F.round(F.expr(max_run) / F.greatest(F.col("n_words"), F.lit(1)), 6),
+        )
+    )
+
+
 # PII patterns in the Java-regex ∩ RE2 portable subset (char classes,
 # bounded repeats, ASCII \b) so the SAME pattern string runs unchanged in
 # Spark (java.util.regex) and the DuckDB oracle (RE2).  Dict order IS the

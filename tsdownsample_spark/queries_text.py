@@ -583,6 +583,101 @@ FROM s3
 """
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition metrics
+    (operators/text.py:repetition_stats — zero-shuffle JVM array fold; the
+    top-word count is a longest-sorted-run aggregate, not an explode).
+    Oracle: DuckDB re-derives every ratio from unnest + GROUP BY — a
+    genuinely different algorithm (relational mode vs sorted-run fold)
+    agreeing on the same numbers."""
+    from tsdownsample_spark.operators.text import repetition_stats
+
+    docs = _load(spark, sf_dir, "documents")
+    return repetition_stats(docs).select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "dup_word_ratio",
+        "dup_2gram_ratio",
+        "dup_3gram_ratio",
+        "top_word_ratio",
+    )
+
+
+_ORACLE_REPETITION = """
+WITH w AS (
+    SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+g AS (
+    SELECT doc_id, words,
+           CASE WHEN len(words) < 2 THEN [array_to_string(words, ' ')]
+                ELSE list_transform(range(len(words) - 1),
+                     i -> array_to_string(words[i + 1 : i + 2], ' ')) END AS g2,
+           CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                ELSE list_transform(range(len(words) - 2),
+                     i -> array_to_string(words[i + 1 : i + 3], ' ')) END AS g3
+    FROM w
+),
+mode_w AS (
+    SELECT doc_id, MAX(c) AS max_word FROM (
+        SELECT doc_id, word, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(words) AS word FROM w)
+        GROUP BY doc_id, word
+    ) GROUP BY doc_id
+)
+SELECT g.doc_id,
+       CAST(len(g.words) AS BIGINT) AS n_words,
+       round(1.0 - len(list_distinct(g.words)) / CAST(len(g.words) AS DOUBLE), 6)
+           AS dup_word_ratio,
+       round(1.0 - len(list_distinct(g.g2)) / CAST(len(g.g2) AS DOUBLE), 6)
+           AS dup_2gram_ratio,
+       round(1.0 - len(list_distinct(g.g3)) / CAST(len(g.g3) AS DOUBLE), 6)
+           AS dup_3gram_ratio,
+       round(m.max_word / CAST(greatest(len(g.words), 1) AS DOUBLE), 6)
+           AS top_word_ratio
+FROM g JOIN mode_w m USING (doc_id)
+"""
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by smoothed TF-IDF
+    (operators/frequency.py:tfidf_topk — occurrences collapse via
+    map-side-combined (doc, term) count before anything else; doc_freq is
+    a second partial agg joined back on the term key; N is an in-plan
+    broadcast scalar).  Oracle: DuckDB computes the identical
+    tf * (ln((N+1)/(df+1)) + 1) from scratch."""
+    from tsdownsample_spark.operators.frequency import tfidf_topk
+
+    docs = _load(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    return tfidf_topk(occ, "doc_id", "term", k=3)
+
+
+_ORACLE_TFIDF = """
+WITH occ AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM occ GROUP BY doc_id, term
+),
+df_ AS (
+    SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term
+),
+n AS (
+    SELECT COUNT(DISTINCT doc_id) AS n_docs FROM occ
+)
+SELECT doc_id, term, tf, doc_freq,
+       round(tf * (ln((n_docs + 1) / CAST(doc_freq + 1 AS DOUBLE)) + 1.0), 6)
+           AS score,
+       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY
+           round(tf * (ln((n_docs + 1) / CAST(doc_freq + 1 AS DOUBLE)) + 1.0), 6)
+               DESC, term ASC) AS rank
+FROM tf JOIN df_ USING (term) CROSS JOIN n
+QUALIFY rank <= 3
+"""
+
+
 def q_doc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end token-table path on real documents: tokenize -> MinMax
     downsample (n_out=20) -> exploded selected (idx, token)."""
@@ -874,6 +969,8 @@ def queries() -> dict:
         "q_tokenize": q_tokenize,
         "q_heavy_hitters": q_heavy_hitters,
         "q_pii_scrub": q_pii_scrub,
+        "q_repetition": q_repetition,
+        "q_tfidf": q_tfidf,
         "q_doc_downsample": q_doc_downsample,
         "q_fingerprint": q_fingerprint,
         "q_pack_concat": q_pack_concat,
@@ -901,6 +998,8 @@ def oracle_sql() -> dict:
         "q_tokenize": _ORACLE_TOKENIZE,
         "q_heavy_hitters": _ORACLE_HEAVY_HITTERS,
         "q_pii_scrub": _ORACLE_PII_SCRUB,
+        "q_repetition": _ORACLE_REPETITION,
+        "q_tfidf": _ORACLE_TFIDF,
         "q_doc_downsample": _ORACLE_DOC_DOWNSAMPLE,
         "q_fingerprint": _ORACLE_FINGERPRINT,
         "q_pack_concat": _ORACLE_PACK_CONCAT,
