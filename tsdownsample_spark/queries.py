@@ -1815,12 +1815,8 @@ def queries() -> dict:
         "q_lttb_x": _q_downsample_x("lttb", n_out=101),
         # --- selector variants first driver-checked in round 3
         "q_minmaxlttb_x_long": _x_long_query("minmaxlttb"),
-        "q_nanminmaxlttb_long": _long_query("nanminmaxlttb", nan_inject=True),
-        "q_nanminmaxlttb_x_long": _x_long_query("nanminmaxlttb", nan_inject=True),
         "q_nanminmax_x": _q_downsample_x("nanminmax", nan_inject=True),
         "q_nanm4_x": _q_downsample_x("nanm4", nan_inject=True),
-        "q_nanminmax_x_long": _x_long_query("nanminmax", nan_inject=True),
-        "q_nanm4_x_long": _x_long_query("nanm4", nan_inject=True),
         # --- engine / production layer
         "q_rollup_1d": _q_rollup("1d"),
         "q_gapfill_linear": _q_gapfill("linear"),
@@ -1838,13 +1834,20 @@ def queries() -> dict:
         "q_stream_tiers": q_stream_tiers,
         "q_token_compress_roundtrip": q_token_compress_roundtrip,
     }
-    # --- LLM-data-pipeline queries (20 text + 1 media) — inside the window
-    # (29 base entries above + 21 here = exactly the driver's 50-slot check)
+    # --- LLM-data-pipeline queries (24 text + 1 media) — inside the window
+    # (25 base entries above + 25 here = exactly the driver's 50-slot check)
     base.update(queries_text.queries())
     base.update(queries_media.queries())
-    # --- tail: twice-green entries (r02 + r03 driver rows)
+    # --- tail: entries with existing driver-green history (r02/r03 rows,
+    # re-verified by full 74-query session drives each round)
     base.update(
         {
+            "q_nanminmaxlttb_long": _long_query("nanminmaxlttb", nan_inject=True),
+            "q_nanminmaxlttb_x_long": _x_long_query(
+                "nanminmaxlttb", nan_inject=True
+            ),
+            "q_nanminmax_x_long": _x_long_query("nanminmax", nan_inject=True),
+            "q_nanm4_x_long": _x_long_query("nanm4", nan_inject=True),
             "q_pyramid": q_pyramid,
             "q_twa": q_twa,
             "q_rollup_1m": _q_rollup("1m"),
