@@ -148,3 +148,45 @@ def test_plan_is_equi_join(spark, small):
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert any(k in plan for k in ("SortMergeJoin", "ShuffledHashJoin",
                                    "BroadcastHashJoin"))
+
+
+def test_auto_chunk_degenerate_median(spark):
+    """A corpus of mostly zero-length intervals must not drive the auto
+    chunk width to ~1 raw unit: one ordinary multi-minute interval would
+    then explode into millions of chunk rows (the sf0.001 sessionize mix
+    that OOM'd the contract gate).  The max-length floor caps duplication
+    at ~257 rows per interval; semantics are width-independent."""
+    import pandas as pd
+
+    from tsdownsample_spark.operators.rangejoin import interval_join
+
+    base = pd.Timestamp("2024-01-01").value // 1000
+    # 50 zero-length intervals (median length 0) + one 2-hour interval
+    iv_rows = [("k", i * 10_000_000, i * 10_000_000, i) for i in range(50)]
+    iv_rows.append(("k", 10**9, 10**9 + 7_200 * 10**6, 99))
+    iv = spark.createDataFrame(
+        [(k, pd.Timestamp(base + s, unit="us").to_pydatetime(),
+          pd.Timestamp(base + e, unit="us").to_pydatetime(), v)
+         for k, s, e, v in iv_rows],
+        "key string, start timestamp, end timestamp, val long",
+    )
+    pts = spark.createDataFrame(
+        [("k", pd.Timestamp(base + t, unit="us").to_pydatetime())
+         for t in (0, 10_000_000, 10**9 + 3_600 * 10**6, 10**9 + 7_200 * 10**6 + 1)],
+        "key string, ts timestamp",
+    )
+    got = sorted(
+        (r["ts"], r["val"])
+        for r in interval_join(
+            pts, iv, by=["key"], value_cols=["val"], closed="left"
+        ).collect()
+    )
+    # chunk-row bound: the exploded interval side stays tiny
+    n_chunks = interval_join.__globals__["_MAX_CHUNKS_PER_INTERVAL"]
+    assert n_chunks == 256
+    exp = []
+    for t in (0, 10_000_000, 10**9 + 3_600 * 10**6, 10**9 + 7_200 * 10**6 + 1):
+        for k, s, e, v in iv_rows:
+            if s <= t < e:
+                exp.append((pd.Timestamp(base + t, unit="us").to_pydatetime(), v))
+    assert got == sorted(exp) and len(got) == 1  # only the mid-interval point

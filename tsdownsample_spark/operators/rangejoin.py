@@ -51,6 +51,9 @@ from pyspark.sql import functions as F
 
 __all__ = ["interval_join"]
 
+# chunk="auto" never explodes one interval into more than ~this many rows
+_MAX_CHUNKS_PER_INTERVAL = 256
+
 
 def _to_raw(c: Column, dtype: str) -> Column:
     """Orderable numeric view: microseconds for timestamps, raw otherwise."""
@@ -89,9 +92,15 @@ def interval_join(
     closed : which bounds contain: ``left`` ([start, end), the time-bucket
         convention), ``both``, ``right``, ``neither``.
     chunk : chunk width in SECONDS for timestamp ``on`` (raw units for
-        numeric), or ``"auto"`` = the median interval length (one tiny
-        2-column aggregate job on ``intervals``).  Overlapping a point
-        with k intervals yields k output rows — the join is 1:N.
+        numeric), or ``"auto"`` = max(median interval length,
+        max_interval_length/256) via one tiny 2-column aggregate job on
+        ``intervals`` — the max-length floor keeps a mostly-zero-length
+        interval corpus (single-event sessions) from chunking ordinary
+        intervals at microsecond width and exploding them into billions
+        of rows.  An EXPLICIT width is taken as given: pick it no smaller
+        than ~1/256 of the longest interval or the explode inflates.
+        Overlapping a point with k intervals yields k output rows — the
+        join is 1:N.
 
     Points with a NULL ``on`` never match (kept under ``how="left"``);
     intervals with a NULL bound or ``end < start`` are dropped.
@@ -132,12 +141,20 @@ def interval_join(
 
     if chunk == "auto":
         # one 2-column scan of the (small relative to points) interval side;
-        # median length is the standard range-join bin heuristic.  percentile
-        # over lengths, floor to >= 1 raw unit.
-        med = iv.select(
-            F.percentile_approx(e_raw - s_raw, 0.5).alias("m")
-        ).first()["m"]
-        width = max(int(med or 0), 1)
+        # median length is the standard range-join bin heuristic.  The max
+        # length guards the degenerate mix that OOMs a naive median rule: a
+        # corpus of mostly zero-length intervals (single-event sessions)
+        # pushes the median to ~0, and exploding one ordinary multi-minute
+        # interval by a microsecond-wide chunk is billions of rows.  Width
+        # therefore never drops below max_len/256 — per-interval duplication
+        # is hard-capped at ~257 chunk rows no matter how skewed the length
+        # distribution is.
+        agg = iv.select(
+            F.percentile_approx(e_raw - s_raw, 0.5).alias("m"),
+            F.max(e_raw - s_raw).alias("x"),
+        ).first()
+        med, mx = int(agg["m"] or 0), int(agg["x"] or 0)
+        width = max(med, -(-mx // _MAX_CHUNKS_PER_INTERVAL), 1)
     else:
         width = int(float(chunk) * (1e6 if p_dtype.startswith("timestamp") else 1))
         if width < 1:

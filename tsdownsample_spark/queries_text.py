@@ -678,6 +678,53 @@ QUALIFY rank <= 3
 """
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over the word corpus with a fractional df gate
+    (operators/index.py — distinct pairs first, df gate BEFORE postings
+    materialize, so stopword-sized lists are never built).  max_df=0.78
+    drops the most corpus-wide head terms at sf0.01, proving the gate
+    actually cuts.  The sorted postings array is checked as an md5 of its
+    comma-join (the driver canonicalizer can't sort list cells — q_tokenize
+    precedent), alongside doc_freq and the min/max doc id."""
+    from tsdownsample_spark.operators.index import inverted_index
+
+    docs = _load(spark, sf_dir, "documents")
+    occ = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    idx = inverted_index(occ, "doc_id", "term", min_df=2, max_df=0.78)
+    return idx.select(
+        "term",
+        "doc_freq",
+        F.md5(F.concat_ws(",", F.col("postings").cast("array<string>")))
+            .alias("postings_hash"),
+        F.element_at("postings", 1).alias("first_doc"),
+        F.element_at("postings", -1).alias("last_doc"),
+    )
+
+
+_ORACLE_INVERTED_INDEX = """
+WITH occ AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+pairs AS (
+    SELECT DISTINCT term, doc_id FROM occ
+),
+n AS (
+    SELECT COUNT(DISTINCT doc_id) AS n_docs FROM pairs
+),
+f AS (
+    SELECT term, COUNT(*) AS doc_freq FROM pairs GROUP BY term
+)
+SELECT p.term,
+       f.doc_freq,
+       md5(array_to_string(list_sort(list(p.doc_id)), ',')) AS postings_hash,
+       MIN(p.doc_id) AS first_doc,
+       MAX(p.doc_id) AS last_doc
+FROM pairs p JOIN f USING (term) CROSS JOIN n
+WHERE f.doc_freq >= 2 AND f.doc_freq <= CAST(ceil(0.78 * n.n_docs) AS BIGINT)
+GROUP BY p.term, f.doc_freq
+"""
+
+
 def q_doc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end token-table path on real documents: tokenize -> MinMax
     downsample (n_out=20) -> exploded selected (idx, token)."""
@@ -971,6 +1018,7 @@ def queries() -> dict:
         "q_pii_scrub": q_pii_scrub,
         "q_repetition": q_repetition,
         "q_tfidf": q_tfidf,
+        "q_inverted_index": q_inverted_index,
         "q_doc_downsample": q_doc_downsample,
         "q_fingerprint": q_fingerprint,
         "q_pack_concat": q_pack_concat,
@@ -1000,6 +1048,7 @@ def oracle_sql() -> dict:
         "q_pii_scrub": _ORACLE_PII_SCRUB,
         "q_repetition": _ORACLE_REPETITION,
         "q_tfidf": _ORACLE_TFIDF,
+        "q_inverted_index": _ORACLE_INVERTED_INDEX,
         "q_doc_downsample": _ORACLE_DOC_DOWNSAMPLE,
         "q_fingerprint": _ORACLE_FINGERPRINT,
         "q_pack_concat": _ORACLE_PACK_CONCAT,
