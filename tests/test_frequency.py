@@ -4,6 +4,7 @@ from collections import Counter
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from tsdownsample_spark.operators.frequency import heavy_hitters
 
@@ -144,3 +145,58 @@ def test_tfidf_plan_no_cartesian(spark):
     plan = tfidf_topk(occ, "doc_id", "term")._jdf.queryExecution(
     ).executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------- js_divergence
+
+
+def test_js_divergence_vs_python(spark):
+    import math
+
+    corpora = {
+        "A": "a a b c".split(),
+        "B": "a b b d d".split(),
+        "C": "e e".split(),        # disjoint from A and B
+    }
+    rows = [(d, t) for d, ts in corpora.items() for t in ts]
+    df = spark.createDataFrame(rows + [("A", None)], "src string, term string")
+    from tsdownsample_spark.operators.divergence import js_divergence
+
+    got = {(r.dist_a, r.dist_b): (r.js_div, r.n_shared_terms)
+           for r in js_divergence(df, "src", "term").collect()}
+
+    def dist(ts):
+        n = len(ts)
+        out = {}
+        for t in ts:
+            out[t] = out.get(t, 0) + 1 / n
+        return out
+
+    def js(p, q):
+        terms = set(p) | set(q)
+        s = 0.0
+        for t in terms:
+            pp, qq = p.get(t, 0.0), q.get(t, 0.0)
+            m = (pp + qq) / 2
+            if pp > 0:
+                s += pp * math.log(pp / m)
+            if qq > 0:
+                s += qq * math.log(qq / m)
+        return s / 2
+
+    for (x, y) in [("A", "B"), ("A", "C"), ("B", "C")]:
+        exp = round(js(dist(corpora[x]), dist(corpora[y])), 6)
+        assert got[(x, y)][0] == pytest.approx(exp, abs=2e-6), (x, y)
+    # disjoint pair: exactly ln 2, zero shared terms — and the pair row
+    # exists even though the inner join produced nothing for it
+    import math as _m
+    assert got[("A", "C")] == (round(_m.log(2), 6), 0)
+    assert got[("A", "B")][1] == 2  # shared terms a, b
+    # weighted: doubling every weight leaves distributions unchanged
+    dfw = df.where("term is not null").withColumn("wt", F.lit(2))
+    from tsdownsample_spark.operators.divergence import js_divergence as jsd
+    goww = {(r.dist_a, r.dist_b): r.js_div
+            for r in jsd(dfw, "src", "term", weight_col="wt").collect()}
+    assert goww == {k: v[0] for k, v in got.items()}
+    with pytest.raises(ValueError, match="reserved"):
+        jsd(df.withColumnRenamed("term", "js_div"), "src", "js_div")

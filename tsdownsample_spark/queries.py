@@ -1815,7 +1815,6 @@ def queries() -> dict:
         "q_lttb_x": _q_downsample_x("lttb", n_out=101),
         # --- selector variants first driver-checked in round 3
         "q_nanminmax_x": _q_downsample_x("nanminmax", nan_inject=True),
-        "q_nanm4_x": _q_downsample_x("nanm4", nan_inject=True),
         # --- engine / production layer
         "q_rollup_1d": _q_rollup("1d"),
         "q_gapfill_linear": _q_gapfill("linear"),
@@ -1841,6 +1840,7 @@ def queries() -> dict:
     # re-verified by full 74-query session drives each round)
     base.update(
         {
+            "q_nanm4_x": _q_downsample_x("nanm4", nan_inject=True),
             "q_minmaxlttb_x_long": _x_long_query("minmaxlttb"),
             "q_nanminmaxlttb_long": _long_query("nanminmaxlttb", nan_inject=True),
             "q_nanminmaxlttb_x_long": _x_long_query(

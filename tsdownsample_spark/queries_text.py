@@ -725,6 +725,56 @@ GROUP BY p.term, f.doc_freq
 """
 
 
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between every two sources' word
+    distributions — data-mixture drift measurement
+    (operators/divergence.py: sparse shared-mass identity, zero-filled
+    grid rows never materialize).  The DuckDB oracle evaluates the OTHER
+    formulation — a dense COALESCE-zero dist x vocab grid — so both
+    engines reach the same numbers through different algebra."""
+    from tsdownsample_spark.operators.divergence import js_divergence
+
+    docs = _load(spark, sf_dir, "documents")
+    occ = docs.select("source", F.explode(F.split("text", " ")).alias("term"))
+    return js_divergence(occ, "source", "term")
+
+
+_ORACLE_SOURCE_DIVERGENCE = """
+WITH occ AS (
+    SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+),
+c AS (
+    SELECT source, term, COUNT(*) AS c FROM occ GROUP BY source, term
+),
+tot AS (
+    SELECT source, SUM(c) AS tot FROM c GROUP BY source
+),
+grid AS (
+    SELECT s.source, v.term,
+           COALESCE(c.c / CAST(t.tot AS DOUBLE), 0.0) AS p
+    FROM (SELECT DISTINCT source FROM occ) s
+    CROSS JOIN (SELECT DISTINCT term FROM occ) v
+    JOIN tot t ON t.source = s.source
+    LEFT JOIN c ON c.source = s.source AND c.term = v.term
+),
+pairs AS (
+    SELECT a.source AS dist_a, b.source AS dist_b, a.term,
+           a.p AS pa, b.p AS pb
+    FROM grid a JOIN grid b ON a.term = b.term AND a.source < b.source
+    WHERE a.p + b.p > 0
+)
+SELECT dist_a, dist_b,
+       round(SUM(
+           CASE WHEN pa > 0 THEN pa * ln(2.0 * pa / (pa + pb)) ELSE 0 END
+         + CASE WHEN pb > 0 THEN pb * ln(2.0 * pb / (pa + pb)) ELSE 0 END
+       ) / 2.0, 6) AS js_div,
+       CAST(SUM(CASE WHEN pa > 0 AND pb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared_terms
+FROM pairs
+GROUP BY dist_a, dist_b
+"""
+
+
 def q_doc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end token-table path on real documents: tokenize -> MinMax
     downsample (n_out=20) -> exploded selected (idx, token)."""
@@ -1019,6 +1069,7 @@ def queries() -> dict:
         "q_repetition": q_repetition,
         "q_tfidf": q_tfidf,
         "q_inverted_index": q_inverted_index,
+        "q_source_divergence": q_source_divergence,
         "q_doc_downsample": q_doc_downsample,
         "q_fingerprint": q_fingerprint,
         "q_pack_concat": q_pack_concat,
@@ -1049,6 +1100,7 @@ def oracle_sql() -> dict:
         "q_repetition": _ORACLE_REPETITION,
         "q_tfidf": _ORACLE_TFIDF,
         "q_inverted_index": _ORACLE_INVERTED_INDEX,
+        "q_source_divergence": _ORACLE_SOURCE_DIVERGENCE,
         "q_doc_downsample": _ORACLE_DOC_DOWNSAMPLE,
         "q_fingerprint": _ORACLE_FINGERPRINT,
         "q_pack_concat": _ORACLE_PACK_CONCAT,
