@@ -249,3 +249,35 @@ def test_continuous_rollup_resume_marker_survives_compaction(spark, tmp_path, sf
         tuple(r) for r in rollup_raw(ev, "1m", by=["event_type"]).select(*cols).collect()
     )
     assert got == exp
+
+
+def test_gapfill_max_buckets_guard(spark):
+    """One corrupt (epoch-0) timestamp stretches a series' span so a minute
+    grid would be ~28M rows — the guard must fail loudly in-plan instead of
+    building the sequence array; a sane series sails through, and
+    max_buckets=None restores the old unguarded behavior on small spans."""
+    import datetime as dt
+
+    import pytest as _pytest
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    from tsdownsample_spark.operators.gapfill import gap_fill
+
+    base = dt.datetime(2024, 1, 1)
+    good = [("s", base + dt.timedelta(minutes=m), 1.0) for m in range(5)]
+    df_good = spark.createDataFrame(
+        good, "series_key string, bucket_ts timestamp, agg_avg double"
+    )
+    assert gap_fill(df_good, "1 minute").count() == 5
+
+    corrupt = good + [("s", dt.datetime(1970, 1, 1), 0.0)]
+    df_bad = spark.createDataFrame(
+        corrupt, "series_key string, bucket_ts timestamp, agg_avg double"
+    )
+    with _pytest.raises(Exception, match="max_buckets"):
+        gap_fill(df_bad, "1 minute").count()
+    # explicit opt-out on a small-but-over-the-tiny-cap series still works
+    assert gap_fill(df_good, "1 minute", max_buckets=2) is not None
+    with _pytest.raises(Exception, match="max_buckets"):
+        gap_fill(df_good, "1 minute", max_buckets=2).count()
+    assert gap_fill(df_good, "1 minute", max_buckets=None).count() == 5

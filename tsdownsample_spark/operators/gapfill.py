@@ -33,24 +33,59 @@ def gap_fill(
     by: Sequence[str] = ("series_key",),
     value_cols: Sequence[str] = ("agg_avg",),
     strategy: str = "null",
+    max_buckets: int | None = 10_000_000,
 ) -> DataFrame:
     """Densify ``df`` onto a regular ``every`` grid per group and fill.
 
     The grid spans [min(x), max(x)] *per series* (no fabricated data outside
     the observed range, matching the reference's bin domain [x0, xn]).
+
+    ``max_buckets`` guards the grid explode against the degenerate-span
+    class of failure (the interval_join auto-chunk lesson): ONE corrupt
+    timestamp — an epoch-0 row, a year-9999 typo — stretches a series'
+    [min, max] span so a minute grid is billions of rows, and the
+    ``sequence()`` array OOMs the executor before any output is wrong.
+    A series whose span/step exceeds the cap fails loudly IN-PLAN
+    (``raise_error`` names the series' span — no extra validation job)
+    instead; pass ``None`` to disable.  For calendar intervals (months,
+    years) the step length used by the guard is evaluated at epoch — an
+    approximation that is order-of-magnitude right, which is all a
+    blow-up guard needs.
     """
     if strategy not in ("null", "zero", "locf", "linear"):
         raise ValueError(f"unknown strategy {strategy!r}")
     by = list(by)
+    seq = F.sequence("_t0", "_t1", F.expr(f"INTERVAL {every}"))
+    if max_buckets is not None:
+        step_us = F.unix_micros(
+            F.to_timestamp(F.lit("1970-01-01 00:00:00"))
+            + F.expr(f"INTERVAL {every}")
+        )
+        n_buckets = (
+            (F.unix_micros(F.col("_t1")) - F.unix_micros(F.col("_t0")))
+            / step_us
+        ) + F.lit(1)
+        seq = F.when(n_buckets <= F.lit(int(max_buckets)), seq).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"gap_fill: a series' grid would exceed max_buckets="
+                        f"{int(max_buckets)} at every='{every}' (span "
+                    ),
+                    F.col("_t0").cast("string"),
+                    F.lit(" .. "),
+                    F.col("_t1").cast("string"),
+                    F.lit(
+                        "); a single corrupt timestamp stretches the span — "
+                        "clean the series or raise max_buckets"
+                    ),
+                )
+            )
+        )
     grid = (
         df.groupBy(*by)
         .agg(F.min(x_col).alias("_t0"), F.max(x_col).alias("_t1"))
-        .select(
-            *by,
-            F.explode(
-                F.sequence("_t0", "_t1", F.expr(f"INTERVAL {every}"))
-            ).alias(x_col),
-        )
+        .select(*by, F.explode(seq).alias(x_col))
     )
     filled = grid.join(df, on=by + [x_col], how="left").withColumn(
         "is_gap", F.col(value_cols[0]).isNull()
