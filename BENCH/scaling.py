@@ -96,6 +96,12 @@ def make_session(cores: int):
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # Python workers do NOT inherit the driver's sys.path (the SKILL.md
+    # gotcha): without shipping, the run only works when launched from the
+    # repo root, because workers then find the package via their cwd.
+    from tsdownsample_spark.plans.shipping import ship_package
+
+    ship_package(spark)
     return spark
 
 
