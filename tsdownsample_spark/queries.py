@@ -1840,6 +1840,7 @@ def queries() -> dict:
     # re-verified by full 74-query session drives each round)
     base.update(
         {
+            "q_bigram_lm": queries_text.q_bigram_lm,
             "q_nanm4_x": _q_downsample_x("nanm4", nan_inject=True),
             "q_minmaxlttb_x_long": _x_long_query("minmaxlttb"),
             "q_nanminmaxlttb_long": _long_query("nanminmaxlttb", nan_inject=True),

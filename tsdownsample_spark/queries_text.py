@@ -775,6 +775,66 @@ GROUP BY dist_a, dist_b
 """
 
 
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model table: top-3 successor words per head word
+    with conditional probability P(w2|w1).  Pure operator composition —
+    adjacent-pair extraction is one JVM transform/explode, ranking reuses
+    operators/frequency.py:heavy_hitters (by=w1), and the probability
+    denominator is a second partial agg joined back on the head word.
+    Oracle: DuckDB re-derives bigrams, counts, and window ranks from
+    scratch."""
+    from tsdownsample_spark.operators.frequency import heavy_hitters
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs_expr = (
+        "CASE WHEN size(split(text, ' ')) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> struct(element_at(split(text, ' '), i) AS w1, "
+        "element_at(split(text, ' '), i + 1) AS w2)) END"
+    )
+    ex = (
+        docs.select(F.explode(F.expr(pairs_expr)).alias("bg"))
+        .select("bg.w1", "bg.w2")
+    )
+    hh = heavy_hitters(ex, "w2", by=["w1"], k=3)
+    tot = ex.groupBy("w1").agg(F.count(F.lit(1)).alias("tot"))
+    return (
+        hh.join(tot, "w1")
+        .select(
+            "w1", "w2", "freq", "rank",
+            F.round(F.col("freq") / F.col("tot"), 6).alias("prob"),
+        )
+    )
+
+
+_ORACLE_BIGRAM_LM = """
+WITH w AS (
+    SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+bg AS (
+    SELECT words[i] AS w1, words[i + 1] AS w2
+    FROM w, unnest(range(1, len(words))) AS t(i)
+    WHERE len(words) >= 2
+),
+c AS (
+    SELECT w1, w2, COUNT(*) AS freq FROM bg GROUP BY w1, w2
+),
+tot AS (
+    SELECT w1, SUM(freq) AS tot FROM c GROUP BY w1
+),
+r AS (
+    SELECT w1, w2, freq,
+           ROW_NUMBER() OVER (PARTITION BY w1
+                              ORDER BY freq DESC, w2 ASC) AS rank
+    FROM c
+)
+SELECT r.w1, r.w2, r.freq, r.rank,
+       round(r.freq / CAST(t.tot AS DOUBLE), 6) AS prob
+FROM r JOIN tot t USING (w1)
+WHERE r.rank <= 3
+"""
+
+
 def q_doc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end token-table path on real documents: tokenize -> MinMax
     downsample (n_out=20) -> exploded selected (idx, token)."""
@@ -1101,6 +1161,9 @@ def oracle_sql() -> dict:
         "q_tfidf": _ORACLE_TFIDF,
         "q_inverted_index": _ORACLE_INVERTED_INDEX,
         "q_source_divergence": _ORACLE_SOURCE_DIVERGENCE,
+        # q_bigram_lm registers in queries.py's TAIL block (keeps the
+        # driver's 50-row window composition unchanged)
+        "q_bigram_lm": _ORACLE_BIGRAM_LM,
         "q_doc_downsample": _ORACLE_DOC_DOWNSAMPLE,
         "q_fingerprint": _ORACLE_FINGERPRINT,
         "q_pack_concat": _ORACLE_PACK_CONCAT,
