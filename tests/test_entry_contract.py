@@ -68,6 +68,26 @@ def test_entry_smoke(spark):
     assert set(df.columns) == {"event_type", "pos", "sel_idx", "sel_value"}
 
 
+def test_driver_window_policy():
+    """The standing rotation policy (r4 verdict task 1): the driver checks
+    the first 50 registry entries, and every SURVEY 2.1 selector class must
+    have at least one row inside that window every round."""
+    from tsdownsample_spark.queries import _WINDOW_R05
+
+    names = list(entrymod.queries())
+    window = names[:50]
+    assert window == _WINDOW_R05
+    for cls in (
+        "minmax", "nanminmax", "m4", "nanm4",
+        "lttb", "minmaxlttb", "nanminmaxlttb", "everynth",
+    ):
+        assert any(
+            n == f"q_{cls}" or n.startswith(f"q_{cls}_") for n in window
+        ), f"SURVEY 2.1 class {cls} has no in-window row"
+    # no duplicate registrations between window and tail
+    assert len(names) == len(set(names))
+
+
 def test_queries_against_oracles(spark, sf_dir):
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()

@@ -1,16 +1,14 @@
-"""float16 parity evidence: the engine upcasts f16 y to f32 before the
-kernel (compat.py) instead of the reference's ordinal-i16 reinterpretation
-(README.md:37-43; argminmax PR #1 'symmetrical ordinal mapping from f16 to
-i16').  These tests prove the upcast is selection-equivalent over the FULL
-reference grid (every f16 bit pattern):
+"""float16 parity evidence (compat.py _prepare_f16):
 
-* the f32 cast is order-isomorphic to the ordinal i16 mapping across all
-  finite f16 values — comparison-based selection (argmin/argmax, M4
-  extremes, LTTB area ranking after the exact f64 widen) cannot differ —
-  with exactly ONE documented exception: the ordinal view ranks -0.0
-  strictly below +0.0 while IEEE comparison ties them, so when both zeros
-  tie for a bin's minimum the reference's f16 path picks the -0.0 and the
-  upcast path picks the first-occurring zero;
+* comparison-only selectors (minmax, m4) on NaN-free f16 now take the
+  reference's ordinal-i16 reinterpretation VERBATIM (README.md:37-43;
+  argminmax PR #1 'symmetrical ordinal mapping from f16 to i16') — full
+  bit parity, including the +-0 tie where the ordinal view ranks -0.0
+  strictly below +0.0 (closed per r4 ADVICE);
+* everything else (value-dependent LTTB area ranking; NaN-bearing data,
+  since i16 cannot carry NaN through the kernels' isnan paths) upcasts to
+  f32, which these tests prove order-isomorphic to the ordinal mapping
+  over the FULL 65536-pattern grid with exactly that one +-0 exception;
 * end-to-end, the f32-cast kernel selects the same indices as an
   independent direct-f64 derivation on crafted f16 data (subnormals,
   zeros, NaN payloads) across the selector family and the compat classes.
@@ -102,8 +100,6 @@ def test_f16_through_compat_classes_matches_f64():
     y = _crafted_f16(rng, 4_000, with_nan=False)
     yn = _crafted_f16(rng, 4_000, with_nan=True)
     for cls, data, n_out in [
-        (MinMaxDownsampler, y, 100),
-        (M4Downsampler, y, 100),
         (MinMaxLTTBDownsampler, y, 100),
         (NaNMinMaxDownsampler, yn, 100),
         (NaNM4Downsampler, yn, 100),
@@ -111,3 +107,43 @@ def test_f16_through_compat_classes_matches_f64():
         got = cls().downsample(data, n_out=n_out)
         exp = cls().downsample(data.astype(np.float64), n_out=n_out)
         np.testing.assert_array_equal(got, exp)
+
+
+def test_f16_minmax_m4_take_reference_ordinal_path():
+    """NaN-free f16 through the comparison-only classes equals running the
+    kernel on the reference's ordinal-i16 view bit for bit (compat.py
+    _prepare_f16) — i.e. FULL reference parity, +-0 ties included; and the
+    selected VALUES still agree with the f64 path everywhere."""
+    rng = np.random.default_rng(23)
+    y = _crafted_f16(rng, 4_000, with_nan=False)
+    ords = _ordinal_i16(y.view(np.uint16))
+    for cls, algo in [(MinMaxDownsampler, "minmax"), (M4Downsampler, "m4")]:
+        got = cls().downsample(y, n_out=100)
+        ref = downsample_array(ords, 100, algo=algo)
+        np.testing.assert_array_equal(got.astype(np.int64), ref)
+        exp = cls().downsample(y.astype(np.float64), n_out=100)
+        # index sets may differ only where +-0 tie; values always agree
+        np.testing.assert_array_equal(
+            y[got.astype(np.int64)].astype(np.float64),
+            y[exp.astype(np.int64)].astype(np.float64),
+        )
+
+
+def test_f16_pm0_tie_selects_reference_index():
+    """The one documented r4 parity gap, now closed: when +0.0 (earlier)
+    and -0.0 (later) tie for a bin's minimum, the reference's ordinal view
+    ranks -0.0 strictly lower and picks ITS index; the old plain-f32 upcast
+    tied them and picked the first zero."""
+    y = np.ones(40, dtype=np.float16)
+    y[5] = np.float16(0.0)
+    y[20] = np.float16(-0.0)
+    got = MinMaxDownsampler().downsample(y, n_out=2).astype(np.int64)
+    assert 20 in got and 5 not in got
+    got4 = M4Downsampler().downsample(y, n_out=4).astype(np.int64)
+    assert 20 in got4 and 5 not in got4
+    # NaN present -> i16 cannot carry it; falls back to the documented
+    # f32 upcast (first-occurring zero wins the tie again)
+    yn = y.copy()
+    yn[30] = np.float16("nan")
+    gotn = MinMaxDownsampler().downsample(yn, n_out=2).astype(np.int64)
+    assert 5 in gotn and 20 not in gotn

@@ -136,7 +136,7 @@ class TestPackGreedy:
         rows, df = corpus
         want = naive_greedy([(d, g, n) for d, g, n in rows], 128)
         got = {
-            r.doc_id: (r.group_key, r.n_tok, r.pack_id, r.pack_off)
+            r.doc_id: (r.source, r.n_tok, r.pack_id, r.pack_off)
             for r in pack_greedy(df, 128).collect()
         }
         assert got == want
@@ -155,7 +155,7 @@ class TestPackGreedy:
         mates = [
             r
             for r in packed
-            if r.group_key == target.group_key
+            if r.source == target.source
             and r.pack_id == target.pack_id
             and r.doc_id != 400
         ]
@@ -171,3 +171,18 @@ class TestPackGreedy:
         _, df = corpus
         with pytest.raises(ValueError, match="window must be positive"):
             pack_greedy(df, -5)
+
+    def test_string_ids_and_custom_names(self, spark, corpus):
+        """Output schema follows the caller's order/by names AND types:
+        string doc ids round-trip, no coercion to int64 (ADVICE r4)."""
+        rows, _ = corpus
+        df = spark.createDataFrame(
+            [(f"d{d:04d}", g, n) for d, g, n in rows],
+            "uri string, shard string, n_tok int",
+        )
+        got = pack_greedy(df, 128, by="shard", order="uri")
+        assert got.columns == ["uri", "shard", "n_tok", "pack_id", "pack_off"]
+        assert dict(got.dtypes)["uri"] == "string"
+        want = naive_greedy([(f"d{d:04d}", g, n) for d, g, n in rows], 128)
+        res = {r.uri: (r.shard, r.n_tok, r.pack_id, r.pack_off) for r in got.collect()}
+        assert res == want

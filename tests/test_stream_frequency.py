@@ -87,3 +87,34 @@ def test_stream_heavy_hitters_equals_batch(spark, tmp_path, sf_dir):
     assert gotw == sorted(
         (*t[:2], t[2] * 2, t[3]) for t in exp
     )
+
+
+@pytest.mark.slow
+def test_stream_fractional_weights_equal_batch(spark, tmp_path, sf_dir):
+    """Non-integral weight_col: partial sums must keep their native DOUBLE
+    type across batches (a per-batch long cast would truncate 0.25 to 0
+    every batch and the stream could never equal batch — ADVICE r4)."""
+    ex = _exploded_docs(spark, sf_dir).withColumn("wt", F.lit(0.25))
+    flat = make_file_stream(spark, ex, tmp_path)  # 2 micro-batches
+    out_root = str(tmp_path / "hh_frac")
+    stream = (
+        spark.readStream.schema(ex.schema)
+        .option("maxFilesPerTrigger", 1).parquet(flat)
+    )
+    q = stream_value_counts(
+        stream, out_root, "word", by=["source"], weight_col="wt",
+        checkpoint=str(tmp_path / "ckpt_frac"),
+    )
+    assert q.awaitTermination(240)
+    counts = SnapshotTable(f"{out_root}/counts").read(spark)
+    assert dict(counts.dtypes)["freq_partial"] == "double"
+    got = sorted(
+        map(tuple, heavy_hitters_snapshot(spark, out_root, "word",
+                                          by=["source"], k=5).collect())
+    )
+    exp = sorted(
+        map(tuple,
+            heavy_hitters(ex, "word", by=["source"], k=5,
+                          weight_col="wt").collect())
+    )
+    assert len(exp) > 0 and got == exp

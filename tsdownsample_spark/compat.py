@@ -77,6 +77,36 @@ def _check_y_dtype(y: np.ndarray) -> None:
     raise ValueError(f"unsupported y dtype {y.dtype}")
 
 
+# Selectors whose result depends ONLY on the comparison order of y (never
+# on its arithmetic values) — for these the reference's ordinal-i16 view of
+# f16 can substitute for the values verbatim.
+_ORDER_ONLY_ALGOS = {"minmax", "m4"}
+
+
+def _f16_ordinal_i16(y: np.ndarray) -> np.ndarray:
+    """The reference's f16 handling (README.md:37-43; argminmax's
+    'symmetrical ordinal mapping from f16 to i16'): reinterpret the bits as
+    i16 and flip the magnitude bits of negatives so integer order matches
+    float order — with -0.0 ranked STRICTLY below +0.0."""
+    v = y.view(np.int16)
+    return np.where(v < 0, np.int16(-0x8000) - 1 - v, v).astype(np.int16)
+
+
+def _prepare_f16(y: np.ndarray, algo: str) -> np.ndarray:
+    """f16 input handling, bit-parity first (ADVICE r4 / README.md:37-43).
+
+    Comparison-only selectors (minmax, m4) on NaN-free data take the
+    reference's ordinal-i16 view exactly, so even the +-0 tie selects the
+    reference's index (-0.0 strictly below +0.0).  Everything else — value-
+    dependent selectors (LTTB's areas) and NaN-bearing data (i16 cannot
+    carry NaN through the kernels' isnan paths) — upcasts to f32, which
+    tests/test_f16_parity.py proves order-isomorphic to the ordinal view
+    over the full 65536-pattern grid except that one +-0 tie."""
+    if algo in _ORDER_ONLY_ALGOS and not np.isnan(y).any():
+        return _f16_ordinal_i16(y)
+    return y.astype(np.float32)
+
+
 class AbstractDownsampler:
     _algo: str = ""
     _has_parallel = True
@@ -99,12 +129,7 @@ class AbstractDownsampler:
                 f"No parallel implementation of {type(self).__name__} exists; "
                 "falling back to the sequential implementation"
             )
-        # f16 upcast instead of the reference's ordinal-i16 reinterpretation
-        # (README.md:37-43): the cast is exact and order-isomorphic to that
-        # mapping over the full f16 grid (tests/test_f16_parity.py), so
-        # selection is identical — except the +-0 tie, where the ordinal
-        # view ranks -0.0 strictly below +0.0 and IEEE comparison ties them
-        y16 = y.astype(np.float32) if y.dtype == np.float16 else y
+        y16 = _prepare_f16(y, self._algo) if y.dtype == np.float16 else y
         idx = downsample_array(y16, int(n_out), algo=self._algo, x=x, **kwargs)
         return idx.astype(np.uint64)
 

@@ -57,9 +57,14 @@ def gap_fill(
     by = list(by)
     seq = F.sequence("_t0", "_t1", F.expr(f"INTERVAL {every}"))
     if max_buckets is not None:
-        step_us = F.unix_micros(
-            F.to_timestamp(F.lit("1970-01-01 00:00:00"))
-            + F.expr(f"INTERVAL {every}")
+        # Step length as a DIFFERENCE of two unix_micros so the session-
+        # timezone offset of the epoch literal cancels: unix_micros(base)
+        # is only 0 in UTC sessions, and a bare unix_micros(base + step)
+        # would under- (or negatively) estimate the step east of UTC,
+        # silently disarming this guard.
+        _base = F.to_timestamp(F.lit("1970-01-01 00:00:00"))
+        step_us = F.unix_micros(_base + F.expr(f"INTERVAL {every}")) - F.unix_micros(
+            _base
         )
         n_buckets = (
             (F.unix_micros(F.col("_t1")) - F.unix_micros(F.col("_t0")))

@@ -112,17 +112,6 @@ def pack_concat_stats(
     )
 
 
-_GREEDY_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("group_key", T.StringType()),
-        T.StructField("n_tok", T.LongType()),
-        T.StructField("pack_id", T.LongType()),
-        T.StructField("pack_off", T.LongType()),
-    ]
-)
-
-
 def pack_greedy(
     toks: DataFrame,
     window: int,
@@ -134,8 +123,10 @@ def pack_greedy(
     Per group (``by``), documents are visited in ``order``; a document is
     appended to the current pack if it fits in the remaining ``window``
     budget, else it opens the next pack.  Result: one row per document
-    ``(doc_id, group_key, n_tok, pack_id, pack_off)`` where ``pack_off``
-    is the token offset inside its pack.
+    ``(<order>, <by>, n_tok, pack_id, pack_off)`` — the id and group
+    columns keep the caller's names AND types (string doc ids are common
+    in corpora), like ``pack_concat``; ``pack_off`` is the token offset
+    inside its pack.
 
     The recurrence (fill resets when a doc doesn't fit) is not
     prefix-sum expressible, so each group runs a per-group loop inside
@@ -146,6 +137,20 @@ def pack_greedy(
     """
     if window <= 0:
         raise ValueError(f"window must be positive, got {window}")
+
+    src = toks.where(F.col("n_tok").isNotNull() & (F.col("n_tok") > 0)).select(
+        F.col(order), F.col(by), F.col("n_tok").cast("long").alias("n_tok")
+    )
+    # Output schema derives from the INPUT's order/by field types — never
+    # coerced — so string ids and non-string group keys round-trip intact.
+    out_schema = T.StructType(
+        [src.schema[order], src.schema[by]]
+        + [
+            T.StructField("n_tok", T.LongType()),
+            T.StructField("pack_id", T.LongType()),
+            T.StructField("pack_off", T.LongType()),
+        ]
+    )
 
     def _pack(pdf):
         import pandas as pd
@@ -164,18 +169,15 @@ def pack_greedy(
             fill += int(nt)
         return pd.DataFrame(
             {
-                "doc_id": pdf[order].astype("int64"),
-                "group_key": pdf[by].astype(str),
+                order: pdf[order],
+                by: pdf[by],
                 "n_tok": pdf["n_tok"].astype("int64"),
                 "pack_id": pack_id,
                 "pack_off": pack_off,
             }
         )
 
-    src = toks.where(F.col("n_tok").isNotNull() & (F.col("n_tok") > 0)).select(
-        F.col(order), F.col(by), F.col("n_tok").cast("long").alias("n_tok")
-    )
-    return src.groupBy(by).applyInPandas(_pack, schema=_GREEDY_SCHEMA)
+    return src.groupBy(by).applyInPandas(_pack, schema=out_schema)
 
 
 def pack_greedy_stats(
@@ -188,7 +190,7 @@ def pack_greedy_stats(
     tokens per pack, and fill ratio vs the window budget (can exceed 1.0
     only for the single-oversize-doc packs, by construction)."""
     packed = pack_greedy(toks, window, by=by, order=order)
-    return packed.groupBy("group_key", "pack_id").agg(
+    return packed.groupBy(by, "pack_id").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("pack_tok"),
         F.round(F.sum("n_tok") / window, 6).alias("fill_ratio"),

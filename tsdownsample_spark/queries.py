@@ -56,10 +56,12 @@ def event_series(spark: SparkSession, sf_dir: str, nan_inject: bool = False) -> 
     )
 
 
-def _downsample_query(algo: str, n_out: int = N_OUT, nan_inject: bool = False):
+def _downsample_query(
+    algo: str, n_out: int = N_OUT, nan_inject: bool = False, impl: str = "arrow"
+):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ser = event_series(spark, sf_dir, nan_inject=nan_inject)
-        out = downsample_tokens(ser, n_out, algo=algo, tokens_col="vals")
+        out = downsample_tokens(ser, n_out, algo=algo, tokens_col="vals", impl=impl)
         return (
             out.select("event_type", "vals", F.posexplode("sel_idx").alias("pos", "sel_idx"))
             .withColumn("sel_value", F.expr("element_at(vals, CAST(sel_idx AS INT) + 1)"))
@@ -1271,6 +1273,66 @@ FROM w
 """
 
 
+def q_anomaly_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The O(n) ``impl="prefix"`` rolling z-score — the 100 TB path
+    (operators/anomaly.py: running sums minus their lag(window), constant
+    cost per row regardless of window size) — oracle-checked end-to-end,
+    not only pytest-checked (r4 verdict task 3).
+
+    The oracle replays the SAME prefix arithmetic in DuckDB (cumulative
+    sums − lag, two-pass variance identity) rather than DuckDB's own
+    frame stddev, so the two sides differ only by float-summation order;
+    z is rounded to 4dp (vs q_anomaly's 6) to absorb that ~1e-9 relative
+    slack.  The exact-parity twin q_anomaly stays on ``impl="frame"``."""
+    from tsdownsample_spark.operators.anomaly import rolling_zscore
+
+    ev = load(spark, sf_dir, "events")
+    out = rolling_zscore(
+        ev, x_col="ts", y_col="value", by=["event_type"], window=50,
+        threshold=3.0, tiebreak=["event_id"], min_obs=10, impl="prefix",
+    )
+    return out.select(
+        "event_type",
+        "ts",
+        "value",
+        F.round("z", 4).alias("z_r"),
+        "is_anomaly",
+    )
+
+
+_ORACLE_ANOMALY_PREFIX = """
+WITH c AS (
+    SELECT event_type, ts, value, event_id,
+           SUM(value) OVER cum AS s1,
+           SUM(value * value) OVER cum AS s2,
+           COUNT(value) OVER cum AS c
+    FROM events
+    WINDOW cum AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+f AS (
+    SELECT event_type, ts, value,
+           s1 - COALESCE(LAG(s1, 50) OVER o, 0) AS fs1,
+           s2 - COALESCE(LAG(s2, 50) OVER o, 0) AS fs2,
+           c  - COALESCE(LAG(c, 50)  OVER o, 0) AS cnt
+    FROM c
+    WINDOW o AS (PARTITION BY event_type ORDER BY ts, event_id)
+),
+z AS (
+    SELECT event_type, ts, value, cnt,
+           CASE WHEN cnt > 1 THEN
+               sqrt(GREATEST((fs2 - fs1 * fs1 / cnt) / (cnt - 1), 0))
+           END AS s,
+           CASE WHEN cnt > 0 THEN fs1 / cnt END AS m
+    FROM f
+)
+SELECT event_type, ts, value,
+       ROUND(CASE WHEN cnt >= 10 AND s > 0 THEN (value - m) / s END, 4) AS z_r,
+       CASE WHEN cnt >= 10 AND s > 0 THEN ABS((value - m) / s) > 3.0 END AS is_anomaly
+FROM z
+"""
+
+
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentile rollup (operators/rollup.py:quantile_tier): per
     (event_type, day) p50/p95/p99 + count.  Spark's exact `percentile`
@@ -1794,16 +1856,55 @@ def _q_compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("chunk_id")
 
 
+# Driver-window rotation (round-5 policy, per the r4 verdict): the driver's
+# correctness harness checks the FIRST 50 registry entries each round, so the
+# window is rebuilt every round as
+#   (1) one row per SURVEY 2.1 selector class — ALWAYS in-window;
+#   (2) rows whose last driver-green record is oldest (staleness rotation) —
+#       this round: the full NaNM4 family (zero r4 rows), q_bigram_lm (never
+#       driver-checked), and the r03-green engine/long/x rows;
+#   (3) rows whose implementation changed this round (q_pack_greedy,
+#       q_gapfill_linear) and brand-new contract rows (q_anomaly_prefix, the
+#       impl="jvm" selector family);
+#   (4) high-value r4-green rows filling the remainder.
+# Everything else sits in the tail, still exercised by the per-round full
+# session drive (/verify) and tests/test_entry_contract.py's window audit.
+_WINDOW_R05 = [
+    # (1) every §2.1 selector class
+    "q_minmax", "q_nanminmax", "q_m4", "q_nanm4",
+    "q_lttb", "q_minmaxlttb", "q_nanminmaxlttb", "q_everynth",
+    # (2) staleness rotation: rest of the NaNM4 family + never-checked
+    "q_nanm4_x", "q_nanm4_long", "q_nanm4_x_long", "q_bigram_lm",
+    # (2) stale-since-r03 engine rows
+    "q_rollup_1m", "q_rollup_1h",
+    "q_gapfill_null", "q_gapfill_zero", "q_gapfill_locf",
+    "q_counter_rate", "q_twa", "q_pyramid",
+    # (2) stale-since-r03 distributed long/x selector rows
+    "q_minmax_long", "q_m4_long", "q_everynth_long", "q_minmaxlttb_long",
+    "q_nanminmax_long", "q_nanminmaxlttb_long",
+    "q_minmax_x_long", "q_m4_x_long", "q_minmaxlttb_x_long",
+    "q_nanminmax_x_long", "q_nanminmaxlttb_x_long",
+    "q_minmax_x", "q_m4_x",
+    # (3) new contract rows this round
+    "q_anomaly_prefix", "q_minmax_jvm", "q_m4_jvm", "q_everynth_jvm",
+    # (3) implementation changed this round
+    "q_pack_greedy", "q_gapfill_linear",
+    # (4) high-value r4-green fill
+    "q_lttb_x", "q_nanminmax_x", "q_anomaly", "q_rollup_1d",
+    "q_downsample_error", "q_asof_join", "q_interval_join",
+    "q_compress_roundtrip", "q_stream_tiers", "q_token_tiers",
+    "q_multi_select",
+]
+
+
 def queries() -> dict:
     """Contract-query registry.  ORDER MATTERS: the driver's correctness
-    harness checks the first 50 entries, so the first 50 are the queries
-    that most need a fresh green row this round (core kernels, round-3
-    additions, the engine/production layer, and ALL 15 LLM-pipeline
-    queries); the tail holds selector variants that already have two rounds
-    of driver-green history (CORRECTNESS_r02 + r03)."""
+    harness checks the first 50 entries; ``_WINDOW_R05`` (see its comment
+    for the standing rotation policy) picks this round's 50, the rest form
+    the tail in stable order."""
     from tsdownsample_spark import queries_media, queries_text
 
-    base = {
+    all_q = {
         # --- core kernel selectors (sequential oracles via recursive CTEs)
         "q_everynth": _downsample_query("everynth"),
         "q_minmax": _downsample_query("minmax"),
@@ -1811,12 +1912,39 @@ def queries() -> dict:
         "q_lttb": _downsample_query("lttb", n_out=101),
         "q_minmaxlttb": _downsample_query("minmaxlttb"),
         "q_nanminmaxlttb": _downsample_query("nanminmaxlttb", nan_inject=True),
-        # --- with-x LTTB through the long-form operator (lttb.rs:17-92)
+        "q_nanminmax": _downsample_query("nanminmax", nan_inject=True),
+        "q_nanm4": _downsample_query("nanm4", nan_inject=True),
+        # --- Catalyst-expression (zero-Python) selector path
+        "q_minmax_jvm": _downsample_query("minmax", impl="jvm"),
+        "q_m4_jvm": _downsample_query("m4", impl="jvm"),
+        "q_everynth_jvm": _downsample_query("everynth", impl="jvm"),
+        # --- with-x kernel variants
         "q_lttb_x": _q_downsample_x("lttb", n_out=101),
-        # --- selector variants first driver-checked in round 3
         "q_nanminmax_x": _q_downsample_x("nanminmax", nan_inject=True),
+        "q_nanm4_x": _q_downsample_x("nanm4", nan_inject=True),
+        "q_minmax_x": _q_downsample_x("minmax"),
+        "q_m4_x": _q_downsample_x("m4"),
+        # --- distributed long-form selectors (the 100 TB path)
+        "q_minmax_long": _long_query("minmax"),
+        "q_m4_long": _long_query("m4"),
+        "q_everynth_long": _long_query("everynth"),
+        "q_minmaxlttb_long": _long_query("minmaxlttb"),
+        "q_nanminmax_long": _long_query("nanminmax", nan_inject=True),
+        "q_nanm4_long": _long_query("nanm4", nan_inject=True),
+        "q_nanminmaxlttb_long": _long_query("nanminmaxlttb", nan_inject=True),
+        "q_minmax_x_long": _x_long_query("minmax"),
+        "q_m4_x_long": _x_long_query("m4"),
+        "q_minmaxlttb_x_long": _x_long_query("minmaxlttb"),
+        "q_nanminmax_x_long": _x_long_query("nanminmax", nan_inject=True),
+        "q_nanm4_x_long": _x_long_query("nanm4", nan_inject=True),
+        "q_nanminmaxlttb_x_long": _x_long_query("nanminmaxlttb", nan_inject=True),
         # --- engine / production layer
+        "q_rollup_1m": _q_rollup("1m"),
+        "q_rollup_1h": _q_rollup("1h"),
         "q_rollup_1d": _q_rollup("1d"),
+        "q_gapfill_null": _q_gapfill("null"),
+        "q_gapfill_zero": _q_gapfill("zero"),
+        "q_gapfill_locf": _q_gapfill("locf"),
         "q_gapfill_linear": _q_gapfill("linear"),
         "q_compress_roundtrip": _q_compress_roundtrip,
         "q_asof_join": q_asof_join,
@@ -1824,54 +1952,28 @@ def queries() -> dict:
         "q_gap_detect": q_gap_detect,
         "q_sessionize": q_sessionize,
         "q_anomaly": q_anomaly,
+        "q_anomaly_prefix": q_anomaly_prefix,
         "q_quantiles": q_quantiles,
+        "q_counter_rate": q_counter_rate,
+        "q_twa": q_twa,
         "q_downsample_error": q_downsample_error,
         "q_multi_select": q_multi_select,
+        "q_pyramid": q_pyramid,
         "q_scan_downsample": q_scan_downsample,
         "q_token_tiers": q_token_tiers,
         "q_stream_tiers": q_stream_tiers,
         "q_token_compress_roundtrip": q_token_compress_roundtrip,
+        "q_bigram_lm": queries_text.q_bigram_lm,
     }
-    # --- LLM-data-pipeline queries (24 text + 1 media) — inside the window
-    # (25 base entries above + 25 here = exactly the driver's 50-slot check)
-    base.update(queries_text.queries())
-    base.update(queries_media.queries())
-    # --- tail: entries with existing driver-green history (r02/r03 rows,
-    # re-verified by full 74-query session drives each round)
-    base.update(
-        {
-            "q_bigram_lm": queries_text.q_bigram_lm,
-            "q_nanm4_x": _q_downsample_x("nanm4", nan_inject=True),
-            "q_minmaxlttb_x_long": _x_long_query("minmaxlttb"),
-            "q_nanminmaxlttb_long": _long_query("nanminmaxlttb", nan_inject=True),
-            "q_nanminmaxlttb_x_long": _x_long_query(
-                "nanminmaxlttb", nan_inject=True
-            ),
-            "q_nanminmax_x_long": _x_long_query("nanminmax", nan_inject=True),
-            "q_nanm4_x_long": _x_long_query("nanm4", nan_inject=True),
-            "q_pyramid": q_pyramid,
-            "q_twa": q_twa,
-            "q_rollup_1m": _q_rollup("1m"),
-            "q_rollup_1h": _q_rollup("1h"),
-            "q_counter_rate": q_counter_rate,
-            "q_gapfill_null": _q_gapfill("null"),
-            "q_gapfill_locf": _q_gapfill("locf"),
-            "q_gapfill_zero": _q_gapfill("zero"),
-            "q_nanminmax": _downsample_query("nanminmax", nan_inject=True),
-            "q_nanm4": _downsample_query("nanm4", nan_inject=True),
-            "q_minmax_long": _long_query("minmax"),
-            "q_m4_long": _long_query("m4"),
-            "q_everynth_long": _long_query("everynth"),
-            "q_minmaxlttb_long": _long_query("minmaxlttb"),
-            "q_nanminmax_long": _long_query("nanminmax", nan_inject=True),
-            "q_nanm4_long": _long_query("nanm4", nan_inject=True),
-            "q_minmax_x_long": _x_long_query("minmax"),
-            "q_m4_x_long": _x_long_query("m4"),
-            "q_minmax_x": _q_downsample_x("minmax"),
-            "q_m4_x": _q_downsample_x("m4"),
-        }
-    )
-    return base
+    # --- LLM-data-pipeline queries (26 text + 1 media)
+    all_q.update(queries_text.queries())
+    all_q.update(queries_media.queries())
+    assert len(_WINDOW_R05) == 50 and len(set(_WINDOW_R05)) == 50
+    missing = [n for n in _WINDOW_R05 if n not in all_q]
+    assert not missing, f"window names without a registry entry: {missing}"
+    ordered = {n: all_q[n] for n in _WINDOW_R05}
+    ordered.update({n: f for n, f in all_q.items() if n not in ordered})
+    return ordered
 
 
 def oracle_sql() -> dict:
@@ -1881,6 +1983,11 @@ def oracle_sql() -> dict:
         "q_everynth": _oracle_everynth(),
         "q_minmax": _oracle_minmax(),
         "q_m4": _oracle_m4(),
+        # impl="jvm" rows share the kernel oracles: same selection contract,
+        # different (Python-free) execution path
+        "q_everynth_jvm": _oracle_everynth(),
+        "q_minmax_jvm": _oracle_minmax(),
+        "q_m4_jvm": _oracle_m4(),
         "q_lttb": _oracle_lttb(n_out=101),
         "q_minmaxlttb": _oracle_minmaxlttb(n_out=N_OUT, ratio=4),
         "q_nanminmaxlttb": _oracle_minmaxlttb(n_out=N_OUT, ratio=4, nan=True),
@@ -1917,6 +2024,7 @@ def oracle_sql() -> dict:
         "q_gap_detect": _ORACLE_GAPS,
         "q_sessionize": _ORACLE_SESSIONIZE,
         "q_anomaly": _ORACLE_ANOMALY,
+        "q_anomaly_prefix": _ORACLE_ANOMALY_PREFIX,
         "q_quantiles": _ORACLE_QUANTILES,
         "q_counter_rate": _ORACLE_COUNTER_RATE,
         "q_twa": _ORACLE_TWA,

@@ -975,7 +975,7 @@ p AS (
                 THEN t.n_tok ELSE p.fill + t.n_tok END
     FROM t JOIN p ON t.source = p.source AND t.rn = p.rn + 1
 )
-SELECT doc_id, source AS group_key, n_tok, pack_id, pack_off FROM p
+SELECT doc_id, source, n_tok, pack_id, pack_off FROM p
 """
 
 

@@ -76,15 +76,15 @@ def stream_value_counts(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if ledger.seen(batch_id, _STAGE):
             return
+        # Keep the partial sum's NATIVE type: a per-batch cast to long would
+        # truncate fractional weights batch-by-batch and break the documented
+        # stream==batch equivalence for non-integral weight_col (ADVICE r4).
+        # count() is already long; sum() stays long for integral weights and
+        # double for fractional ones — exactly what batch heavy_hitters sums.
         w = (
             F.sum(weight_col) if weight_col is not None else F.count(F.lit(1))
         ).alias("freq_partial")
-        partial = (
-            batch_df.where(F.col(col).isNotNull())
-            .groupBy(*by, col)
-            .agg(w)
-            .withColumn("freq_partial", F.col("freq_partial").cast("long"))
-        )
+        partial = batch_df.where(F.col(col).isNotNull()).groupBy(*by, col).agg(w)
         append_exactly_once(table, ledger, batch_id, _STAGE, partial)
 
     writer = stream_df.writeStream.foreachBatch(_sink).option(
