@@ -39,6 +39,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ROUNDS = int(os.environ.get("BENCH_ROUNDS", "3"))
 LEVELS = [int(x) for x in os.environ.get("BENCH_LEVELS", "2,8,32").split(",")]
+# Comma-separated subset of {downsample,pipeline,dedup,window} — lets a
+# single workload's ladder re-run calm without paying for the other three.
+WORKLOADS = [
+    w
+    for w in os.environ.get(
+        "BENCH_WORKLOADS", "downsample,pipeline,dedup,window"
+    ).split(",")
+    if w
+]
 ALGOS = ("minmax", "m4", "minmaxlttb", "lttb")
 N_OUT = 100
 DOCS = int(os.environ.get("BENCH_SCALE_DOCS", "4000"))
@@ -128,7 +137,7 @@ def dedup_job(spark, path):
     )
 
     cores = int(spark.sparkContext.defaultParallelism)
-    # the docs file is tiny in bytes but md5-heavy per row: byte-based scan
+    # the docs file is tiny in bytes but hash-heavy per row: byte-based scan
     # splitting would give ~1 partition, serializing the CPU work — spread
     # rows explicitly to match the compute.  Same reason to disable AQE's
     # byte-based partition coalescing here: the verification join's rows are
@@ -137,14 +146,17 @@ def dedup_job(spark, path):
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     docs = spark.read.parquet(path).repartition(4 * cores)
     # FULL pipeline: signatures -> banded LSH self-join -> exact jaccard
-    # verification of the candidate pairs (string-intersect CPU work), plus
-    # the simhash sketch — the shape a 100 TB dedup pass actually runs
-    sig = minhash_signatures(docs, k=16)
-    pairs = lsh_candidate_pairs(sig, bands=4, rows=4)
-    jaccard_pairs(docs, pairs, threshold=0.5).select(
+    # verification of the candidate pairs, plus the simhash sketch — the
+    # shape a 100 TB dedup pass actually runs.  hash="xxhash64" is the
+    # production hash family (operators/dedup.py:_h32_expr): no hex-string
+    # intermediates, 8-byte band keys, int64 shingle sets — the md5 family
+    # stays on the oracle-backed contract rows only.
+    sig = minhash_signatures(docs, k=16, hash="xxhash64")
+    pairs = lsh_candidate_pairs(sig, bands=4, rows=4, hash="xxhash64")
+    jaccard_pairs(docs, pairs, threshold=0.5, hash="xxhash64").select(
         F.count("*")
     ).collect()
-    simhash(docs).select(F.sum("simhash")).collect()
+    simhash(docs, hash="xxhash64").select(F.sum("simhash")).collect()
 
 
 def pipeline_job(spark, path, out_root):
@@ -215,33 +227,27 @@ def main() -> None:
     doc_path = synth_docs_path()
     ser_path, ser_rows = bench_series_path(10_000, 1_000)
 
+    runners = {
+        "downsample": lambda spark, cores: downsample_job(spark, tok_path),
+        "pipeline": lambda spark, cores: pipeline_job(
+            spark, tok_path, f"/tmp/tsds_scale_tiers_{cores}"
+        ),
+        "dedup": lambda spark, cores: dedup_job(spark, doc_path),
+        "window": lambda spark, cores: window_job(spark, ser_path),
+    }
     walls: dict[str, dict[int, list[float]]] = {
-        "downsample": {c: [] for c in LEVELS},
-        "pipeline": {c: [] for c in LEVELS},
-        "dedup": {c: [] for c in LEVELS},
-        "window": {c: [] for c in LEVELS},
+        wl: {c: [] for c in LEVELS} for wl in WORKLOADS
     }
     for rnd in range(ROUNDS + 1):  # round 0 = warm-up, discarded
         for cores in LEVELS:
             spark = make_session(cores)
-            t0 = time.time()
-            downsample_job(spark, tok_path)
-            w_ds = time.time() - t0
-            t0 = time.time()
-            pipeline_job(spark, tok_path, f"/tmp/tsds_scale_tiers_{cores}")
-            w_pl = time.time() - t0
-            t0 = time.time()
-            dedup_job(spark, doc_path)
-            w_dd = time.time() - t0
-            t0 = time.time()
-            window_job(spark, ser_path)
-            w_wn = time.time() - t0
+            for wl in WORKLOADS:
+                t0 = time.time()
+                runners[wl](spark, cores)
+                w = time.time() - t0
+                if rnd > 0:
+                    walls[wl][cores].append(round(w, 3))
             spark.stop()
-            if rnd > 0:
-                walls["downsample"][cores].append(round(w_ds, 3))
-                walls["pipeline"][cores].append(round(w_pl, 3))
-                walls["dedup"][cores].append(round(w_dd, 3))
-                walls["window"][cores].append(round(w_wn, 3))
 
     out: dict = {"metric": "scaling_efficiency_N_to_4N", "workloads": {}}
     for wl, per_level in walls.items():
@@ -278,10 +284,14 @@ def main() -> None:
         "window_series_rows": ser_rows,
         "rounds": ROUNDS,
         "levels": LEVELS,
+        "workloads": WORKLOADS,
+        "dedup_hash": "xxhash64",
     }
 
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "scaling.json"), "w") as f:
+    # subset runs must not clobber the full four-workload record
+    name = "scaling.json" if len(WORKLOADS) == 4 else "scaling_partial.json"
+    with open(os.path.join(here, name), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
 

@@ -38,6 +38,25 @@ MINHASH_B = [int(b) for b in _rng.integers(0, 1 << 30, size=64)]
 del _rng
 
 
+def _h32_expr(inner: str, hash: str) -> str:
+    """32-bit base hash of a string expression, as a SQL fragment.
+
+    ``md5`` (first 8 hex digits -> conv to bigint) is the portable default:
+    it is the one hash DuckDB shares, so the oracle-backed contract rows
+    replay it verbatim.  ``xxhash64`` is the scale path: one native JVM
+    64-bit hash masked to 32 bits — no 32-char hex-string materialization,
+    no conv() parse, so far fewer bytes cross the memory bus per shingle
+    (the measured bottleneck of the dedup scaling workload on this host).
+    """
+    if hash == "md5":
+        return f"CAST(conv(substring(md5({inner}), 1, 8), 16, 10) AS BIGINT)"
+    if hash == "xxhash64":
+        # mask to 32 bits so the k universal-hash products A[j]*b stay
+        # below 2^62 (no BIGINT overflow), same contract as the md5 base
+        return f"(xxhash64({inner}) & 4294967295L)"
+    raise ValueError(f"hash must be 'md5' or 'xxhash64', got {hash!r}")
+
+
 def dedup_exact(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -65,13 +84,19 @@ def minhash_signatures(
     id_col: str = "doc_id",
     k: int = 16,
     shingle: int = 3,
+    hash: str = "md5",
 ) -> DataFrame:
     """(id, sig: array<bigint>[k]) — MinHash over word-``shingle``-grams:
-    one md5 per shingle -> 32-bit base, k universal-hash minima."""
+    one base hash per shingle -> 32-bit base, k universal-hash minima.
+
+    ``hash="md5"`` (default) is oracle-portable; ``hash="xxhash64"`` is the
+    production path (see ``_h32_expr``) — same signature semantics, a
+    different (equally universal) base family, ~3x less hashing work and no
+    hex-string traffic."""
     if k > len(MINHASH_A):
         raise ValueError(f"k <= {len(MINHASH_A)} supported")
     sh = _shingles_expr(text_col, shingle)
-    base = "transform(_sh, s -> CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT))"
+    base = f"transform(_sh, s -> {_h32_expr('s', hash)})"
     mins = ", ".join(
         f"array_min(transform(_b, b -> ({MINHASH_A[j]}L * b + {MINHASH_B[j]}L) % {MINHASH_P}L))"
         for j in range(k)
@@ -89,15 +114,28 @@ def banded_signatures(
     id_col: str = "doc_id",
     bands: int = 4,
     rows: int = 4,
+    hash: str = "md5",
 ) -> DataFrame:
     """(id, band_idx, band_hash) rows: each signature split into ``bands``
-    bands of ``rows`` values, each band hashed to one md5 — the canonical
-    LSH shuffle key (docs sharing any band hash are candidates)."""
-    band_expr = (
-        f"transform(sequence(0, {bands - 1}), "
-        f"b -> md5(concat_ws('|', transform(slice(sig, b * {rows} + 1, {rows}), "
-        f"v -> CAST(v AS STRING)))))"
-    )
+    bands of ``rows`` values, each band hashed to one value — the canonical
+    LSH shuffle key (docs sharing any band hash are candidates).
+
+    ``hash="md5"`` stringifies the band and emits a 32-char hex key (the
+    oracle-portable default); ``hash="xxhash64"`` hashes the bigint slice
+    directly to ONE 8-byte key — the shuffle key shrinks 4x and the
+    stringify pass disappears, which is what the band self-join shuffles
+    at 100 TB."""
+    if hash == "xxhash64":
+        band_expr = (
+            f"transform(sequence(0, {bands - 1}), "
+            f"b -> xxhash64(slice(sig, b * {rows} + 1, {rows})))"
+        )
+    else:
+        band_expr = (
+            f"transform(sequence(0, {bands - 1}), "
+            f"b -> md5(concat_ws('|', transform(slice(sig, b * {rows} + 1, {rows}), "
+            f"v -> CAST(v AS STRING)))))"
+        )
     return sig_df.select(
         F.col(id_col), F.posexplode(F.expr(band_expr)).alias("band_idx", "band_hash")
     )
@@ -108,10 +146,13 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = 4,
     rows: int = 4,
+    hash: str = "md5",
 ) -> DataFrame:
     """Banded LSH: docs sharing any band hash become a candidate pair
     (id_a < id_b, distinct)."""
-    banded = banded_signatures(sig_df, id_col=id_col, bands=bands, rows=rows)
+    banded = banded_signatures(
+        sig_df, id_col=id_col, bands=bands, rows=rows, hash=hash
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -135,6 +176,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     shingle: int = 3,
     threshold: float = 0.0,
+    hash: str | None = None,
 ) -> DataFrame:
     """Verify candidate pairs with exact Jaccard over distinct shingles.
 
@@ -143,8 +185,19 @@ def jaccard_pairs(
     appear in a candidate pair — candidate verification touches only the
     candidate neighborhood, never a broadcast of the full corpus.  AQE still
     downgrades to broadcast when the semi-joined side is genuinely small.
+
+    ``hash="xxhash64"`` replaces each shingle STRING with its 64-bit hash
+    before the set ops, so the shuffled/intersected sets are 8 bytes per
+    element instead of ~8+ bytes per WORD — the Jaccard value is unchanged
+    up to 64-bit collisions (~n²/2^65 per doc pair, negligible).  Default
+    ``None`` keeps raw strings for exact oracle parity.
     """
     sh = F.expr(f"array_distinct({_shingles_expr(text_col, shingle)})")
+    if hash == "xxhash64":
+        sh = F.expr(
+            f"array_distinct(transform({_shingles_expr(text_col, shingle)}, "
+            f"s -> xxhash64(s)))"
+        )
     ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .union(pairs.select(F.col("id_b").alias(id_col)))
@@ -176,19 +229,21 @@ def jaccard_pairs(
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    hash: str = "md5",
 ) -> DataFrame:
     """Per-doc SimHash: bit j is set iff the sum over words of
-    (2*bit_j(h32(word)) - 1) is >= 0, h32 = first 8 md5 hex digits.
+    (2*bit_j(h32(word)) - 1) is >= 0, h32 = the 32-bit base hash
+    (``_h32_expr``: md5 hex default, xxhash64 scale path).
 
     Single pass: word hashes materialize once, then ONE fold accumulates all
-    ``bits`` counters per word (the naive nested form re-evaluates the md5
+    ``bits`` counters per word (the naive nested form re-evaluates the hash
     transform once per bit — 32x the hashing).
     """
-    hs = (
-        f"transform(split({text_col}, ' '), "
-        f"w -> CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT))"
-    )
+    hs = f"transform(split({text_col}, ' '), w -> {_h32_expr('w', hash)})"
     counts = (
         f"aggregate(_hs, array_repeat(0L, {bits}), (acc, h) -> "
         f"zip_with(acc, sequence(0, {bits - 1}), "

@@ -135,6 +135,16 @@ def jvm_select_expr(algo: str, n_out: int, tokens_col: str = "tokens") -> str:
     rule).  Cost is one slice copy + three scans per bin — O(n) total per
     series, no shuffle, and because no Python worker is involved this path
     also runs on executors with no Python runtime at all.
+
+    Why no with-x variant (considered, rejected): the no-x equal-count bins
+    have a CLOSED INDEX form — ``slice()`` extracts each bin in O(n) total.
+    With-x bins are equidistant in the x VALUES, so each bin boundary is
+    data-dependent; without a binary-search HOF every boundary costs an
+    O(n) ``filter`` scan, making the expression O(n * nb) — a ~nb-times
+    compute blow-up over the Arrow kernel for zero pipe savings.  The
+    Python-free with-x paths are the long-form SQL selectors
+    (operators/sql_selectors.py, with-x forms), which Catalyst aggregates
+    at O(n).
     """
     if algo not in _JVM_ALGOS:
         raise ValueError(

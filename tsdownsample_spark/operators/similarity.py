@@ -243,6 +243,69 @@ def ivf_centroids(dim: int, n_cells: int, seed: int = 11) -> list[list[float]]:
     ]
 
 
+def ivf_train_centroids(
+    vectors: DataFrame,
+    n_cells: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+    seed: int = 11,
+    sample_fraction: float | None = None,
+) -> list[list[float]]:
+    """Lloyd's k-means over the corpus (or a sample), expressed as
+    DataFrame ops — returns trained coarse-quantizer centroids to pass to
+    ``ivf_ann_topk(..., centroids=...)``.
+
+    Each iteration is one narrow assignment pass (``cell_expr`` — pure JVM
+    expression, no UDF) plus one elementwise-mean aggregate
+    (posexplode -> groupBy(cell, pos).avg — shuffle bounded by
+    n_cells x dim groups).  Only the n_cells x dim centroid matrix ever
+    reaches the driver (<= a few KB), so training scales with the corpus:
+    at 100 TB you'd train on ``sample_fraction`` of the data — assignment
+    cost is linear in rows sampled, the aggregate is invariant.
+
+    Empty cells keep their previous centroid (the standard dead-centroid
+    rule).  Centroids are rounded to 6dp so they serialize exactly into
+    SQL on any engine, same contract as ``ivf_centroids``.
+
+    This is SPHERICAL k-means: after each mean update the centroid is
+    L2-normalized, because ``cell_expr`` assigns by max DOT PRODUCT (the
+    cheap in-plan form of cosine).  Without the normalization a
+    long-normed centroid wins assignments it shouldn't (magnitude bias)
+    and the cells stop tracking cosine neighborhoods — the metric
+    ``ivf_ann_topk`` actually ranks by.
+    """
+    cents = ivf_centroids(dim, n_cells, seed)
+    src = (
+        vectors.sample(fraction=sample_fraction, seed=seed)
+        if sample_fraction is not None
+        else vectors
+    )
+    src = src.select(F.col(vec_col).alias("_v"))
+    for _ in range(int(iters)):
+        assigned = src.withColumn("cell", F.expr(cell_expr("_v", cents)))
+        rows = (
+            assigned.select("cell", F.posexplode("_v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()  # bounded: n_cells x dim rows — the trained model
+        )
+        new = [list(c) for c in cents]
+        seen = set()
+        for r in rows:
+            new[r.cell][r.pos] = float(r.m)
+            seen.add(r.cell)
+        for i in seen:
+            nrm = float(np.sqrt(sum(v * v for v in new[i])))
+            if nrm > 0:
+                new[i] = [round(v / nrm, 6) for v in new[i]]
+            else:
+                new[i] = [round(v, 6) for v in new[i]]
+        cents = [new[i] if i in seen else cents[i] for i in range(n_cells)]
+    return cents
+
+
 def cell_expr(vec_col: str, centroids: list[list[float]]) -> str:
     """SQL expression: index of the nearest centroid by dot product (cosine
     against unit-ish random centroids; deterministic ties -> lowest index)."""
@@ -258,6 +321,23 @@ def cell_expr(vec_col: str, centroids: list[list[float]]) -> str:
     )
 
 
+def probe_cells_expr(vec_col: str, centroids: list[list[float]], nprobe: int) -> str:
+    """SQL expression: array of the ``nprobe`` nearest centroid indices,
+    best first (dot desc, index asc on ties — the same tie rule as
+    ``cell_expr``, whose result is always element 0)."""
+    dots = []
+    for c in centroids:
+        arr = "array(" + ",".join(f"CAST({v} AS DOUBLE)" for v in c) + ")"
+        dots.append(_dot_expr(vec_col, arr))
+    # sort key (-d, i): ascending sort = descending dot, lowest index on ties
+    scored = ", ".join(
+        f"named_struct('nd', -({d}), 'i', {i})" for i, d in enumerate(dots)
+    )
+    return (
+        f"transform(slice(array_sort(array({scored})), 1, {int(nprobe)}), s -> s.i)"
+    )
+
+
 def ivf_ann_topk(
     vectors: DataFrame,
     probes: DataFrame,
@@ -267,18 +347,36 @@ def ivf_ann_topk(
     n_cells: int = 8,
     dim: int = 64,
     seed: int = 11,
+    nprobe: int = 1,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: vectors are bucketed by nearest coarse
-    centroid; each probe searches only its own cell (nprobe=1).
+    centroid; each probe searches its ``nprobe`` nearest cells.  Pass
+    ``centroids`` from ``ivf_train_centroids`` for a trained quantizer
+    (on clustered embeddings, trained cells concentrate true neighbors —
+    higher recall at the same nprobe); default is the seeded random
+    quantizer (deterministic, oracle-reproducible).
 
     Scale shape: ``cell`` is a partition/bucketing key for the stored
-    table, so a probe is a partition-pruned scan of ~1/n_cells of the
-    corpus; the probe side broadcasts (small by contract).
+    table, so a probe is a partition-pruned scan of ~nprobe/n_cells of the
+    corpus; the probe side broadcasts (small by contract) — multiprobe only
+    replicates PROBE rows (x nprobe), never vectors.  A probe's cells are
+    distinct, and each vector lives in exactly one cell, so no (probe,
+    vector) pair is scored twice and the rank window needs no dedup.
     """
-    ce = cell_expr(vec_col, ivf_centroids(dim, n_cells, seed))
-    v = vectors.withColumn("cell", F.expr(ce))
-    p = probes.withColumn("cell", F.expr(ce)).select(
-        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec"), "cell"
+    if not 1 <= nprobe <= n_cells:
+        raise ValueError(f"nprobe must be in [1, n_cells={n_cells}], got {nprobe}")
+    cents = centroids if centroids is not None else ivf_centroids(dim, n_cells, seed)
+    if len(cents) != n_cells:
+        raise ValueError(f"centroids has {len(cents)} cells, expected {n_cells}")
+    v = vectors.withColumn("cell", F.expr(cell_expr(vec_col, cents)))
+    p = (
+        probes.withColumn(
+            "cell", F.explode(F.expr(probe_cells_expr(vec_col, cents, nprobe)))
+        )
+        .select(
+            F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec"), "cell"
+        )
     )
     joined = v.alias("v").join(
         F.broadcast(p).alias("p"),
@@ -304,6 +402,40 @@ def ivf_ann_topk(
     )
 
 
+def probe_buckets_expr(vec_col: str, planes: list[list[float]], nprobe: int) -> str:
+    """SQL expression: array of ``nprobe`` LSH buckets for a probe vector —
+    its own sign-pattern bucket first, then the buckets reached by flipping
+    ONE plane bit in ascending |margin| order (classic 1-step multiprobe:
+    the planes the vector is closest to are the likeliest sign errors).
+
+    All buckets are distinct (base, then base^2^j for distinct j), so
+    exploding them never duplicates a (probe, vector) candidate.
+    """
+    P = len(planes)
+    if not 1 <= nprobe <= P + 1:
+        raise ValueError(f"nprobe must be in [1, n_planes+1={P + 1}], got {nprobe}")
+    dots = []
+    for plane in planes:
+        arr = "array(" + ",".join(f"CAST({v} AS DOUBLE)" for v in plane) + ")"
+        dots.append(_dot_expr(vec_col, arr))
+    dots_arr = "array(" + ", ".join(dots) + ")"
+    # evaluate the P dot products ONCE via a single-element outer transform
+    # (poor man's let-binding); base bucket + flip list both read `ds`
+    base = (
+        f"aggregate(zip_with(ds, sequence(0, {P - 1}), "
+        "(d, j) -> IF(d >= 0, shiftleft(1, j), 0)), 0, (acc, v) -> acc + v)"
+    )
+    flips = (
+        f"slice(array_sort(zip_with(ds, sequence(0, {P - 1}), "
+        f"(d, j) -> named_struct('a', abs(d), 'j', j))), 1, {int(nprobe) - 1})"
+    )
+    return (
+        f"transform(array({dots_arr}), ds -> "
+        f"concat(array({base}), transform({flips}, s -> ({base}) ^ shiftleft(1, s.j)))"
+        ")[0]"
+    )
+
+
 def lsh_ann_topk(
     vectors: DataFrame,
     probes: DataFrame,
@@ -313,13 +445,23 @@ def lsh_ann_topk(
     n_planes: int = 4,
     dim: int = 64,
     seed: int = 7,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates limited to the probe's LSH bucket."""
+    """Approximate top-k: candidates limited to the probe's LSH bucket(s).
+
+    ``nprobe`` > 1 enables 1-step multiprobe: the probe also searches the
+    nprobe-1 buckets reached by flipping its smallest-|margin| plane signs.
+    Only PROBE rows replicate (x nprobe); the vector side keeps exactly one
+    bucket per vector — at scale that is still a partition-pruned scan of
+    ~nprobe/2^n_planes of the corpus.
+    """
     planes = lsh_planes(dim, n_planes, seed)
     be = bucket_expr(vec_col, planes)
     v = vectors.withColumn("bucket", F.expr(be))
     p = (
-        probes.withColumn("bucket", F.expr(be))
+        probes.withColumn(
+            "bucket", F.explode(F.expr(probe_buckets_expr(vec_col, planes, nprobe)))
+        )
         .select(
             F.col(id_col).alias("probe_id"),
             F.col(vec_col).alias("probe_vec"),
@@ -348,3 +490,73 @@ def lsh_ann_topk(
             F.col("v.bucket").alias("bucket"),
         )
     )
+
+
+def recall_at_k(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Per-probe recall of an approximate top-k result against the exact one.
+
+    Both inputs are (probe_id, rank, neighbor_id, ...) frames as returned by
+    ``cosine_topk`` / ``lsh_ann_topk`` / ``ivf_ann_topk``.  recall =
+    |approx ∩ exact| / |exact| per probe (the exact set is the denominator,
+    so probes whose exact list is shorter than k — tiny corpora — are not
+    penalized).  One semi-join + two bounded aggregates; both sides are
+    O(probes x k) rows, so this is cheap at any corpus scale.
+    """
+    e = exact.select("probe_id", "neighbor_id")
+    a = approx.select("probe_id", "neighbor_id")
+    hits = (
+        e.join(a, ["probe_id", "neighbor_id"], "left_semi")
+        .groupBy("probe_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    return (
+        e.groupBy("probe_id")
+        .agg(F.count("*").alias("n_exact"))
+        .join(hits, "probe_id", "left")
+        .select(
+            "probe_id",
+            "n_exact",
+            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+            (F.coalesce(F.col("hits"), F.lit(0)) / F.col("n_exact")).alias("recall"),
+        )
+    )
+
+
+def ann_recall_report(
+    vectors: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    lsh_nprobes: tuple[int, ...] = (1, 3, 5),
+    ivf_nprobes: tuple[int, ...] = (1, 2, 4),
+    n_planes: int = 4,
+    n_cells: int = 8,
+) -> dict[str, float]:
+    """Mean recall@k of every (method, nprobe) variant vs exact cosine_topk.
+
+    Returns {"lsh_nprobe=1": r, ..., "ivf_nprobe=4": r} — the measured
+    accuracy/cost trade the approximate paths actually deliver (each probe
+    scans ~nprobe/2^n_planes resp. ~nprobe/n_cells of the corpus).
+    """
+    exact = cosine_topk(vectors, probes, k=k, id_col=id_col, vec_col=vec_col).cache()
+    out: dict[str, float] = {}
+    for np_ in lsh_nprobes:
+        ap = lsh_ann_topk(
+            vectors, probes, k=k, id_col=id_col, vec_col=vec_col,
+            n_planes=n_planes, dim=dim, nprobe=np_,
+        )
+        out[f"lsh_nprobe={np_}"] = round(
+            recall_at_k(exact, ap).agg(F.avg("recall")).collect()[0][0], 4
+        )
+    for np_ in ivf_nprobes:
+        ap = ivf_ann_topk(
+            vectors, probes, k=k, id_col=id_col, vec_col=vec_col,
+            n_cells=n_cells, dim=dim, nprobe=np_,
+        )
+        out[f"ivf_nprobe={np_}"] = round(
+            recall_at_k(exact, ap).agg(F.avg("recall")).collect()[0][0], 4
+        )
+    exact.unpersist()
+    return out

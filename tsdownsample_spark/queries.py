@@ -1887,13 +1887,13 @@ _WINDOW_R05 = [
     "q_minmax_x", "q_m4_x",
     # (3) new contract rows this round
     "q_anomaly_prefix", "q_minmax_jvm", "q_m4_jvm", "q_everynth_jvm",
+    "q_ann_ivf_mp",
     # (3) implementation changed this round
     "q_pack_greedy", "q_gapfill_linear",
     # (4) high-value r4-green fill
     "q_lttb_x", "q_nanminmax_x", "q_anomaly", "q_rollup_1d",
     "q_downsample_error", "q_asof_join", "q_interval_join",
     "q_compress_roundtrip", "q_stream_tiers", "q_token_tiers",
-    "q_multi_select",
 ]
 
 

@@ -415,6 +415,76 @@ SELECT probe_id, rank, neighbor_id, cos_r, bucket FROM ranked WHERE rank <= 10
 """
 
 
+def q_ann_ivf_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with MULTIPROBE (nprobe=2): each probe searches its two
+    nearest coarse cells.  Oracle-checks the multiprobe candidate
+    expansion end-to-end (cell ranking incl. the lowest-index tie rule,
+    probe-side-only explode, unchanged scoring)."""
+    from tsdownsample_spark.operators.similarity import ivf_ann_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8)
+    return ivf_ann_topk(emb, probes, k=10, n_cells=8, dim=64, seed=11, nprobe=2)
+
+
+def _oracle_ann_ivf_mp() -> str:
+    from tsdownsample_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(64, 8, 11)
+    n = len(cents)
+    dots = []
+    for c in cents:
+        arr = "[" + ",".join(f"CAST({v} AS DOUBLE)" for v in c) + "]"
+        dots.append(_DUCK_DOT.format(a="embedding", b=arr))
+    dcols = ", ".join(f"{d} AS d{i}" for i, d in enumerate(dots))
+    m = "greatest(" + ", ".join(f"d{i}" for i in range(n)) + ")"
+    cell = (
+        "CASE " + " ".join(f"WHEN d{i} = m THEN {i}" for i in range(n)) + " END"
+    )
+    # second-nearest cell: max dot over i != cell, lowest index on ties —
+    # the same (-dot, index) ascending order probe_cells_expr sorts by
+    m2 = (
+        "greatest("
+        + ", ".join(f"CASE WHEN {i} = cell THEN -1e308 ELSE d{i} END" for i in range(n))
+        + ")"
+    )
+    cell2 = (
+        "CASE "
+        + " ".join(f"WHEN {i} != cell AND d{i} = m2 THEN {i}" for i in range(n))
+        + " END"
+    )
+    return f"""
+WITH d AS (SELECT vec_id, embedding, {dcols} FROM embeddings),
+e AS (
+    SELECT vec_id, embedding, {cell} AS cell,
+           d0, d1, d2, d3, d4, d5, d6, d7
+    FROM (SELECT *, {m} AS m FROM d)
+),
+p2 AS (
+    SELECT vec_id, embedding, cell, {cell2} AS cell2
+    FROM (SELECT *, {m2} AS m2 FROM e)
+    WHERE vec_id < 8
+),
+p AS (
+    SELECT vec_id AS probe_id, embedding AS pe, cell FROM p2
+    UNION ALL
+    SELECT vec_id AS probe_id, embedding AS pe, cell2 AS cell FROM p2
+),
+scored AS (
+    SELECT p.probe_id, e.vec_id AS neighbor_id, e.cell,
+           ROUND({_duck_cos('p.pe', 'e.embedding')}, 6) AS cos_r
+    FROM p JOIN e ON e.cell = p.cell AND e.vec_id != p.probe_id
+),
+ranked AS (
+    SELECT probe_id, neighbor_id, cell, cos_r,
+           ROW_NUMBER() OVER (PARTITION BY probe_id
+                              ORDER BY cos_r DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT probe_id, rank, neighbor_id, cos_r, cell FROM ranked WHERE rank <= 10
+"""
+
+
 # ------------------------------------------------------------ tokenization
 
 _TOKENIZE = (
@@ -1122,6 +1192,7 @@ def queries() -> dict:
         "q_ann_topk": q_ann_topk,
         "q_ann_lsh": q_ann_lsh,
         "q_ann_ivf": q_ann_ivf,
+        "q_ann_ivf_mp": q_ann_ivf_mp,
         "q_embed_neardup": q_embed_neardup,
         "q_tokenize": q_tokenize,
         "q_heavy_hitters": q_heavy_hitters,
@@ -1153,6 +1224,7 @@ def oracle_sql() -> dict:
         "q_ann_topk": _ORACLE_ANN_TOPK,
         "q_ann_lsh": _oracle_ann_lsh(),
         "q_ann_ivf": _oracle_ann_ivf(),
+        "q_ann_ivf_mp": _oracle_ann_ivf_mp(),
         "q_embed_neardup": _ORACLE_EMBED_NEARDUP,
         "q_tokenize": _ORACLE_TOKENIZE,
         "q_heavy_hitters": _ORACLE_HEAVY_HITTERS,
