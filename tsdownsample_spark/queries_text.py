@@ -415,6 +415,65 @@ SELECT probe_id, rank, neighbor_id, cos_r, bucket FROM ranked WHERE rank <= 10
 """
 
 
+def q_ann_lsh_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN with 1-step MULTIPROBE (nprobe=2): each probe also searches
+    the bucket reached by flipping its smallest-|margin| hyperplane sign.
+    Oracle-checks the margin sort (+ lowest-plane tie rule) and the XOR
+    bucket derivation end-to-end."""
+    emb = _load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8)
+    return lsh_ann_topk(emb, probes, k=10, n_planes=4, dim=64, seed=7, nprobe=2)
+
+
+def _oracle_ann_lsh_mp() -> str:
+    planes = lsh_planes(64, 4, 7)
+    P = len(planes)
+    dots = []
+    for plane in planes:
+        arr = "[" + ",".join(f"CAST({v} AS DOUBLE)" for v in plane) + "]"
+        dots.append(_DUCK_DOT.format(a="embedding", b=arr))
+    dcols = ", ".join(f"{d} AS d{j}" for j, d in enumerate(dots))
+    bucket = (
+        "("
+        + " + ".join(f"CASE WHEN d{j} >= 0 THEN {1 << j} ELSE 0 END" for j in range(P))
+        + ")"
+    )
+    minabs = "least(" + ", ".join(f"abs(d{j})" for j in range(P)) + ")"
+    # smallest |margin| plane, lowest index on ties — probe_buckets_expr's
+    # array_sort((a=abs(d), j)) ascending order
+    flip = (
+        "CASE "
+        + " ".join(f"WHEN abs(d{j}) = minabs THEN {1 << j}" for j in range(P))
+        + " END"
+    )
+    return f"""
+WITH d AS (SELECT vec_id, embedding, {dcols} FROM embeddings),
+e AS (SELECT vec_id, embedding, {bucket} AS bucket, d0, d1, d2, d3 FROM d),
+p2 AS (
+    SELECT vec_id, embedding, bucket, xor(bucket, {flip}) AS bucket2
+    FROM (SELECT *, {minabs} AS minabs FROM e)
+    WHERE vec_id < 8
+),
+p AS (
+    SELECT vec_id AS probe_id, embedding AS pe, bucket FROM p2
+    UNION ALL
+    SELECT vec_id AS probe_id, embedding AS pe, bucket2 AS bucket FROM p2
+),
+scored AS (
+    SELECT p.probe_id, e.vec_id AS neighbor_id, e.bucket,
+           ROUND({_duck_cos('p.pe', 'e.embedding')}, 6) AS cos_r
+    FROM p JOIN e ON e.bucket = p.bucket AND e.vec_id != p.probe_id
+),
+ranked AS (
+    SELECT probe_id, neighbor_id, bucket, cos_r,
+           ROW_NUMBER() OVER (PARTITION BY probe_id
+                              ORDER BY cos_r DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT probe_id, rank, neighbor_id, cos_r, bucket FROM ranked WHERE rank <= 10
+"""
+
+
 def q_ann_ivf_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with MULTIPROBE (nprobe=2): each probe searches its two
     nearest coarse cells.  Oracle-checks the multiprobe candidate
@@ -1193,6 +1252,7 @@ def queries() -> dict:
         "q_ann_lsh": q_ann_lsh,
         "q_ann_ivf": q_ann_ivf,
         "q_ann_ivf_mp": q_ann_ivf_mp,
+        "q_ann_lsh_mp": q_ann_lsh_mp,
         "q_embed_neardup": q_embed_neardup,
         "q_tokenize": q_tokenize,
         "q_heavy_hitters": q_heavy_hitters,
@@ -1225,6 +1285,7 @@ def oracle_sql() -> dict:
         "q_ann_lsh": _oracle_ann_lsh(),
         "q_ann_ivf": _oracle_ann_ivf(),
         "q_ann_ivf_mp": _oracle_ann_ivf_mp(),
+        "q_ann_lsh_mp": _oracle_ann_lsh_mp(),
         "q_embed_neardup": _ORACLE_EMBED_NEARDUP,
         "q_tokenize": _ORACLE_TOKENIZE,
         "q_heavy_hitters": _ORACLE_HEAVY_HITTERS,
