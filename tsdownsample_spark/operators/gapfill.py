@@ -55,7 +55,9 @@ def gap_fill(
     if strategy not in ("null", "zero", "locf", "linear"):
         raise ValueError(f"unknown strategy {strategy!r}")
     by = list(by)
-    seq = F.sequence("_t0", "_t1", F.expr(f"INTERVAL {every}"))
+    spans = df.groupBy(*by).agg(
+        F.min(x_col).alias("_t0"), F.max(x_col).alias("_t1")
+    )
     if max_buckets is not None:
         # Step length as a DIFFERENCE of two unix_micros so the session-
         # timezone offset of the epoch literal cancels: unix_micros(base)
@@ -70,28 +72,37 @@ def gap_fill(
             (F.unix_micros(F.col("_t1")) - F.unix_micros(F.col("_t0")))
             / step_us
         ) + F.lit(1)
-        seq = F.when(n_buckets <= F.lit(int(max_buckets)), seq).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        f"gap_fill: a series' grid would exceed max_buckets="
-                        f"{int(max_buckets)} at every='{every}' (span "
-                    ),
-                    F.col("_t0").cast("string"),
-                    F.lit(" .. "),
-                    F.col("_t1").cast("string"),
-                    F.lit(
-                        "); a single corrupt timestamp stretches the span — "
-                        "clean the series or raise max_buckets"
-                    ),
-                )
+        # The guard is a standalone FILTER on the per-series span rows, not
+        # a CASE wrapped around the sequence or its end bound: wrapping the
+        # generator's input makes it (and the exploded x column) NULLABLE,
+        # which taxes every downstream grid row — measured 1.39x on
+        # q_gapfill_linear for explode(CASE..sequence..) and still 1.20x
+        # for a guarded end bound, in calm interleaved A/Bs
+        # (BENCH/ab_r5_regressions*.json).  A filter evaluates once per
+        # SERIES, leaves the generator/join-key types untouched, and cannot
+        # be pruned (the predicate raises), keeping failure semantics
+        # in-plan and identical.
+        spans = spans.where(
+            F.when(n_buckets <= F.lit(int(max_buckets)), F.lit(True)).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"gap_fill: a series' grid would exceed max_buckets="
+                            f"{int(max_buckets)} at every='{every}' (span "
+                        ),
+                        F.col("_t0").cast("string"),
+                        F.lit(" .. "),
+                        F.col("_t1").cast("string"),
+                        F.lit(
+                            "); a single corrupt timestamp stretches the span — "
+                            "clean the series or raise max_buckets"
+                        ),
+                    ).cast("string")
+                ).cast("boolean")
             )
         )
-    grid = (
-        df.groupBy(*by)
-        .agg(F.min(x_col).alias("_t0"), F.max(x_col).alias("_t1"))
-        .select(*by, F.explode(seq).alias(x_col))
-    )
+    seq = F.sequence("_t0", "_t1", F.expr(f"INTERVAL {every}"))
+    grid = spans.select(*by, F.explode(seq).alias(x_col))
     filled = grid.join(df, on=by + [x_col], how="left").withColumn(
         "is_gap", F.col(value_cols[0]).isNull()
     )
