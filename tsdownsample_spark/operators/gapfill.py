@@ -75,13 +75,13 @@ def gap_fill(
         # The guard is a standalone FILTER on the per-series span rows, not
         # a CASE wrapped around the sequence or its end bound: wrapping the
         # generator's input makes it (and the exploded x column) NULLABLE,
-        # which taxes every downstream grid row — measured 1.39x on
-        # q_gapfill_linear for explode(CASE..sequence..) and still 1.20x
-        # for a guarded end bound, in calm interleaved A/Bs
-        # (BENCH/ab_r5_regressions*.json).  A filter evaluates once per
+        # taxing every downstream grid row.  A filter evaluates once per
         # SERIES, leaves the generator/join-key types untouched, and cannot
         # be pruned (the predicate raises), keeping failure semantics
-        # in-plan and identical.
+        # in-plan and identical.  Measured cost of this form: 1.003x vs no
+        # guard in a randomized-order interleaved A/B — i.e. free (earlier
+        # 1.2-1.4x readings were fixed-order harness bias; see
+        # BENCH/BASELINE.md "Post-fix adjudication").
         spans = spans.where(
             F.when(n_buckets <= F.lit(int(max_buckets)), F.lit(True)).otherwise(
                 F.raise_error(
