@@ -61,8 +61,15 @@ def main() -> None:
     }
     walls: dict[str, list[float]] = {v: [] for v in variants}
     probes = {"start": memory_bandwidth_ceiling()}
+    # House rule (BENCH/BASELINE.md "Post-fix adjudication"): randomize the
+    # within-round order; fixed order taxes the first variant on short runs.
+    import random as _random
+
+    _random.seed(20260818)
     for rnd in range(ROUNDS + 1):  # round 0 = warm-up
-        for name, fn in variants.items():
+        _order = list(variants.items())
+        _random.shuffle(_order)
+        for name, fn in _order:
             t0 = time.time()
             fn()
             w = time.time() - t0

@@ -117,8 +117,16 @@ def main() -> None:
 
     walls: dict[str, list[float]] = {v: [] for v in variants}
     probes = {"start": probe0}
+    # House rule (BENCH/BASELINE.md "Post-fix adjudication"): RANDOMIZE the
+    # within-round order — a fixed order taxes the first variant ~1.2x on
+    # short queries, and min-of-rounds cannot cancel a fixed position cost.
+    import random as _random
+
+    _random.seed(20260818)
     for rnd in range(ROUNDS + 1):  # round 0 = warm-up, discarded
-        for name, fn in variants.items():
+        _order = list(variants.items())
+        _random.shuffle(_order)
+        for name, fn in _order:
             t0 = time.time()
             fn().write.format("noop").mode("overwrite").save()
             w = time.time() - t0

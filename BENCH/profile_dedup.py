@@ -88,14 +88,20 @@ def main() -> None:
     walls: dict[str, list[float]] = {
         f"{h}.{s}": [] for h in fams for s in fams[h]
     }
+    # House rule (BENCH/BASELINE.md "Post-fix adjudication"): randomize the
+    # within-round (hash, stage) order — fixed order taxes early positions.
+    import random as _random
+
+    _random.seed(20260818)
     for rnd in range(ROUNDS + 1):
-        for h, st in fams.items():
-            for s, fn in st.items():
-                t0 = time.time()
-                fn()
-                w = time.time() - t0
-                if rnd > 0:
-                    walls[f"{h}.{s}"].append(round(w, 3))
+        _cells = [(h, s, fn) for h, st in fams.items() for s, fn in st.items()]
+        _random.shuffle(_cells)
+        for h, s, fn in _cells:
+            t0 = time.time()
+            fn()
+            w = time.time() - t0
+            if rnd > 0:
+                walls[f"{h}.{s}"].append(round(w, 3))
     for c in caches:
         c.unpersist()
     spark.stop()

@@ -238,8 +238,18 @@ def main() -> None:
     walls: dict[str, dict[int, list[float]]] = {
         wl: {c: [] for c in LEVELS} for wl in WORKLOADS
     }
+    # House rule (BENCH/BASELINE.md "Post-fix adjudication"): randomize the
+    # within-round LEVEL order so no level systematically samples the same
+    # position of a contention drift (each level gets a fresh session, so
+    # the short-query first-position JVM tax does not apply here, but drift
+    # within a round does).
+    import random as _random
+
+    _random.seed(20260818)
     for rnd in range(ROUNDS + 1):  # round 0 = warm-up, discarded
-        for cores in LEVELS:
+        _lv = list(LEVELS)
+        _random.shuffle(_lv)
+        for cores in _lv:
             spark = make_session(cores)
             for wl in WORKLOADS:
                 t0 = time.time()
