@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from tsdownsample_spark.operators.dedup import (
     dedup_exact,
+    duplicate_spans,
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -509,3 +510,66 @@ def test_repetition_stats_no_shuffle(spark):
     df = spark.createDataFrame([("d", "a b c")], "doc_id string, text string")
     plan = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # narrow map, zero shuffle
+
+
+class TestDuplicateSpans:
+    """Substring-level dedup: aligned window hashing + global count
+    (operators/dedup.duplicate_spans; oracle twin = q_dup_spans)."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+
+    def test_cross_doc_boilerplate_detected_uniques_silent(self, spark):
+        boiler = list(range(1000, 1032))  # 32 tokens = 3 aligned 16-windows
+        rows = [
+            ("a", boiler + [1, 2, 3, 4, 5, 6, 7, 8]),
+            ("b", [9, 9, 9, 9, 9, 8, 8, 8] + boiler),  # 8-aligned offset
+            ("u1", list(range(1, 60))),  # unique
+            ("u2", list(range(500, 580))),  # unique
+        ]
+        out = duplicate_spans(self._df(spark, rows), window=16, stride=8).collect()
+        docs = {r.doc_id for r in out}
+        assert docs == {"a", "b"}
+        # windows at content offsets 0/8/16 of the boilerplate, each seen
+        # once per doc -> n_dup == 2, starts shifted by the 8-token prefix
+        a = sorted(r.start for r in out if r.doc_id == "a")
+        b = sorted(r.start for r in out if r.doc_id == "b")
+        assert a == [0, 8, 16] and b == [8, 16, 24]
+        assert all(r.n_dup == 2 for r in out)
+
+    def test_intra_doc_repeat_detected(self, spark):
+        chunk = list(range(70, 86))  # exactly one window
+        rows = [("solo", chunk + [1, 2, 3, 4, 5, 6, 7, 8] + chunk)]
+        out = duplicate_spans(self._df(spark, rows), window=16, stride=8).collect()
+        assert sorted(r.start for r in out) == [0, 24]
+        assert all(r.n_dup == 2 for r in out)
+
+    def test_unaligned_duplicate_not_detected(self, spark):
+        # the same 16 tokens at offsets 0 and 3: stride-8 alignment means
+        # the windows sample DIFFERENT content offsets -> no match (the
+        # documented recall/cost dial; stride=1 recovers it)
+        chunk = list(range(70, 86))
+        rows = [("a", chunk + [1, 2]), ("b", [5, 5, 5] + chunk + [1])]
+        assert duplicate_spans(self._df(spark, rows), window=16, stride=8).count() == 0
+        assert (
+            duplicate_spans(self._df(spark, rows), window=16, stride=1).count() > 0
+        )
+
+    def test_null_and_short_rows_skipped(self, spark):
+        rows = [("n", None), ("s", [1, 2, 3]), ("t", list(range(16)))]
+        assert duplicate_spans(self._df(spark, rows), window=16, stride=8).count() == 0
+
+    def test_min_count_threshold(self, spark):
+        w = list(range(16))
+        rows = [("a", w), ("b", w), ("c", w)]
+        df = self._df(spark, rows)
+        assert duplicate_spans(df, window=16, stride=8, min_count=3).count() == 3
+        assert duplicate_spans(df, window=16, stride=8, min_count=4).count() == 0
+
+    def test_plan_is_python_free(self, spark):
+        df = self._df(spark, [("a", list(range(32)))])
+        plan = (
+            duplicate_spans(df).  # noqa: B950
+            _jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

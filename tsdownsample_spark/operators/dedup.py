@@ -331,3 +331,64 @@ def cross_contamination(
         .agg(F.count("*").cast("long").alias("n_common"))
         .where(F.col("n_common") >= min_overlap)
     )
+
+
+def duplicate_spans(
+    toks: DataFrame,
+    window: int = 16,
+    stride: int = 8,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicated token-window detection (substring-level dedup).
+
+    Doc-level dedup (MinHash/SimHash above) misses the dominant failure
+    mode of web corpora: the SAME boilerplate span (license headers,
+    navigation chrome, templated paragraphs) embedded in otherwise-unique
+    documents.  The standard remedy (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499) is
+    substring-level: find every ``window``-token span whose exact content
+    occurs ``min_count``+ times anywhere in the corpus (within OR across
+    documents), so callers can cut or down-weight those spans.
+
+    Returns one row per duplicated aligned span:
+    ``(<id_col>, start bigint, win_hash string, n_dup bigint)`` where
+    ``start`` is the 0-based token offset (a multiple of ``stride``) and
+    ``n_dup`` the window's total occurrence count.  Detection is
+    stride-ALIGNED: two occurrences match when their contents agree at
+    offsets congruent mod ``stride`` — the standard recall/cost dial
+    (stride=1 = full suffix-style recall at window x cost; stride=window
+    = disjoint blocks).
+
+    Scale shape: the window hashes are computed INSIDE one expression per
+    document row and only ``(start, hash)`` pairs are exploded — the token
+    array itself is never replicated per span row (at 5k tokens/doc a
+    naive explode-then-slice would carry ~n/stride copies of the array
+    through the Generate).  The count is a map-side-combinable groupBy on
+    the hash; the join back is hash-keyed on the aggregate's own
+    partitioning, so total shuffle is one pass of (hash) pairs plus the
+    duplicated subset — never tokens.  At 100 TB this is the published
+    shape: shuffle proportional to window count, group sizes bounded by
+    duplicate multiplicity.
+    """
+    if window <= 0 or stride <= 0:
+        raise ValueError(f"window and stride must be positive, got {window}, {stride}")
+    t = tokens_col
+    pairs = F.expr(
+        f"transform(sequence(0, size({t}) - {window}, {stride}), s -> "
+        f"struct(CAST(s AS BIGINT) AS start, "
+        f"md5(concat_ws(',', transform(slice({t}, s + 1, {window}), "
+        f"x -> CAST(x AS STRING)))) AS win_hash))"
+    )
+    spans = (
+        toks.where(F.col(t).isNotNull() & (F.size(t) >= window))
+        .select(F.col(id_col), F.explode(pairs).alias("p"))
+        .select(id_col, F.col("p.start").alias("start"), F.col("p.win_hash").alias("win_hash"))
+    )
+    counts = (
+        spans.groupBy("win_hash")
+        .agg(F.count("*").alias("n_dup"))
+        .where(F.col("n_dup") >= min_count)
+    )
+    return spans.join(counts, "win_hash").select(id_col, "start", "win_hash", "n_dup")

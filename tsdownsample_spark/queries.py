@@ -1066,6 +1066,101 @@ WHERE tokens IS NOT NULL
 """
 
 
+_DUP_TT_DOCS, _DUP_TT_SEED = 360, 20260818
+
+
+def dup_token_table_path(n: int = _DUP_TT_DOCS, seed: int = _DUP_TT_SEED) -> str:
+    """input_hint-shaped token table with PLANTED duplicate spans (a random
+    token table has none): a 48-token boilerplate block shared by every 7th
+    doc and a 32-token chunk repeated TWICE inside every 11th doc, both
+    inserted at stride(8)-aligned offsets so aligned-window detection sees
+    them.  Everything else is unique random tokens (the no-false-positive
+    mass), plus one NULL row and docs shorter than one window."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"/tmp/tsds_dup_token_table_{n}_{seed}.parquet"
+    if not os.path.exists(path):
+        rng = np.random.default_rng(seed)
+        boiler = rng.integers(0, 50_257, size=48).astype(np.int32)
+        chunk = rng.integers(0, 50_257, size=32).astype(np.int32)
+        srcs = np.array(["web", "books", "code", "wiki"])
+        ids, toks, ntoks, sources = [], [], [], []
+
+        def rand(m):
+            return rng.integers(0, 50_257, size=m).astype(np.int32)
+
+        for i in range(n):
+            ids.append(f"d{i:06d}")
+            sources.append(srcs[rng.choice(4, p=[0.5, 0.25, 0.15, 0.1])])
+            if i == 23:
+                toks.append(None)
+                ntoks.append(0)
+                continue
+            if i % 13 == 5:  # shorter than one window
+                t = rand(int(rng.integers(1, 16)))
+            else:
+                parts = [rand(8 * int(rng.integers(0, 12)))]
+                if i % 7 == 0:
+                    parts += [boiler]
+                if i % 11 == 0:
+                    parts += [chunk, rand(8 * int(rng.integers(0, 6))), chunk]
+                parts += [rand(int(rng.integers(10, 700)))]
+                t = np.concatenate(parts)
+            toks.append(t)
+            ntoks.append(len(t))
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "tokens": pa.array(
+                    [None if t is None else t for t in toks],
+                    type=pa.list_(pa.int32()),
+                ),
+                "n_tok": pa.array(np.asarray(ntoks, dtype=np.int32)),
+                "source": pa.array(sources),
+            }
+        )
+        pq.write_table(tbl, path + ".tmp", row_group_size=41)
+        os.replace(path + ".tmp", path)
+    return path
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup (operators/dedup.duplicate_spans): every
+    16-token stride-8 window whose exact content occurs >= 2 times anywhere
+    in the corpus — the boilerplate/template detection pass doc-level
+    MinHash cannot do (Lee et al. 2022).  Pure SQL expressions, no Python in
+    the plan; the oracle replays the identical md5-of-window construction
+    over the same parquet bytes in DuckDB."""
+    from tsdownsample_spark.operators.dedup import duplicate_spans
+
+    df = spark.read.parquet(dup_token_table_path())
+    return duplicate_spans(df, window=16, stride=8)
+
+
+def _oracle_dup_spans(window: int = 16, stride: int = 8) -> str:
+    path = dup_token_table_path()
+    return f"""
+WITH spans AS (
+  SELECT doc_id, CAST(u.s AS BIGINT) AS start,
+         md5(array_to_string(
+           tokens[CAST(u.s AS INT) + 1 : CAST(u.s AS INT) + {window}], ','
+         )) AS win_hash
+  FROM read_parquet('{path}'),
+       UNNEST(range(0, len(tokens) - {window} + 1, {stride})) AS u(s)
+  WHERE tokens IS NOT NULL AND len(tokens) >= {window}
+)
+SELECT doc_id, start, win_hash, n_dup FROM (
+  SELECT doc_id, start, win_hash,
+         COUNT(*) OVER (PARTITION BY win_hash) AS n_dup
+  FROM spans
+) WHERE n_dup >= 2
+"""
+
+
 # --------------------------------------------------- rollup / gapfill / codec
 
 
@@ -1887,13 +1982,14 @@ _WINDOW_R05 = [
     "q_minmax_x", "q_m4_x",
     # (3) new contract rows this round
     "q_anomaly_prefix", "q_minmax_jvm", "q_m4_jvm", "q_everynth_jvm",
-    "q_ann_ivf_mp",
+    "q_ann_ivf_mp", "q_dup_spans",
     # (3) implementation changed this round
     "q_pack_greedy", "q_gapfill_linear",
-    # (4) high-value r4-green fill
+    # (4) high-value r4-green fill (q_token_tiers rotated to the tail to
+    # make room for q_dup_spans; its cascade twin q_stream_tiers stays)
     "q_lttb_x", "q_nanminmax_x", "q_anomaly", "q_rollup_1d",
     "q_downsample_error", "q_asof_join", "q_interval_join",
-    "q_compress_roundtrip", "q_stream_tiers", "q_token_tiers",
+    "q_compress_roundtrip", "q_stream_tiers",
 ]
 
 
@@ -1963,6 +2059,7 @@ def queries() -> dict:
         "q_token_tiers": q_token_tiers,
         "q_stream_tiers": q_stream_tiers,
         "q_token_compress_roundtrip": q_token_compress_roundtrip,
+        "q_dup_spans": q_dup_spans,
         "q_bigram_lm": queries_text.q_bigram_lm,
     }
     # --- LLM-data-pipeline queries (26 text + 1 media)
@@ -2035,6 +2132,7 @@ def oracle_sql() -> dict:
         "q_token_tiers": _oracle_scan_downsample(16, token_table_path()),
         "q_stream_tiers": _oracle_scan_downsample(8, token_table_path()),
         "q_token_compress_roundtrip": _oracle_token_compress(),
+        "q_dup_spans": _oracle_dup_spans(),
     }
     base.update(queries_text.oracle_sql())
     base.update(queries_media.oracle_sql())
