@@ -573,3 +573,58 @@ class TestDuplicateSpans:
             _jdf.queryExecution().executedPlan().toString()
         )
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestMergeDuplicateSpans:
+    def _spans(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id string, start long")
+
+    def test_overlapping_and_touching_merge(self, spark):
+        from tsdownsample_spark.operators.dedup import merge_duplicate_spans
+
+        # [0,16)+[8,24) overlap; [24,40) touches 24 -> one [0,40) range;
+        # [56,72) is disjoint
+        spans = self._spans(spark, [("a", 0), ("a", 8), ("a", 24), ("a", 56)])
+        got = sorted(
+            (r.span_start, r.span_end, r.n_windows)
+            for r in merge_duplicate_spans(spans, window=16).collect()
+        )
+        assert got == [(0, 40, 3), (56, 72, 1)]
+
+    def test_contained_window_does_not_split(self, spark):
+        from tsdownsample_spark.operators.dedup import merge_duplicate_spans
+
+        # wide coverage via many starts: [0,16),[8,24),[16,32) then a gap
+        # window whose start equals a PREVIOUS end but not the running max
+        spans = self._spans(spark, [("a", 0), ("a", 8), ("a", 16), ("a", 48)])
+        got = sorted(
+            (r.span_start, r.span_end) for r in
+            merge_duplicate_spans(spans, window=16).collect()
+        )
+        assert got == [(0, 32), (48, 64)]
+
+    def test_per_doc_independence(self, spark):
+        from tsdownsample_spark.operators.dedup import merge_duplicate_spans
+
+        spans = self._spans(spark, [("a", 0), ("b", 8)])
+        got = {(r.doc_id, r.span_start, r.span_end)
+               for r in merge_duplicate_spans(spans, window=16).collect()}
+        assert got == {("a", 0, 16), ("b", 8, 24)}
+
+    def test_composes_with_duplicate_spans(self, spark):
+        from tsdownsample_spark.operators.dedup import (
+            duplicate_spans,
+            merge_duplicate_spans,
+        )
+
+        boiler = list(range(1000, 1048))  # 48 tokens
+        df = spark.createDataFrame(
+            [("a", boiler + [1, 2, 3, 4, 5, 6, 7, 8]),
+             ("b", [7, 7, 7, 7, 7, 7, 7, 7] + boiler)],
+            "doc_id string, tokens array<int>",
+        )
+        out = merge_duplicate_spans(duplicate_spans(df, window=16, stride=8), window=16)
+        got = {(r.doc_id, r.span_start, r.span_end, r.n_windows) for r in out.collect()}
+        # aligned windows at content offsets 0/8/16/24/32 of the 48-token
+        # block -> one merged range covering the whole block in each doc
+        assert got == {("a", 0, 48, 5), ("b", 8, 56, 5)}

@@ -392,3 +392,48 @@ def duplicate_spans(
         .where(F.col("n_dup") >= min_count)
     )
     return spans.join(counts, "win_hash").select(id_col, "start", "win_hash", "n_dup")
+
+
+def merge_duplicate_spans(
+    spans: DataFrame,
+    window: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Collapse ``duplicate_spans`` hits into maximal per-document cut
+    ranges: overlapping or touching ``[start, start+window)`` intervals
+    merge into one ``(<id_col>, span_start, span_end, n_windows)`` row —
+    the ranges a curation pass actually removes or down-weights (cutting
+    per-window would shred documents at every stride boundary).
+
+    Classic interval merge as ONE window pass per document: a window
+    opens a new range iff its start lies past the running maximum end of
+    all earlier windows (lag of a running max — no self-join, no explode).
+    State per task is one row; the shuffle key is the document, so at
+    corpus scale this is a single exchange over the (already small)
+    duplicated-span subset.
+    """
+    from pyspark.sql import Window as W
+
+    w_ord = W.partitionBy(id_col).orderBy("start")
+    marked = (
+        spans.select(id_col, "start")
+        .withColumn("_end", F.col("start") + F.lit(int(window)))
+        .withColumn(
+            "_prev_max_end",
+            F.max("_end").over(w_ord.rowsBetween(W.unboundedPreceding, -1)),
+        )
+        .withColumn(
+            "_new",
+            (F.col("_prev_max_end").isNull() | (F.col("start") > F.col("_prev_max_end"))).cast("int"),
+        )
+        .withColumn("_grp", F.sum("_new").over(w_ord))
+    )
+    return (
+        marked.groupBy(id_col, "_grp")
+        .agg(
+            F.min("start").alias("span_start"),
+            F.max("_end").alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select(id_col, "span_start", "span_end", "n_windows")
+    )

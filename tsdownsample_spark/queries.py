@@ -1141,6 +1141,55 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(df, window=16, stride=8)
 
 
+def q_dup_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal per-document cut ranges from the duplicated-window hits
+    (operators/dedup.merge_duplicate_spans): overlapping/touching 16-token
+    windows collapse into one (span_start, span_end) range — the unit a
+    curation pass actually removes.  One window pass per doc, no self-join;
+    the oracle replays the same running-max interval merge in SQL."""
+    from tsdownsample_spark.operators.dedup import (
+        duplicate_spans,
+        merge_duplicate_spans,
+    )
+
+    df = spark.read.parquet(dup_token_table_path())
+    return merge_duplicate_spans(duplicate_spans(df, window=16, stride=8), window=16)
+
+
+def _oracle_dup_span_merge(window: int = 16, stride: int = 8) -> str:
+    path = dup_token_table_path()
+    return f"""
+WITH spans AS (
+  SELECT doc_id, CAST(u.s AS BIGINT) AS start,
+         md5(array_to_string(
+           tokens[CAST(u.s AS INT) + 1 : CAST(u.s AS INT) + {window}], ','
+         )) AS win_hash
+  FROM read_parquet('{path}'),
+       UNNEST(range(0, len(tokens) - {window} + 1, {stride})) AS u(s)
+  WHERE tokens IS NOT NULL AND len(tokens) >= {window}
+), dup AS (
+  SELECT doc_id, start FROM (
+    SELECT doc_id, start, COUNT(*) OVER (PARTITION BY win_hash) AS n_dup
+    FROM spans
+  ) WHERE n_dup >= 2
+), m AS (
+  SELECT doc_id, start, start + {window} AS e,
+         MAX(start + {window}) OVER (
+           PARTITION BY doc_id ORDER BY start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM dup
+), g AS (
+  SELECT doc_id, start, e,
+         SUM(CASE WHEN prev_max IS NULL OR start > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY start) AS grp
+  FROM m
+)
+SELECT doc_id, MIN(start) AS span_start, MAX(e) AS span_end,
+       COUNT(*) AS n_windows
+FROM g GROUP BY doc_id, grp
+"""
+
+
 def _oracle_dup_spans(window: int = 16, stride: int = 8) -> str:
     path = dup_token_table_path()
     return f"""
@@ -2060,6 +2109,7 @@ def queries() -> dict:
         "q_stream_tiers": q_stream_tiers,
         "q_token_compress_roundtrip": q_token_compress_roundtrip,
         "q_dup_spans": q_dup_spans,
+        "q_dup_span_merge": q_dup_span_merge,
         "q_bigram_lm": queries_text.q_bigram_lm,
     }
     # --- LLM-data-pipeline queries (26 text + 1 media)
@@ -2133,6 +2183,7 @@ def oracle_sql() -> dict:
         "q_stream_tiers": _oracle_scan_downsample(8, token_table_path()),
         "q_token_compress_roundtrip": _oracle_token_compress(),
         "q_dup_spans": _oracle_dup_spans(),
+        "q_dup_span_merge": _oracle_dup_span_merge(),
     }
     base.update(queries_text.oracle_sql())
     base.update(queries_media.oracle_sql())
