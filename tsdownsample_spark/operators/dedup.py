@@ -333,6 +333,36 @@ def cross_contamination(
     )
 
 
+def window_spans(
+    toks: DataFrame,
+    window: int = 16,
+    stride: int = 8,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """One ``(<id_col>, start bigint, win_hash string)`` row per aligned
+    ``window``-token span — the shared derivation under ``duplicate_spans``
+    (batch) and ``streaming/stream_spans`` (ingest twin).  The hashes are
+    computed INSIDE one expression per document row so only (start, hash)
+    pairs explode; the token array never replicates through the Generate."""
+    if window <= 0 or stride <= 0:
+        raise ValueError(f"window and stride must be positive, got {window}, {stride}")
+    t = tokens_col
+    pairs = F.expr(
+        f"transform(sequence(0, size({t}) - {window}, {stride}), s -> "
+        f"struct(CAST(s AS BIGINT) AS start, "
+        f"md5(concat_ws(',', transform(slice({t}, s + 1, {window}), "
+        f"x -> CAST(x AS STRING)))) AS win_hash))"
+    )
+    return (
+        toks.where(F.col(t).isNotNull() & (F.size(t) >= window))
+        .select(F.col(id_col), F.explode(pairs).alias("p"))
+        .select(
+            id_col, F.col("p.start").alias("start"), F.col("p.win_hash").alias("win_hash")
+        )
+    )
+
+
 def duplicate_spans(
     toks: DataFrame,
     window: int = 16,
@@ -372,19 +402,8 @@ def duplicate_spans(
     shape: shuffle proportional to window count, group sizes bounded by
     duplicate multiplicity.
     """
-    if window <= 0 or stride <= 0:
-        raise ValueError(f"window and stride must be positive, got {window}, {stride}")
-    t = tokens_col
-    pairs = F.expr(
-        f"transform(sequence(0, size({t}) - {window}, {stride}), s -> "
-        f"struct(CAST(s AS BIGINT) AS start, "
-        f"md5(concat_ws(',', transform(slice({t}, s + 1, {window}), "
-        f"x -> CAST(x AS STRING)))) AS win_hash))"
-    )
-    spans = (
-        toks.where(F.col(t).isNotNull() & (F.size(t) >= window))
-        .select(F.col(id_col), F.explode(pairs).alias("p"))
-        .select(id_col, F.col("p.start").alias("start"), F.col("p.win_hash").alias("win_hash"))
+    spans = window_spans(
+        toks, window=window, stride=stride, id_col=id_col, tokens_col=tokens_col
     )
     counts = (
         spans.groupBy("win_hash")
