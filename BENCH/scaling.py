@@ -39,8 +39,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ROUNDS = int(os.environ.get("BENCH_ROUNDS", "3"))
 LEVELS = [int(x) for x in os.environ.get("BENCH_LEVELS", "2,8,32").split(",")]
-# Comma-separated subset of {downsample,pipeline,dedup,window} — lets a
-# single workload's ladder re-run calm without paying for the other three.
+# Comma-separated subset of {downsample,pipeline,dedup,window,spans} —
+# lets a single workload's ladder re-run calm without paying for the rest.
 WORKLOADS = [
     w
     for w in os.environ.get(
@@ -179,6 +179,55 @@ def pipeline_job(spark, path, out_root):
         prev = table
 
 
+SPANS_DOCS = int(os.environ.get("BENCH_SPANS_DOCS", "6000"))
+SPANS_NTOK = int(os.environ.get("BENCH_SPANS_NTOK", "2000"))
+
+
+def spans_fixture_path() -> str:
+    """Deterministic token table with ~10% planted boilerplate for the
+    duplicate-span workload (random tokens alone have no duplicates to
+    count, which would make the groupBy degenerate)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"/tmp/tsds_scale_spans_{SPANS_DOCS}_{SPANS_NTOK}.parquet"
+    if not os.path.exists(path):
+        rng = np.random.default_rng(77)
+        boiler = rng.integers(0, 50_257, size=64).astype(np.int32)
+        ids, toks = [], []
+        for i in range(SPANS_DOCS):
+            ids.append(f"s{i:06d}")
+            t = rng.integers(0, 50_257, size=SPANS_NTOK).astype(np.int32)
+            if i % 10 == 0:
+                o = 8 * int(rng.integers(0, (SPANS_NTOK - 64) // 8))
+                t[o : o + 64] = boiler
+            toks.append(t)
+        tbl = pa.table(
+            {"doc_id": pa.array(ids), "tokens": pa.array(toks, type=pa.list_(pa.int32()))}
+        )
+        pq.write_table(tbl, path + ".tmp")
+        os.replace(path + ".tmp", path)
+    return path
+
+
+def spans_job(spark, path):
+    """Substring-level dedup (operators/dedup.duplicate_spans): the
+    md5-per-aligned-window derivation is a narrow map (CPU-bound, scales
+    with cores once rows are spread), the count a map-side-combinable
+    groupBy on the hash, the join back hash-keyed — the published
+    exact-substring dedup shape."""
+    from pyspark.sql import functions as F
+
+    from tsdownsample_spark.operators.dedup import duplicate_spans
+
+    cores = int(spark.sparkContext.defaultParallelism)
+    toks = spark.read.parquet(path).repartition(4 * cores)
+    duplicate_spans(toks, window=16, stride=8).select(
+        F.count("*"), F.sum("n_dup")
+    ).collect()
+
+
 def window_job(spark, path):
     """Rolling z-score over 10^4 series: one shuffle on series_key, then a
     ROWS window per series — scaling across cores == scaling across
@@ -234,6 +283,7 @@ def main() -> None:
         ),
         "dedup": lambda spark, cores: dedup_job(spark, doc_path),
         "window": lambda spark, cores: window_job(spark, ser_path),
+        "spans": lambda spark, cores: spans_job(spark, spans_fixture_path()),
     }
     walls: dict[str, dict[int, list[float]]] = {
         wl: {c: [] for c in LEVELS} for wl in WORKLOADS
@@ -271,6 +321,8 @@ def main() -> None:
                 "pipeline": total_points + DOCS * (1024 + 256),
                 "dedup": DEDUP_DOCS,
                 "window": ser_rows,
+                # work unit = aligned windows hashed
+                "spans": SPANS_DOCS * ((SPANS_NTOK - 16) // 8 + 1),
             }[wl]
             levels[str(cores)] = {
                 "wall_s_min": wmin,
@@ -300,7 +352,11 @@ def main() -> None:
 
     here = os.path.dirname(os.path.abspath(__file__))
     # subset runs must not clobber the full four-workload record
-    name = "scaling.json" if len(WORKLOADS) == 4 else "scaling_partial.json"
+    name = (
+        "scaling.json"
+        if set(WORKLOADS) >= {"downsample", "pipeline", "dedup", "window"}
+        else "scaling_partial.json"
+    )
     with open(os.path.join(here, name), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
