@@ -395,22 +395,23 @@ def duplicate_spans(
     document row and only ``(start, hash)`` pairs are exploded — the token
     array itself is never replicated per span row (at 5k tokens/doc a
     naive explode-then-slice would carry ~n/stride copies of the array
-    through the Generate).  The count is a map-side-combinable groupBy on
-    the hash; the join back is hash-keyed on the aggregate's own
-    partitioning, so total shuffle is one pass of (hash) pairs plus the
-    duplicated subset — never tokens.  At 100 TB this is the published
-    shape: shuffle proportional to window count, group sizes bounded by
-    duplicate multiplicity.
+    through the Generate).  The count is ONE window over the hash — the
+    same no-join shape as :func:`dedup_exact`, per-hash state bounded by
+    duplicate multiplicity, never corpus size.  A groupBy + join-back form
+    was measured 1.8x SLOWER (BENCH/ab_dup_spans_form.json): the probe
+    side re-derives every span's md5, doubling the dominant hashing work,
+    while the window form derives once and pays only the hash-keyed
+    exchange + sort.  At 100 TB this is the published shape: shuffle
+    proportional to window count.
     """
+    from pyspark.sql import Window as W
+
     spans = window_spans(
         toks, window=window, stride=stride, id_col=id_col, tokens_col=tokens_col
     )
-    counts = (
-        spans.groupBy("win_hash")
-        .agg(F.count("*").alias("n_dup"))
-        .where(F.col("n_dup") >= min_count)
-    )
-    return spans.join(counts, "win_hash").select(id_col, "start", "win_hash", "n_dup")
+    return spans.withColumn(
+        "n_dup", F.count("*").over(W.partitionBy("win_hash"))
+    ).where(F.col("n_dup") >= min_count)
 
 
 def merge_duplicate_spans(
