@@ -179,7 +179,7 @@ def pipeline_job(spark, path, out_root):
         prev = table
 
 
-SPANS_DOCS = int(os.environ.get("BENCH_SPANS_DOCS", "6000"))
+SPANS_DOCS = int(os.environ.get("BENCH_SPANS_DOCS", "16000"))
 SPANS_NTOK = int(os.environ.get("BENCH_SPANS_NTOK", "2000"))
 
 
