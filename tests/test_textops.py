@@ -628,3 +628,69 @@ class TestMergeDuplicateSpans:
         # aligned windows at content offsets 0/8/16/24/32 of the 48-token
         # block -> one merged range covering the whole block in each doc
         assert got == {("a", 0, 48, 5), ("b", 8, 56, 5)}
+
+
+class TestSpanCuts:
+    """Keep-first policy + token-array surgery
+    (operators/dedup.cuttable_duplicate_spans / apply_span_cuts;
+    oracle twin = q_dup_span_cut)."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+
+    def _cut(self, spark, rows, **kw):
+        from tsdownsample_spark.operators.dedup import (
+            apply_span_cuts,
+            cuttable_duplicate_spans,
+            duplicate_spans,
+            merge_duplicate_spans,
+        )
+
+        df = self._df(spark, rows)
+        spans = duplicate_spans(df, window=16, stride=8, **kw)
+        cuts = merge_duplicate_spans(cuttable_duplicate_spans(spans), window=16)
+        out = apply_span_cuts(df, cuts)
+        return {r.doc_id: (r.tokens_clean, r.n_tok_clean, r.n_cut)
+                for r in out.collect()}
+
+    def test_keep_first_retains_one_copy(self, spark):
+        boiler = list(range(1000, 1016))
+        tail_a = [1, 2, 3, 4, 5, 6, 7, 8] * 2
+        tail_b = [9, 10, 11, 12, 13, 14, 15, 16] * 2
+        got = self._cut(spark, [("a", boiler + tail_a), ("b", boiler + tail_b)])
+        # doc "a" sorts first -> keeps the boilerplate; "b" loses it
+        assert got["a"] == (boiler + tail_a, 32, 0)
+        assert got["b"] == (tail_b, 16, 16)
+
+    def test_within_doc_second_occurrence_cut(self, spark):
+        block = list(range(2000, 2016))
+        mid = [1, 2, 3, 4, 5, 6, 7, 8]
+        rows = [("a", block + mid + block)]
+        got = self._cut(spark, rows)
+        assert got["a"] == (block + mid, 24, 16)
+
+    def test_no_dups_passthrough(self, spark):
+        rows = [("a", list(range(40))), ("b", list(range(500, 540)))]
+        got = self._cut(spark, rows)
+        assert got["a"] == (list(range(40)), 40, 0)
+        assert got["b"] == (list(range(500, 540)), 40, 0)
+
+    def test_null_tokens_stay_null(self, spark):
+        rows = [("a", None), ("b", list(range(2000, 2016)) * 2)]
+        got = self._cut(spark, rows)
+        assert got["a"] == (None, None, None)
+        # within-doc duplicate at aligned offsets 0 and 16: first kept
+        assert got["b"][2] == 16
+
+    def test_cut_plan_is_python_free(self, spark):
+        from tsdownsample_spark.operators.dedup import apply_span_cuts
+
+        toks = self._df(spark, [("a", list(range(32)))])
+        cuts = spark.createDataFrame(
+            [("a", 0, 16)], "doc_id string, span_start long, span_end long"
+        )
+        plan = (
+            apply_span_cuts(toks, cuts)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -457,3 +457,187 @@ def merge_duplicate_spans(
         )
         .select(id_col, "span_start", "span_end", "n_windows")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over an undirected pair list, as alternating
+    large-star / small-star rounds (Kiveris et al. 2014, "Connected
+    Components in MapReduce and Beyond") — the published O(log^2 n)-round
+    shape for trillion-edge graphs, here in pure DataFrame ops.
+
+    Input: one row per undirected edge (``id_a``, ``id_b``); ids may be
+    any orderable type (string doc ids included — ``least``/``min`` order
+    lexicographically).  Output: one ``(node, component)`` row per
+    NON-ROOT member, where ``component`` is the minimum id of the node's
+    component; the root (the minimum itself) does not appear as a node.
+    Callers wanting total assignments coalesce (see
+    :func:`neardup_clusters`).
+
+    Scale shape: each half-round is one hash exchange keyed by node (a
+    window min + a projection — no collect_list, so a hub node never
+    materializes its neighbor array in one task; skewed hubs are handled
+    by AQE like any other hot key).  Edges stay oriented (hi -> lo)
+    throughout, so state never exceeds the live edge set, which only
+    shrinks toward the star graph.  Convergence is checked with a
+    count+hash-sum checksum (one cheap aggregate per round, collision
+    odds ~2^-64) and each round is ``localCheckpoint``-ed to truncate the
+    iterative lineage — on a real cluster point ``spark.sparkContext
+    .setCheckpointDir`` at durable storage and swap in ``checkpoint``.
+    """
+    from pyspark.sql import Window as W
+
+    edges = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("hi"),
+            F.least(F.col(id_a), F.col(id_b)).alias("lo"),
+        )
+        .where(F.col("hi") != F.col("lo"))
+        .dropna()
+        .distinct()
+    )
+
+    def _checksum(e: DataFrame):
+        # bit_xor, not sum: order-insensitive, never overflows under ANSI
+        # mode, and the edge set is distinct so xor-cancellation of equal
+        # rows cannot occur.
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(hi, lo))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = _checksum(edges)
+    for _ in range(max_iter):
+        # large-star: every neighbor v > u links to m = min(N(u) + {u}).
+        sym = edges.union(edges.select(F.col("lo").alias("hi"), F.col("hi").alias("lo")))
+        w_u = W.partitionBy("hi")
+        ls = (
+            sym.withColumn("m", F.least(F.min("lo").over(w_u), F.col("hi")))
+            .where(F.col("lo") > F.col("hi"))
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .where(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        # small-star: every down-neighbor (and u itself) links to min(N<(u)).
+        w_h = W.partitionBy("hi")
+        mm = ls.withColumn("m", F.min("lo").over(w_h))
+        ss = (
+            mm.select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .union(mm.select("hi", F.col("m").alias("lo")))
+            .where(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        edges = ss.localCheckpoint(eager=True)
+        cur = _checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    return edges.select(F.col("hi").alias("node"), F.col("lo").alias("component"))
+
+
+def neardup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Total cluster assignment for a corpus given near-dup pairs: one row
+    per document, ``(<id_col>, cluster_id, keep)`` where ``cluster_id`` is
+    the minimum doc id of the document's connected component (itself when
+    it has no near-dup) and ``keep`` marks the canonical representative —
+    the last stage of a dedup pipeline (pairs -> clusters -> keep one).
+
+    Scale shape: the component map holds one row per non-root MEMBER of a
+    duplicate cluster — proportional to the duplicated subset, not the
+    corpus — joined to the corpus on the id (AQE broadcasts it when the
+    duplicate set is small; at web scale it is a plain shuffle join on
+    the id key).
+    """
+    cc = connected_components(pairs, id_a=id_a, id_b=id_b)
+    return (
+        df.select(id_col)
+        .join(cc, on=F.col(id_col) == F.col("node"), how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+            (F.col("node").isNull()).alias("keep"),
+        )
+    )
+
+
+def cuttable_duplicate_spans(
+    spans: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep-first cut policy over :func:`duplicate_spans` hits: the
+    globally-first occurrence of each duplicated window (ordered by
+    (doc id, start)) is the canonical copy the corpus RETAINS; every other
+    occurrence becomes cuttable.  Without this, cutting "all duplicated
+    spans" deletes every copy of a boilerplate block — including the one
+    you wanted to keep (Lee et al. 2022 keep one occurrence).
+
+    One ``row_number`` window over ``win_hash`` — the same hash-keyed
+    exchange (and the same bounded per-hash state) as the duplicate count
+    itself.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("win_hash").orderBy(id_col, "start")
+    return (
+        spans.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") > 1)
+        .drop("_rk")
+    )
+
+
+def apply_span_cuts(
+    toks: DataFrame,
+    cuts: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Apply per-document cut ranges to the token arrays: every token whose
+    0-based position falls in any ``[span_start, span_end)`` range is
+    removed, preserving the order of survivors — the token-array surgery
+    step that turns span detection into a cleaned corpus.
+
+    Output: ``(<id_col>, tokens_clean, n_tok_clean bigint, n_cut bigint)``
+    — one row per INPUT document (docs with no cuts pass through with
+    ``n_cut = 0``; NULL token arrays stay NULL).
+
+    Scale shape: cut ranges aggregate to ONE array per affected document
+    (bounded by that doc's merged-range count, never corpus size), meet
+    the corpus in a single equi-join on the id — AQE broadcasts the cut
+    side when the duplicated subset is small — and the removal itself is
+    one JVM ``filter``-with-index lambda per row: no explode of the token
+    array, no Python in the plan.
+    """
+    t = tokens_col
+    ranges = cuts.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("_cuts")
+    )
+    cleaned = F.expr(
+        f"CASE WHEN {t} IS NULL THEN NULL "
+        f"WHEN _cuts IS NULL THEN {t} "
+        f"ELSE filter({t}, (x, i) -> NOT exists(_cuts, c -> i >= c.s AND i < c.e)) "
+        f"END"
+    )
+    return (
+        toks.join(ranges, on=id_col, how="left")
+        .withColumn("_clean", cleaned)
+        .select(
+            id_col,
+            F.col("_clean").alias("tokens_clean"),
+            F.size("_clean").cast("long").alias("n_tok_clean"),
+            (F.size(t) - F.size("_clean")).cast("long").alias("n_cut"),
+        )
+    )

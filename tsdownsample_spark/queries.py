@@ -1190,6 +1190,86 @@ FROM g GROUP BY doc_id, grp
 """
 
 
+def q_dup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end substring dedup: detect duplicated 16-token windows,
+    drop the globally-first occurrence per window hash (the copy the corpus
+    keeps — Lee et al. 2022), merge the rest into per-doc cut ranges, and
+    CUT them out of the token arrays (operators/dedup.apply_span_cuts).
+    Output is one row per input doc with the cleaned token array — the
+    north-rule per-row invariant (token-array equality) checked against a
+    DuckDB replay of the identical detect->keep-first->merge->cut policy."""
+    from tsdownsample_spark.operators.dedup import (
+        apply_span_cuts,
+        cuttable_duplicate_spans,
+        duplicate_spans,
+        merge_duplicate_spans,
+    )
+
+    df = spark.read.parquet(dup_token_table_path())
+    spans = duplicate_spans(df, window=16, stride=8)
+    cuts = merge_duplicate_spans(cuttable_duplicate_spans(spans), window=16)
+    return apply_span_cuts(df.select("doc_id", "tokens"), cuts)
+
+
+def _oracle_dup_span_cut(window: int = 16, stride: int = 8) -> str:
+    path = dup_token_table_path()
+    return f"""
+WITH spans AS (
+  SELECT doc_id, CAST(u.s AS BIGINT) AS start,
+         md5(array_to_string(
+           tokens[CAST(u.s AS INT) + 1 : CAST(u.s AS INT) + {window}], ','
+         )) AS win_hash
+  FROM read_parquet('{path}'),
+       UNNEST(range(0, len(tokens) - {window} + 1, {stride})) AS u(s)
+  WHERE tokens IS NOT NULL AND len(tokens) >= {window}
+), dup AS (
+  SELECT doc_id, start FROM (
+    SELECT doc_id, start, COUNT(*) OVER (PARTITION BY win_hash) AS n_dup,
+           ROW_NUMBER() OVER (PARTITION BY win_hash
+                              ORDER BY doc_id, start) AS rk
+    FROM spans
+  ) WHERE n_dup >= 2 AND rk > 1
+), m AS (
+  SELECT doc_id, start, start + {window} AS e,
+         MAX(start + {window}) OVER (
+           PARTITION BY doc_id ORDER BY start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM dup
+), g AS (
+  SELECT doc_id, start, e,
+         SUM(CASE WHEN prev_max IS NULL OR start > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY start) AS grp
+  FROM m
+), cuts AS (
+  SELECT doc_id, MIN(start) AS s, MAX(e) AS e FROM g GROUP BY doc_id, grp
+), base AS (
+  SELECT doc_id, tokens FROM read_parquet('{path}')
+), pos AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+         tokens[CAST(u.i AS INT) + 1] AS tok
+  FROM base, UNNEST(range(len(tokens))) AS u(i)
+  WHERE tokens IS NOT NULL
+), kept AS (
+  SELECT p.doc_id, p.pos, p.tok FROM pos p
+  WHERE NOT EXISTS (SELECT 1 FROM cuts c
+                    WHERE c.doc_id = p.doc_id
+                      AND p.pos >= c.s AND p.pos < c.e)
+), agg AS (
+  SELECT doc_id, list(tok ORDER BY pos) AS tokens_clean,
+         COUNT(*) AS n_tok_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CASE WHEN b.tokens IS NULL THEN NULL
+            ELSE COALESCE(a.tokens_clean, []) END AS tokens_clean,
+       CASE WHEN b.tokens IS NULL THEN NULL
+            ELSE COALESCE(a.n_tok_clean, 0) END AS n_tok_clean,
+       CASE WHEN b.tokens IS NULL THEN NULL
+            ELSE len(b.tokens) - COALESCE(a.n_tok_clean, 0) END AS n_cut
+FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def _oracle_dup_spans(window: int = 16, stride: int = 8) -> str:
     path = dup_token_table_path()
     return f"""
@@ -2031,14 +2111,16 @@ _WINDOW_R05 = [
     "q_minmax_x", "q_m4_x",
     # (3) new contract rows this round
     "q_anomaly_prefix", "q_minmax_jvm", "q_m4_jvm", "q_everynth_jvm",
-    "q_ann_ivf_mp", "q_dup_spans",
+    "q_ann_ivf_mp", "q_dup_spans", "q_dedup_cluster", "q_dup_span_cut",
     # (3) implementation changed this round
     "q_pack_greedy", "q_gapfill_linear",
-    # (4) high-value r4-green fill (q_token_tiers rotated to the tail to
-    # make room for q_dup_spans; its cascade twin q_stream_tiers stays)
+    # (4) high-value r4-green fill (q_token_tiers, q_compress_roundtrip and
+    # q_asof_join rotated to the tail to make room for the three new rows
+    # q_dup_spans/q_dedup_cluster/q_dup_span_cut; the cascade twin
+    # q_stream_tiers stays)
     "q_lttb_x", "q_nanminmax_x", "q_anomaly", "q_rollup_1d",
-    "q_downsample_error", "q_asof_join", "q_interval_join",
-    "q_compress_roundtrip", "q_stream_tiers",
+    "q_downsample_error", "q_interval_join",
+    "q_stream_tiers",
 ]
 
 
@@ -2110,6 +2192,7 @@ def queries() -> dict:
         "q_token_compress_roundtrip": q_token_compress_roundtrip,
         "q_dup_spans": q_dup_spans,
         "q_dup_span_merge": q_dup_span_merge,
+        "q_dup_span_cut": q_dup_span_cut,
         "q_bigram_lm": queries_text.q_bigram_lm,
     }
     # --- LLM-data-pipeline queries (26 text + 1 media)
@@ -2184,6 +2267,7 @@ def oracle_sql() -> dict:
         "q_token_compress_roundtrip": _oracle_token_compress(),
         "q_dup_spans": _oracle_dup_spans(),
         "q_dup_span_merge": _oracle_dup_span_merge(),
+        "q_dup_span_cut": _oracle_dup_span_cut(),
     }
     base.update(queries_text.oracle_sql())
     base.update(queries_media.oracle_sql())

@@ -16,6 +16,7 @@ from tsdownsample_spark.operators.dedup import (
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
+    neardup_clusters,
     simhash,
 )
 from tsdownsample_spark.operators.similarity import (
@@ -228,6 +229,55 @@ SELECT p.id_a, p.id_b,
 FROM pairs p
 JOIN sh x ON x.doc_id = p.id_a
 JOIN sh y ON y.doc_id = p.id_b
+"""
+
+
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pairs -> connected components -> total per-doc cluster assignment:
+    the last stage of the dedup pipeline (keep one doc per near-dup
+    cluster), with transitive closure over the LSH pair graph."""
+    docs = _load_wide(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    sig = minhash_signatures(docs, k=16)
+    pairs = lsh_candidate_pairs(sig, bands=4, rows=4)
+    return neardup_clusters(docs, pairs)
+
+
+# Oracle: same pair derivation as _ORACLE_MINHASH_LSH, then transitive
+# closure as a recursive CTE — walk(node, lbl) enumerates, per node, the
+# label of every node reachable over the symmetrized pair graph (UNION
+# dedups, so it terminates); min reachable label == component minimum.
+_ORACLE_DEDUP_CLUSTER = f"""
+WITH RECURSIVE bases AS (
+    SELECT doc_id, {_DUCK_BASE} AS _b FROM documents
+),
+sig AS (
+    SELECT doc_id, [{_DUCK_MINS}] AS sig FROM bases
+),
+banded AS (
+    SELECT doc_id, b AS band_idx,
+           md5(array_to_string(sig[b * 4 + 1 : b * 4 + 4], '|')) AS band_hash
+    FROM sig, UNNEST(range(4)) AS t(b)
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+),
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION ALL
+    SELECT id_b, id_a FROM pairs
+),
+walk(node, lbl) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.node
+)
+SELECT node AS doc_id, MIN(lbl) AS cluster_id, (MIN(lbl) = node) AS keep
+FROM walk GROUP BY node
 """
 
 
@@ -1247,6 +1297,7 @@ def queries() -> dict:
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_lsh": q_minhash_lsh,
         "q_jaccard_pairs": q_jaccard_pairs,
+        "q_dedup_cluster": q_dedup_cluster,
         "q_simhash": q_simhash,
         "q_ann_topk": q_ann_topk,
         "q_ann_lsh": q_ann_lsh,
@@ -1280,6 +1331,7 @@ def oracle_sql() -> dict:
         "q_dedup_exact": _ORACLE_DEDUP_EXACT,
         "q_minhash_lsh": _ORACLE_MINHASH_LSH,
         "q_jaccard_pairs": _ORACLE_JACCARD,
+        "q_dedup_cluster": _ORACLE_DEDUP_CLUSTER,
         "q_simhash": _ORACLE_SIMHASH,
         "q_ann_topk": _ORACLE_ANN_TOPK,
         "q_ann_lsh": _oracle_ann_lsh(),
