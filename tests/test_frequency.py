@@ -200,3 +200,48 @@ def test_js_divergence_vs_python(spark):
     assert goww == {k: v[0] for k, v in got.items()}
     with pytest.raises(ValueError, match="reserved"):
         jsd(df.withColumnRenamed("term", "js_div"), "src", "js_div")
+
+
+class TestLMCrossentropy:
+    """Bigram-LM quality scoring (operators/frequency.lm_crossentropy;
+    oracle twin = q_lm_score)."""
+
+    def test_hand_computed_two_docs(self, spark):
+        import math
+
+        from tsdownsample_spark.operators.frequency import lm_crossentropy
+
+        # corpus bigrams: (a,b) x2, (b,a) x1, (b,c) x1 ; V = {b,a,c} = 3
+        df = spark.createDataFrame(
+            [("d1", "a b a b"), ("d2", "b c")],
+            "doc_id string, text string",
+        )
+        got = {r.doc_id: (r.n_bigrams, r.xent)
+               for r in lm_crossentropy(df, alpha=1.0).collect()}
+        p_ab = (2 + 1) / (2 + 3)      # c(a,b)=2, tot(a)=2
+        p_ba = (1 + 1) / (2 + 3)      # c(b,a)=1, tot(b)=2
+        p_bc = (1 + 1) / (2 + 3)
+        x1 = -(math.log(p_ab) + math.log(p_ba) + math.log(p_ab)) / 3
+        x2 = -math.log(p_bc)
+        assert got["d1"][0] == 3 and abs(got["d1"][1] - round(x1, 6)) < 1e-9
+        assert got["d2"][0] == 1 and abs(got["d2"][1] - round(x2, 6)) < 1e-9
+
+    def test_short_docs_null_xent(self, spark):
+        from tsdownsample_spark.operators.frequency import lm_crossentropy
+
+        df = spark.createDataFrame(
+            [("s", "one"), ("t", "a b")], "doc_id string, text string"
+        )
+        got = {r.doc_id: (r.n_bigrams, r.xent)
+               for r in lm_crossentropy(df).collect()}
+        assert got["s"] == (0, None)
+        assert got["t"][0] == 1
+
+    def test_plan_is_python_free(self, spark):
+        from tsdownsample_spark.operators.frequency import lm_crossentropy
+
+        df = spark.createDataFrame([("d", "a b c")], "doc_id string, text string")
+        plan = (
+            lm_crossentropy(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -32,7 +32,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["heavy_hitters", "tfidf_topk"]
+__all__ = ["heavy_hitters", "tfidf_topk", "bigram_pairs", "lm_crossentropy"]
 
 
 def heavy_hitters(
@@ -129,4 +129,70 @@ def tfidf_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select(doc_col, term_col, "tf", "doc_freq", "score", "rank")
+    )
+
+
+def bigram_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One ``(<id_col>, w1, w2)`` row per adjacent word pair — the shared
+    derivation under the bigram LM table and :func:`lm_crossentropy`.
+    The pair structs are built INSIDE one expression per doc row; only
+    (w1, w2) pairs explode, never the word array itself."""
+    pairs_expr = (
+        f"CASE WHEN size(split({text_col}, ' ')) < 2 THEN array() "
+        f"ELSE transform(sequence(1, size(split({text_col}, ' ')) - 1), "
+        f"i -> struct(element_at(split({text_col}, ' '), i) AS w1, "
+        f"element_at(split({text_col}, ' '), i + 1) AS w2)) END"
+    )
+    return df.select(F.col(id_col), F.explode(F.expr(pairs_expr)).alias("bg")).select(
+        id_col, "bg.w1", "bg.w2"
+    )
+
+
+def lm_crossentropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own add-alpha bigram
+    LM — the classic perplexity-style quality signal (low = templated /
+    repetitive, high = out-of-distribution noise; both tails are what a
+    curation pass inspects).
+
+    P(w2|w1) = (c(w1,w2) + alpha) / (c(w1,·) + alpha·V), V = distinct
+    successor vocabulary; xent(doc) = -mean log P over its bigrams.
+    Documents with < 2 words get ``n_bigrams = 0`` and NULL ``xent``.
+
+    Scale shape: the LM is a partial-agg groupBy of the SAME exploded
+    bigram rows (shuffle ∝ distinct bigrams, the heavy-hitters shape);
+    scoring meets the LM in one equi-join on the (w1, w2) key and the
+    head totals on w1 — both plain shuffle joins AQE can skew-split on
+    the Zipf head, never a corpus broadcast.  V is a one-row aggregate
+    cross-joined in (bounded, broadcast).  No Python in the plan.
+    """
+    bg = bigram_pairs(df, text_col=text_col, id_col=id_col)
+    lm = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    heads = lm.groupBy("w1").agg(F.sum("c").alias("tot"))
+    vocab = bg.agg(F.countDistinct("w2").alias("v"))
+    p = (F.col("c") + F.lit(alpha)) / (F.col("tot") + F.lit(alpha) * F.col("v"))
+    scored = (
+        bg.join(lm, ["w1", "w2"])  # every doc bigram exists in the LM
+        .join(heads, "w1")
+        .crossJoin(vocab)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-F.avg(F.log(p)), 6).alias("xent"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "xent",
+        )
     )

@@ -232,6 +232,47 @@ JOIN sh y ON y.doc_id = p.id_b
 """
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-entropy under the corpus's own add-1 bigram LM
+    (operators/frequency.lm_crossentropy) — the perplexity-style quality
+    signal.  Oracle re-derives bigram counts, head totals, successor
+    vocabulary, and -mean ln P in SQL."""
+    from tsdownsample_spark.operators.frequency import lm_crossentropy
+
+    docs = _load_wide(spark, sf_dir, "documents")
+    return lm_crossentropy(docs)
+
+
+_ORACLE_LM_SCORE = """
+WITH w AS (
+    SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+bg AS (
+    SELECT doc_id, words[i] AS w1, words[i + 1] AS w2
+    FROM w, unnest(range(1, len(words))) AS t(i)
+    WHERE len(words) >= 2
+),
+lm AS (
+    SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2
+),
+heads AS (
+    SELECT w1, SUM(c) AS tot FROM lm GROUP BY w1
+),
+vocab AS (
+    SELECT COUNT(DISTINCT w2) AS v FROM bg
+),
+scored AS (
+    SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+           round(-AVG(ln((lm.c + 1.0) / (heads.tot + 1.0 * vocab.v))), 6)
+             AS xent
+    FROM bg JOIN lm USING (w1, w2) JOIN heads USING (w1), vocab
+    GROUP BY bg.doc_id
+)
+SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams, s.xent
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pairs -> connected components -> total per-doc cluster assignment:
     the last stage of the dedup pipeline (keep one doc per near-dup
@@ -1298,6 +1339,7 @@ def queries() -> dict:
         "q_minhash_lsh": q_minhash_lsh,
         "q_jaccard_pairs": q_jaccard_pairs,
         "q_dedup_cluster": q_dedup_cluster,
+        "q_lm_score": q_lm_score,
         "q_simhash": q_simhash,
         "q_ann_topk": q_ann_topk,
         "q_ann_lsh": q_ann_lsh,
@@ -1332,6 +1374,7 @@ def oracle_sql() -> dict:
         "q_minhash_lsh": _ORACLE_MINHASH_LSH,
         "q_jaccard_pairs": _ORACLE_JACCARD,
         "q_dedup_cluster": _ORACLE_DEDUP_CLUSTER,
+        "q_lm_score": _ORACLE_LM_SCORE,
         "q_simhash": _ORACLE_SIMHASH,
         "q_ann_topk": _ORACLE_ANN_TOPK,
         "q_ann_lsh": _oracle_ann_lsh(),
