@@ -117,7 +117,14 @@ def test_f16_minmax_m4_take_reference_ordinal_path():
     rng = np.random.default_rng(23)
     y = _crafted_f16(rng, 4_000, with_nan=False)
     ords = _ordinal_i16(y.view(np.uint16))
-    for cls, algo in [(MinMaxDownsampler, "minmax"), (M4Downsampler, "m4")]:
+    for cls, algo in [
+        (MinMaxDownsampler, "minmax"),
+        (M4Downsampler, "m4"),
+        # NaN variants on NaN-free data are comparison-only too and take
+        # the same ordinal path (compat.py _ORDER_ONLY_ALGOS)
+        (NaNMinMaxDownsampler, "nanminmax"),
+        (NaNM4Downsampler, "nanm4"),
+    ]:
         got = cls().downsample(y, n_out=100)
         ref = downsample_array(ords, 100, algo=algo)
         np.testing.assert_array_equal(got.astype(np.int64), ref)
@@ -141,6 +148,8 @@ def test_f16_pm0_tie_selects_reference_index():
     assert 20 in got and 5 not in got
     got4 = M4Downsampler().downsample(y, n_out=4).astype(np.int64)
     assert 20 in got4 and 5 not in got4
+    gotn2 = NaNMinMaxDownsampler().downsample(y, n_out=2).astype(np.int64)
+    assert 20 in gotn2 and 5 not in gotn2
     # NaN present -> i16 cannot carry it; falls back to the documented
     # f32 upcast (first-occurring zero wins the tie again)
     yn = y.copy()

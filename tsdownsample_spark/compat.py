@@ -79,8 +79,10 @@ def _check_y_dtype(y: np.ndarray) -> None:
 
 # Selectors whose result depends ONLY on the comparison order of y (never
 # on its arithmetic values) — for these the reference's ordinal-i16 view of
-# f16 can substitute for the values verbatim.
-_ORDER_ONLY_ALGOS = {"minmax", "m4"}
+# f16 can substitute for the values verbatim.  The NaN variants qualify
+# too: _prepare_f16 only routes them here when the data is NaN-FREE, and
+# on NaN-free data their selection is pure comparison order as well.
+_ORDER_ONLY_ALGOS = {"minmax", "m4", "nanminmax", "nanm4"}
 
 
 def _f16_ordinal_i16(y: np.ndarray) -> np.ndarray:
