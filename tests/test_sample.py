@@ -117,3 +117,68 @@ class TestQuotaSample:
     def test_rejects_negative(self, spark, corpus):
         with pytest.raises(ValueError, match="non-negative"):
             quota_sample(corpus, -1)
+
+
+class TestTokenBudgetSample:
+    """Mixture sampling by token budget (operators/sample.py:
+    token_budget_sample; oracle twin = q_token_budget)."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, n_tok long"
+        )
+
+    def test_prefix_stops_at_budget(self, spark):
+        from tsdownsample_spark.operators.sample import _hash32, token_budget_sample
+
+        rows = [(i, "a", 10) for i in range(20)]
+        df = self._df(spark, rows)
+        out = token_budget_sample(df, 55, by="source", weight="n_tok").collect()
+        # 10 tokens each, budget 55 -> exactly 5 docs, never overshoots
+        assert len(out) == 5
+        assert max(r.cum_w for r in out) == 50
+        # and they are the 5 lowest-hash docs
+        hashed = df.select("doc_id", _hash32("doc_id", "0").alias("h")).collect()
+        expect = {r.doc_id for r in sorted(hashed, key=lambda r: (r.h, r.doc_id))[:5]}
+        assert {r.doc_id for r in out} == expect
+
+    def test_mapping_budgets_and_absent_groups(self, spark):
+        from tsdownsample_spark.operators.sample import token_budget_sample
+
+        rows = [(1, "a", 5), (2, "a", 5), (3, "b", 5), (4, "c", 5)]
+        out = token_budget_sample(
+            self._df(spark, rows), {"a": 5, "b": 100}, by="source", weight="n_tok"
+        ).collect()
+        got = {(r.source, r.doc_id) for r in out}
+        srcs = [s for s, _ in got]
+        assert srcs.count("a") == 1          # budget 5 fits one 5-token doc
+        assert ("b", 3) in got               # generous budget keeps all of b
+        assert all(s != "c" for s, _ in got)  # absent from recipe -> nothing
+
+    def test_zero_and_oversize_first_doc(self, spark):
+        from tsdownsample_spark.operators.sample import token_budget_sample
+
+        rows = [(1, "a", 100), (2, "a", 1)]
+        # every doc's cumsum exceeds 0 -> empty
+        assert token_budget_sample(
+            self._df(spark, rows), 0, by="source", weight="n_tok"
+        ).count() == 0
+        # prefix rule: if the first (lowest-hash) doc overshoots, the
+        # prefix is empty even though a later doc would fit
+        out = token_budget_sample(
+            self._df(spark, rows), 50, by="source", weight="n_tok"
+        ).collect()
+        assert [r.doc_id for r in out] in ([], [1], [2])  # depends on hash order
+        if out:
+            assert out[0].cum_w <= 50
+
+    def test_negative_budget_raises(self, spark):
+        import pytest as _pytest
+
+        from tsdownsample_spark.operators.sample import token_budget_sample
+
+        df = self._df(spark, [(1, "a", 5)])
+        with _pytest.raises(ValueError):
+            token_budget_sample(df, -1, by="source", weight="n_tok")
+        with _pytest.raises(ValueError):
+            token_budget_sample(df, {"a": -2}, by="source", weight="n_tok")

@@ -100,3 +100,55 @@ def quota_sample(
         .where(F.col("_rk") <= quota)
         .drop("_rk")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget: int | Mapping[str, int],
+    by: str = "source",
+    weight: str = "n_tok",
+    key: str = "doc_id",
+    seed: str = "0",
+    cum_col: str = "cum_w",
+) -> DataFrame:
+    """Mixture sampling by TOKEN budget, not row count: per group (``by``),
+    keep the longest deterministic hash-ordered prefix whose cumulative
+    ``weight`` stays within the group's budget — how a dataset recipe
+    ("30 B tokens of web, 5 B of code") is actually filled, since document
+    lengths vary by orders of magnitude and a row quota cannot hit a token
+    target.
+
+    ``budget`` is one int for every group or a mapping group -> budget
+    (groups absent from the mapping contribute nothing).  Selection is a
+    strict PREFIX rule: rows ordered by (hash32(key), key), kept while the
+    running total INCLUDING the row stays <= budget — never overshoots,
+    stops at the first row that would; deterministic and engine-portable
+    like the other samplers here (no Spark sample(), no RNG).  The output
+    carries ``cum_col`` (the running total) for auditability.
+
+    Scale shape: ONE window shuffle on the group key (same as
+    :func:`quota_sample`); the prefix sum is a running aggregate, state
+    O(1) per task.  Mixtures with very few groups and 10^12 rows should
+    salt the group key upstream or pre-aggregate per (group, hash-bucket)
+    — the same skew note as any per-source window.
+    """
+    if isinstance(budget, Mapping):
+        b = F.lit(None).cast("long")
+        for name, v in budget.items():
+            if v < 0:
+                raise ValueError(f"budget must be non-negative, got {v} for {name!r}")
+            b = F.when(F.col(by) == F.lit(name), F.lit(int(v))).otherwise(b)
+        b = F.coalesce(b, F.lit(0))
+    else:
+        if budget < 0:
+            raise ValueError(f"budget must be non-negative, got {budget}")
+        b = F.lit(int(budget))
+    w = (
+        Window.partitionBy(by)
+        .orderBy(_hash32(key, seed), F.col(key))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn(cum_col, F.sum(F.col(weight)).over(w))
+        .where(F.col(cum_col) <= b)
+    )

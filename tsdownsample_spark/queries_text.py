@@ -1249,6 +1249,45 @@ SELECT doc_id, source FROM rk WHERE r <= 10
 """
 
 
+_TB_BUDGETS = {"src0": 3000, "src1": 1200, "src2": 8000, "src3": 450}
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture sampling by token budget (operators/sample.py:
+    token_budget_sample): per-source hash-ordered prefix whose cumulative
+    n_chars stays within each source's budget; sources outside the recipe
+    contribute nothing."""
+    from tsdownsample_spark.operators.sample import token_budget_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    out = token_budget_sample(
+        docs, _TB_BUDGETS, by="source", weight="n_chars", seed="r5"
+    )
+    return out.select("doc_id", "source", "n_chars", F.col("cum_w").cast("long").alias("cum_w"))
+
+
+def _oracle_token_budget() -> str:
+    cases = " ".join(
+        f"WHEN source = '{k}' THEN {v}" for k, v in _TB_BUDGETS.items()
+    )
+    return f"""
+WITH h AS (
+    SELECT doc_id, source, n_chars,
+           {_DUCK_HASH32.format(seed="r5")} AS h32,
+           CASE {cases} ELSE 0 END AS b
+    FROM documents
+),
+c AS (
+    SELECT doc_id, source, n_chars, b,
+           SUM(n_chars) OVER (PARTITION BY source ORDER BY h32, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum_w
+    FROM h
+)
+SELECT doc_id, source, n_chars, cum_w FROM c WHERE cum_w <= b
+"""
+
+
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic shuffle-free ~25% subsample
     (operators/sample.py:hash_sample)."""
@@ -1360,6 +1399,7 @@ def queries() -> dict:
         "q_pack_greedy": q_pack_greedy,
         "q_split_assign": q_split_assign,
         "q_quota_sample": q_quota_sample,
+        "q_token_budget": q_token_budget,
         "q_hash_sample": q_hash_sample,
         "q_decontaminate": q_decontaminate,
     }
@@ -1398,6 +1438,7 @@ def oracle_sql() -> dict:
         "q_pack_greedy": _ORACLE_PACK_GREEDY,
         "q_split_assign": _ORACLE_SPLIT_ASSIGN,
         "q_quota_sample": _ORACLE_QUOTA_SAMPLE,
+        "q_token_budget": _oracle_token_budget(),
         "q_hash_sample": _ORACLE_HASH_SAMPLE,
         "q_decontaminate": _ORACLE_DECONTAMINATE,
     }
