@@ -213,7 +213,7 @@ def spans_fixture_path() -> str:
 
 def spans_job(spark, path):
     """Substring-level dedup (operators/dedup.duplicate_spans): the
-    md5-per-aligned-window derivation is a narrow map (CPU-bound, scales
+    xxhash64-per-aligned-window derivation is a narrow map (CPU-bound, scales
     with cores once rows are spread), the count a map-side-combinable
     groupBy on the hash, the join back hash-keyed — the published
     exact-substring dedup shape."""
@@ -223,7 +223,9 @@ def spans_job(spark, path):
 
     cores = int(spark.sparkContext.defaultParallelism)
     toks = spark.read.parquet(path).repartition(4 * cores)
-    duplicate_spans(toks, window=16, stride=8).select(
+    # xxhash64 = the scale path (8-byte keys straight off the token slice,
+    # no per-window string/hex build) — same decision as the dedup job
+    duplicate_spans(toks, window=16, stride=8, hash="xxhash64").select(
         F.count("*"), F.sum("n_dup")
     ).collect()
 

@@ -694,3 +694,24 @@ class TestSpanCuts:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_duplicate_spans_xxhash64_same_detection(spark):
+    """The xxhash64 scale path detects the same (doc, start) span set as
+    the md5 oracle path (hash only changes the key representation)."""
+    from tsdownsample_spark.operators.dedup import duplicate_spans
+
+    boiler = list(range(1000, 1048))
+    df = spark.createDataFrame(
+        [("a", boiler + [1, 2, 3, 4, 5, 6, 7, 8]),
+         ("b", [7, 7, 7, 7, 7, 7, 7, 7] + boiler),
+         ("u", list(range(5000, 5100)))],
+        "doc_id string, tokens array<int>",
+    )
+    md5_set = {(r.doc_id, r.start, r.n_dup) for r in
+               duplicate_spans(df, window=16, stride=8).collect()}
+    xx = duplicate_spans(df, window=16, stride=8, hash="xxhash64")
+    xx_set = {(r.doc_id, r.start, r.n_dup) for r in xx.collect()}
+    assert md5_set == xx_set and len(md5_set) > 0
+    # and the key really is a bigint (no string materialization)
+    assert dict(xx.dtypes)["win_hash"] == "bigint"

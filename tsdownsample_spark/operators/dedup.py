@@ -339,20 +339,38 @@ def window_spans(
     stride: int = 8,
     id_col: str = "doc_id",
     tokens_col: str = "tokens",
+    hash: str = "md5",
 ) -> DataFrame:
-    """One ``(<id_col>, start bigint, win_hash string)`` row per aligned
+    """One ``(<id_col>, start bigint, win_hash)`` row per aligned
     ``window``-token span — the shared derivation under ``duplicate_spans``
     (batch) and ``streaming/stream_spans`` (ingest twin).  The hashes are
     computed INSIDE one expression per document row so only (start, hash)
-    pairs explode; the token array never replicates through the Generate."""
+    pairs explode; the token array never replicates through the Generate.
+
+    ``hash="md5"`` (default) stringifies each window ("1,2,3,...") and
+    emits a 32-char hex key — DuckDB-portable, what the oracle replays.
+    ``hash="xxhash64"`` hashes the token SLICE directly to ONE 8-byte
+    bigint: no per-window string build, no hex materialization — the same
+    bytes-over-the-bus reduction that took the dedup scaling workload from
+    ~0.55 to >=0.8 (BENCH/BASELINE.md run AC); detection semantics are
+    identical up to 64-bit collisions (~n²/2^65), pytest-pinned equal on
+    the planted fixture."""
     if window <= 0 or stride <= 0:
         raise ValueError(f"window and stride must be positive, got {window}, {stride}")
     t = tokens_col
+    if hash == "md5":
+        h = (
+            f"md5(concat_ws(',', transform(slice({t}, s + 1, {window}), "
+            f"x -> CAST(x AS STRING))))"
+        )
+    elif hash == "xxhash64":
+        h = f"xxhash64(slice({t}, s + 1, {window}))"
+    else:
+        raise ValueError(f"hash must be 'md5' or 'xxhash64', got {hash!r}")
     pairs = F.expr(
         f"transform(sequence(0, size({t}) - {window}, {stride}), s -> "
         f"struct(CAST(s AS BIGINT) AS start, "
-        f"md5(concat_ws(',', transform(slice({t}, s + 1, {window}), "
-        f"x -> CAST(x AS STRING)))) AS win_hash))"
+        f"{h} AS win_hash))"
     )
     return (
         toks.where(F.col(t).isNotNull() & (F.size(t) >= window))
@@ -370,6 +388,7 @@ def duplicate_spans(
     id_col: str = "doc_id",
     tokens_col: str = "tokens",
     min_count: int = 2,
+    hash: str = "md5",
 ) -> DataFrame:
     """Exact duplicated token-window detection (substring-level dedup).
 
@@ -407,7 +426,8 @@ def duplicate_spans(
     from pyspark.sql import Window as W
 
     spans = window_spans(
-        toks, window=window, stride=stride, id_col=id_col, tokens_col=tokens_col
+        toks, window=window, stride=stride, id_col=id_col,
+        tokens_col=tokens_col, hash=hash
     )
     return spans.withColumn(
         "n_dup", F.count("*").over(W.partitionBy("win_hash"))
