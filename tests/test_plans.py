@@ -198,3 +198,60 @@ def test_curate_plan_shape(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan
     assert "Python" not in plan  # no UDFs anywhere in the cascade
+
+
+def test_lm_crossentropy_plan_shape(spark, sf_dir):
+    """LM scoring: partial-agg LM build, equi-joins only (the single
+    intended 1-row vocab broadcast is a BroadcastNestedLoopJoin with a
+    one-row build side — bounded), no Python."""
+    from tsdownsample_spark.operators.frequency import lm_crossentropy
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(lm_crossentropy(docs))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # map-side combine on the bigram count (partial + final HashAggregate)
+    assert plan.count("HashAggregate") >= 4
+    # exactly the one intended nested-loop: the 1-row vocab cross join
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_apply_span_cuts_no_explode(spark):
+    """Token-array surgery stays one filter-with-index expression per row:
+    no Generate (explode) of the token array, no Python."""
+    from tsdownsample_spark.operators.dedup import apply_span_cuts
+
+    toks = spark.createDataFrame(
+        [("a", list(range(64)))], "doc_id string, tokens array<int>"
+    )
+    cuts = spark.createDataFrame(
+        [("a", 0, 16)], "doc_id string, span_start long, span_end long"
+    )
+    plan = _plan(apply_span_cuts(toks, cuts))
+    assert "Generate" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_token_budget_sample_single_exchange(spark, sf_dir):
+    """Budget fill = ONE shuffle on the group key (window prefix sum),
+    plus only the scan-side exchange Spark needs to get there."""
+    from tsdownsample_spark.operators.sample import token_budget_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(
+        token_budget_sample(docs, 10_000, by="source", weight="n_chars")
+    )
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_connected_components_round_is_window_based(spark):
+    """Each CC half-round is a window min + projection — no collect_list
+    aggregation (a hub's neighbor array never materializes in one task)."""
+    from tsdownsample_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    # one round is enough to audit the shape
+    plan = _plan(connected_components(pairs, max_iter=1))
+    assert "collect_list" not in plan
+    assert "CartesianProduct" not in plan
