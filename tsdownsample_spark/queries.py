@@ -2112,13 +2112,17 @@ _WINDOW_R05 = [
     # (3) new contract rows this round
     "q_anomaly_prefix", "q_minmax_jvm", "q_m4_jvm", "q_everynth_jvm",
     "q_ann_ivf_mp", "q_dup_spans", "q_dedup_cluster", "q_dup_span_cut",
+    "q_lm_score", "q_token_budget",
     # (3) implementation changed this round
     "q_pack_greedy", "q_gapfill_linear",
-    # (4) high-value r4-green fill (q_token_tiers, q_compress_roundtrip and
-    # q_asof_join rotated to the tail to make room for the three new rows
-    # q_dup_spans/q_dedup_cluster/q_dup_span_cut; the cascade twin
-    # q_stream_tiers stays)
-    "q_lttb_x", "q_nanminmax_x", "q_anomaly", "q_rollup_1d",
+    # (4) high-value r4-green fill (q_token_tiers, q_compress_roundtrip,
+    # q_asof_join, q_lttb_x and q_nanminmax_x rotated to the tail — never-
+    # driver-checked new rows outrank r4-green ones, and the lttb/nanminmax
+    # selector classes keep their §2.1 row via q_lttb/q_nanminmax; the
+    # cascade twin q_stream_tiers stays.  The tail is not unchecked:
+    # tests/test_entry_contract.py::test_queries_against_oracles oracle-
+    # compares EVERY registry entry, window and tail, in CI.)
+    "q_anomaly", "q_rollup_1d",
     "q_downsample_error", "q_interval_join",
     "q_stream_tiers",
 ]
