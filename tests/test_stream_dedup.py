@@ -106,3 +106,71 @@ def test_stream_dedup_cross_batch_pair(spark, tmp_path):
         for r in SnapshotTable(f"{out_root}/pairs").read(spark).collect()
     )
     assert ("d1", "d3") in got
+
+
+def _stage_two_batches(spark, tmp_path, b1, b2):
+    import os
+    import shutil
+    import time as _time
+
+    flat = str(tmp_path / "in")
+    os.makedirs(flat)
+    now = _time.time()
+    for j, rows in enumerate((b1, b2)):
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        d = str(tmp_path / f"b{j}")
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                dst = f"{flat}/{j:04d}.parquet"
+                shutil.copy(os.path.join(d, f), dst)
+                os.utime(dst, (now - 600 + 60 * j, now - 600 + 60 * j))
+    return flat
+
+
+def test_stream_clusters_retroactive_merge(spark, tmp_path):
+    """Cluster maintenance at ingest: a later batch that introduces a
+    smaller component minimum RE-HOMES earlier members (retroactive
+    reassignment events), and the latest event per node always equals the
+    batch connected_components over all pairs so far."""
+    from tsdownsample_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from tsdownsample_spark.streaming.stream_dedup import latest_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    noise = [
+        ("u1", "completely unrelated text about spark engines " * 4),
+        ("u2", "another unrelated document body entirely " * 5),
+    ]
+    b1 = [("db", base), ("dc", base)] + noise[:1]
+    b2 = [("da", base)] + noise[1:]
+    flat = _stage_two_batches(spark, tmp_path, b1, b2)
+    out_root = str(tmp_path / "dedup")
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 1).parquet(flat)
+    )
+    q = stream_dedup_minhash(
+        stream, out_root, k=16, bands=4, rows=4,
+        checkpoint=str(tmp_path / "ckpt"), emit_clusters=True,
+    )
+    assert q.awaitTermination(240)
+
+    log = SnapshotTable(f"{out_root}/clusters").read(spark).collect()
+    events = {(r.node, r.component, r.batch_id) for r in log}
+    # batch 0: dc joined db's cluster; batch 1: da (smaller id) arrives and
+    # BOTH earlier members re-home to it — retroactive reassignments
+    assert ("dc", "db", 0) in events
+    assert ("db", "da", 1) in events and ("dc", "da", 1) in events
+
+    got = {(r.node, r.component) for r in latest_clusters(spark, out_root).collect()}
+    all_docs = spark.createDataFrame(b1 + b2, "doc_id string, text string")
+    exp_cc = connected_components(
+        lsh_candidate_pairs(minhash_signatures(all_docs, k=16), bands=4, rows=4)
+    )
+    exp = {(r.node, r.component) for r in exp_cc.collect()}
+    assert got == exp
+    assert ("u1", "u2") not in {(a, b) for a, b, _ in events}

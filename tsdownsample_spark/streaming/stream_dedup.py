@@ -46,7 +46,7 @@ from tsdownsample_spark.streaming.stream_token_tiers import (
     claim_stream,
 )
 
-__all__ = ["stream_dedup_minhash"]
+__all__ = ["stream_dedup_minhash", "latest_clusters"]
 
 
 def stream_dedup_minhash(
@@ -60,6 +60,7 @@ def stream_dedup_minhash(
     rows: int = 4,
     checkpoint: str | None = None,
     trigger_available_now: bool = True,
+    emit_clusters: bool = False,
 ):
     """Start the ingest-dedup stream.
 
@@ -67,17 +68,33 @@ def stream_dedup_minhash(
     Candidate pairs land in ``{out_root}/pairs`` (id_a < id_b, exactly
     once across all batches); the accumulated banded signatures in
     ``{out_root}/bands``.  Returns the started StreamingQuery.
+
+    ``emit_clusters=True`` additionally maintains near-dup CLUSTER
+    assignments at ingest: after each batch's pairs commit, connected
+    components run over the ACCUMULATED pair set (cost ∝ the duplicate
+    subset, never the corpus) and every (node, component) assignment not
+    yet in the ``{out_root}/clusters`` log is appended with the batch id.
+    Pairs only accumulate, so components only MERGE and a node's
+    component id is non-increasing over time — each append is therefore a
+    retroactive-reassignment event (a later batch can re-home nodes
+    emitted earlier, exactly like stream_spans' retroactive duplicate
+    announcements), the log is append-only (Iceberg-friendly), and the
+    LATEST event per node (:func:`latest_clusters`) always equals the
+    batch operator ``connected_components`` over all pairs so far — the
+    stream==batch proof the equivalence pytest replays.
     """
     pairs_table = SnapshotTable(os.path.join(out_root, "pairs"))
     bands_table = SnapshotTable(os.path.join(out_root, "bands"))
+    clusters_table = SnapshotTable(os.path.join(out_root, "clusters"))
     ledger = _BatchLedger(out_root)
     ckpt = checkpoint or os.path.join(out_root, "_checkpoint")
     claim_stream(out_root, ckpt)
-    # ledger stages ride the tier slot: 0 = pairs, 1 = bands
-    PAIRS, BANDS = 0, 1
+    # ledger stages ride the tier slot: 0 = pairs, 1 = bands, 2 = clusters
+    PAIRS, BANDS, CLUSTERS = 0, 1, 2
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        if ledger.seen(batch_id, PAIRS) and ledger.seen(batch_id, BANDS):
+        done = ledger.seen(batch_id, PAIRS) and ledger.seen(batch_id, BANDS)
+        if done and (not emit_clusters or ledger.seen(batch_id, CLUSTERS)):
             return
         spark = batch_df.sparkSession
         # cached, then unpersisted before return: the md5/shingle work runs
@@ -111,6 +128,28 @@ def stream_dedup_minhash(
             )
             append_exactly_once(pairs_table, ledger, batch_id, PAIRS, pairs)
             append_exactly_once(bands_table, ledger, batch_id, BANDS, new_banded)
+            if emit_clusters and not ledger.seen(batch_id, CLUSTERS):
+                from tsdownsample_spark.operators.dedup import (
+                    connected_components,
+                )
+
+                cc_now = connected_components(pairs_table.read(spark))
+                if clusters_table.current_snapshot_id() is not None:
+                    seen_assign = clusters_table.read(spark).select(
+                        "node", "component"
+                    )
+                    changed = cc_now.join(
+                        seen_assign, ["node", "component"], "left_anti"
+                    )
+                else:
+                    changed = cc_now
+                append_exactly_once(
+                    clusters_table,
+                    ledger,
+                    batch_id,
+                    CLUSTERS,
+                    changed.withColumn("batch_id", F.lit(int(batch_id))),
+                )
         finally:
             new_banded.unpersist()
 
@@ -120,3 +159,18 @@ def stream_dedup_minhash(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def latest_clusters(spark, out_root: str) -> DataFrame:
+    """Current cluster map from the reassignment log: the latest event per
+    node (components only merge, so the max-batch event is the live one;
+    within a batch a node appears at most once)."""
+    from pyspark.sql import Window as W
+
+    log = SnapshotTable(os.path.join(out_root, "clusters")).read(spark)
+    w = W.partitionBy("node").orderBy(F.col("batch_id").desc())
+    return (
+        log.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("node", "component")
+    )
