@@ -174,3 +174,20 @@ def test_stream_clusters_retroactive_merge(spark, tmp_path):
     exp = {(r.node, r.component) for r in exp_cc.collect()}
     assert got == exp
     assert ("u1", "u2") not in {(a, b) for a, b, _ in events}
+
+    # redelivery (lost Spark checkpoint): ledger makes the cluster stage a
+    # no-op — the event log gains nothing
+    import shutil
+
+    n_events = len(log)
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    stream2 = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 1).parquet(flat)
+    )
+    q2 = stream_dedup_minhash(
+        stream2, out_root, k=16, bands=4, rows=4,
+        checkpoint=str(tmp_path / "ckpt"), emit_clusters=True,
+    )
+    assert q2.awaitTermination(240)
+    assert SnapshotTable(f"{out_root}/clusters").read(spark).count() == n_events
