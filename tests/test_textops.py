@@ -715,3 +715,29 @@ def test_duplicate_spans_xxhash64_same_detection(spark):
     assert md5_set == xx_set and len(md5_set) > 0
     # and the key really is a bigint (no string materialization)
     assert dict(xx.dtypes)["win_hash"] == "bigint"
+
+
+def test_semantic_dedup_planted_clusters(spark):
+    """Two tight embedding clusters + singletons: members cluster to the
+    min id, exactly one keeper per cluster, singletons keep themselves."""
+    import numpy as np
+
+    from tsdownsample_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    c1 = rng.normal(0, 1, 8)
+    c2 = rng.normal(0, 1, 8)
+    rows = []
+    for i in range(3):  # ids 0,1,2 -> cluster around c1
+        rows.append((i, (c1 + rng.normal(0, 0.01, 8)).tolist()))
+    for i in range(3, 5):  # ids 3,4 -> cluster around c2
+        rows.append((i, (c2 + rng.normal(0, 0.01, 8)).tolist()))
+    rows.append((5, rng.normal(0, 1, 8).tolist()))  # singleton
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: (r.cluster_id, r.keep)
+           for r in semantic_dedup(df, threshold=0.98, n_cells=2, dim=8,
+                                   seed=5).collect()}
+    assert len(out) == 6
+    assert out[0] == (0, True) and out[1] == (0, False) and out[2] == (0, False)
+    assert out[3] == (3, True) and out[4] == (3, False)
+    assert out[5] == (5, True)

@@ -560,3 +560,55 @@ def ann_recall_report(
         )
     exact.unpersist()
     return out
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    n_cells: int = 8,
+    dim: int = 64,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means cells as the blocking key, exact cosine
+    pairs WITHIN each cell, connected components over the pair graph, and
+    a total per-vector ``(<id_col>, cluster_id, keep)`` verdict — the
+    embedding-space twin of the MinHash pipeline's pairs -> clusters ->
+    keep-one stages.
+
+    Pass ``centroids`` from :func:`ivf_train_centroids` for data-fitted
+    cells (better within-cell recall, same plan); the default is the
+    deterministic random codebook shared with the IVF oracle.
+
+    Scale shape: cell assignment is a narrow per-row expression; the
+    candidate self-join shuffles on the CELL key only (never all-pairs);
+    verification inherits :func:`near_dup_pairs`'s semi-join restriction;
+    clustering cost ∝ the duplicate subset (see
+    ``operators/dedup.connected_components``).  Cross-cell near-dups are
+    the documented recall caveat — the same boundary miss as nprobe=1 IVF;
+    SemDeDup accepts it by design (within-cluster dedup only).
+    """
+    from tsdownsample_spark.operators.dedup import neardup_clusters
+
+    cents = centroids if centroids is not None else ivf_centroids(dim, n_cells, seed)
+    cells = vectors.select(
+        F.col(id_col), F.expr(cell_expr(vec_col, cents)).alias("cell")
+    )
+    a = cells.select(F.col(id_col).alias("id_a"), "cell")
+    b = cells.select(F.col(id_col).alias("id_b"), "cell")
+    cand = a.join(b, "cell").where(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b"
+    )
+    pairs = near_dup_pairs(
+        vectors,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        candidates=cand,
+    )
+    return neardup_clusters(
+        vectors.select(id_col), pairs.select("id_a", "id_b"), id_col=id_col
+    )

@@ -425,6 +425,67 @@ SELECT id_a, id_b, cos_r FROM scored WHERE cos_r >= 0.28
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup composition (operators/similarity.semantic_dedup):
+    k-means cells -> within-cell exact cosine pairs -> connected
+    components -> per-vector keep verdict."""
+    from tsdownsample_spark.operators.similarity import semantic_dedup
+
+    emb = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    return semantic_dedup(emb, threshold=0.28, n_cells=8, dim=64, seed=11)
+
+
+def _oracle_semantic_dedup() -> str:
+    from tsdownsample_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(64, 8, 11)
+    dots = []
+    for c in cents:
+        arr = "[" + ",".join(f"CAST({v} AS DOUBLE)" for v in c) + "]"
+        dots.append(_DUCK_DOT.format(a="embedding", b=arr))
+    dcols = ", ".join(f"{d} AS d{i}" for i, d in enumerate(dots))
+    m = "greatest(" + ", ".join(f"d{i}" for i in range(len(cents))) + ")"
+    cell = (
+        "CASE "
+        + " ".join(f"WHEN d{i} = m THEN {i}" for i in range(len(cents)))
+        + " END"
+    )
+    return f"""
+WITH RECURSIVE base AS (
+    SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000
+),
+d AS (SELECT vec_id, embedding, {dcols} FROM base),
+e AS (
+    SELECT vec_id, embedding, {cell} AS cell
+    FROM (SELECT *, {m} AS m FROM d)
+),
+norms AS (
+    SELECT vec_id, embedding, cell,
+           sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS nrm
+    FROM e
+),
+pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM norms a JOIN norms b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE ROUND({_DUCK_DOT.format(a='a.embedding', b='b.embedding')}
+                / (a.nrm * b.nrm), 6) >= 0.28
+),
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION ALL
+    SELECT id_b, id_a FROM pairs
+),
+walk(node, lbl) AS (
+    SELECT vec_id, vec_id FROM base
+    UNION
+    SELECT e2.v, w.lbl FROM walk w JOIN edges e2 ON e2.u = w.node
+)
+SELECT node AS vec_id, MIN(lbl) AS cluster_id, (MIN(lbl) = node) AS keep
+FROM walk GROUP BY node
+"""
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsdownsample_spark.operators.similarity import ivf_ann_topk
 
@@ -1386,6 +1447,7 @@ def queries() -> dict:
         "q_ann_ivf_mp": q_ann_ivf_mp,
         "q_ann_lsh_mp": q_ann_lsh_mp,
         "q_embed_neardup": q_embed_neardup,
+        "q_semantic_dedup": q_semantic_dedup,
         "q_tokenize": q_tokenize,
         "q_heavy_hitters": q_heavy_hitters,
         "q_pii_scrub": q_pii_scrub,
@@ -1422,6 +1484,7 @@ def oracle_sql() -> dict:
         "q_ann_ivf_mp": _oracle_ann_ivf_mp(),
         "q_ann_lsh_mp": _oracle_ann_lsh_mp(),
         "q_embed_neardup": _ORACLE_EMBED_NEARDUP,
+        "q_semantic_dedup": _oracle_semantic_dedup(),
         "q_tokenize": _ORACLE_TOKENIZE,
         "q_heavy_hitters": _ORACLE_HEAVY_HITTERS,
         "q_pii_scrub": _ORACLE_PII_SCRUB,
