@@ -179,7 +179,10 @@ def pipeline_job(spark, path, out_root):
         prev = table
 
 
-SPANS_DOCS = int(os.environ.get("BENCH_SPANS_DOCS", "16000"))
+# 48k docs: the xxhash64 form is ~2x faster than the md5 form this was
+# sized for (run AH), and sub-10s walls let fixed per-level overhead
+# pollute the efficiency ratio
+SPANS_DOCS = int(os.environ.get("BENCH_SPANS_DOCS", "48000"))
 SPANS_NTOK = int(os.environ.get("BENCH_SPANS_NTOK", "2000"))
 
 
