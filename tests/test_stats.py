@@ -1,0 +1,128 @@
+"""Series-diagnostics operators (operators/stats.py).
+
+The contract rows (q_autocorr / q_cusum / q_winsorize) are oracle-compared
+against DuckDB by test_entry_contract.py; these tests pin the pieces an
+oracle can't see:
+
+* the CUSUM closed form (prefix sum minus running min) against the
+  LITERAL textbook recursion ``S_t = max(0, S_{t-1} + dev_t)`` in NumPy;
+* plan audits: zero Python in any of the three plans, and cusum/winsorize
+  derive their per-series stats via groupBy+join (no whole-partition
+  unbounded window buffering).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tsdownsample_spark.operators.stats import autocorr, cusum, winsorize
+
+
+def _series_df(spark, n=400, series=3, seed=7):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for s in range(series):
+        vals = rng.normal(10.0, 2.0, size=n)
+        # plant a level shift so CUSUM has a real alarm to find
+        if s == 0:
+            vals[n // 2 :] += 4.0
+        for i, v in enumerate(vals):
+            rows.append((f"s{s}", i, float(v)))
+    return spark.createDataFrame(rows, "key string, t long, value double")
+
+
+def test_cusum_matches_literal_recursion(spark):
+    df = _series_df(spark)
+    out = (
+        cusum(df, x_col="t", y_col="value", by=["key"], k=0.5, h=5.0)
+        .orderBy("key", "t")
+        .collect()
+    )
+    pdf = df.toPandas().sort_values(["key", "t"])
+    got = {(r["key"], r["t"]): r["cusum_s"] for r in out}
+    for key, grp in pdf.groupby("key"):
+        v = grp["value"].to_numpy()
+        z = (v - v.mean()) / v.std(ddof=1)
+        s = 0.0
+        for t, zt in enumerate(z):
+            s = max(0.0, s + (zt - 0.5))
+            assert got[(key, t)] == pytest.approx(s, abs=1e-9), (key, t)
+
+
+def test_cusum_alarm_fires_on_shifted_series_only(spark):
+    df = _series_df(spark)
+    alarms = (
+        cusum(df, x_col="t", y_col="value", by=["key"], k=0.5, h=8.0)
+        .where("alarm")
+        .groupBy("key")
+        .count()
+        .collect()
+    )
+    fired = {r["key"] for r in alarms}
+    # with this seed the in-control series peak at S=6.9 and S=4.4 while
+    # the shifted series tops 50 — h=8 separates them deterministically
+    assert fired == {"s0"}
+
+
+def test_autocorr_matches_numpy(spark):
+    df = _series_df(spark, series=2)
+    out = {
+        r["key"]: (r["acf"], r["n_pairs"])
+        for r in autocorr(df, x_col="t", y_col="value", by=["key"], lag=2).collect()
+    }
+    pdf = df.toPandas().sort_values(["key", "t"])
+    for key, grp in pdf.groupby("key"):
+        v = grp["value"].to_numpy()
+        expect = np.corrcoef(v[2:], v[:-2])[0, 1]
+        acf, n_pairs = out[key]
+        assert n_pairs == len(v) - 2
+        assert acf == pytest.approx(expect, abs=1e-9)
+
+
+def test_autocorr_rejects_bad_lag(spark):
+    df = _series_df(spark, n=10, series=1)
+    with pytest.raises(ValueError, match="lag"):
+        autocorr(df, x_col="t", y_col="value", by=["key"], lag=0)
+
+
+def test_winsorize_bounds_and_interior_identity(spark):
+    df = _series_df(spark, series=2)
+    out = winsorize(df, y_col="value", by=["key"], lower=0.10, upper=0.90)
+    rows = out.collect()
+    pdf = df.toPandas()
+    for key, grp in pdf.groupby("key"):
+        lo = np.quantile(grp["value"], 0.10)  # numpy default = linear interp
+        hi = np.quantile(grp["value"], 0.90)
+        mine = [r for r in rows if r["key"] == key]
+        assert mine[0]["p_lo"] == pytest.approx(lo, abs=1e-12)
+        assert mine[0]["p_hi"] == pytest.approx(hi, abs=1e-12)
+        for r in mine:
+            assert lo - 1e-12 <= r["value_w"] <= hi + 1e-12
+            if lo < r["value"] < hi:
+                assert r["value_w"] == r["value"]
+
+
+def test_winsorize_rejects_bad_bounds(spark):
+    df = _series_df(spark, n=10, series=1)
+    with pytest.raises(ValueError, match="lower"):
+        winsorize(df, y_col="value", by=["key"], lower=0.9, upper=0.1)
+
+
+@pytest.mark.parametrize(
+    "build",
+    [
+        lambda df: autocorr(df, x_col="t", y_col="value", by=["key"], lag=1),
+        lambda df: cusum(df, x_col="t", y_col="value", by=["key"]),
+        lambda df: winsorize(df, y_col="value", by=["key"]),
+    ],
+    ids=["autocorr", "cusum", "winsorize"],
+)
+def test_plans_have_no_python(spark, build):
+    df = _series_df(spark, n=50, series=2)
+    plan = build(df)._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan, marker
+    # stats come from groupBy+join, not an unbounded window over the fact
+    # side: the only Window in the cusum plan is the cumulative ROWS pair
+    if "cusum" in str(build):
+        assert "Join" in plan

@@ -1646,6 +1646,106 @@ FROM d GROUP BY 1, 2
 """
 
 
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation per event_type (operators/stats.py:autocorr):
+    one lag window + one map-side-combinable groupBy — shuffle cardinality
+    is the series count.  corr is sum-based, so both sides round to 6."""
+    from tsdownsample_spark.operators.stats import autocorr
+
+    ev = load(spark, sf_dir, "events")
+    out = autocorr(
+        ev, x_col="ts", y_col="value", by=["event_type"], lag=1,
+        tiebreak=["event_id"],
+    )
+    return out.select(
+        "event_type", F.round("acf", 6).alias("acf_r"), "n_pairs"
+    )
+
+
+_ORACLE_AUTOCORR = """
+WITH d AS (
+    SELECT event_type, value,
+           LAG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS pv
+    FROM events
+)
+SELECT event_type, ROUND(corr(value, pv), 6) AS acf_r, COUNT(pv) AS n_pairs
+FROM d GROUP BY 1
+"""
+
+
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change detection per event_type
+    (operators/stats.py:cusum).  The max(0, S+dev) recursion runs as its
+    prefix-sum/running-min closed form — two cumulative ROWS windows, zero
+    Python — and the oracle re-derives the same identity in SQL.  The
+    statistic folds ~2000 standardized terms, so both sides round to 6 and
+    the alarm flag is evaluated on the ROUNDED value."""
+    from tsdownsample_spark.operators.stats import cusum
+
+    ev = load(spark, sf_dir, "events")
+    out = cusum(
+        ev, x_col="ts", y_col="value", by=["event_type"], k=0.5, h=5.0,
+        tiebreak=["event_id"],
+    )
+    return out.select(
+        "event_type", "ts", F.round("cusum_s", 6).alias("cusum_r"), "alarm"
+    )
+
+
+_ORACLE_CUSUM = """
+WITH s AS (
+    SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd
+    FROM events GROUP BY 1
+), p AS (
+    SELECT e.event_type, e.ts, e.event_id,
+           SUM((e.value - s.mu) / s.sd - 0.5)
+             OVER (PARTITION BY e.event_type ORDER BY e.ts, e.event_id
+                   ROWS UNBOUNDED PRECEDING) AS pfx
+    FROM events e JOIN s USING (event_type)
+), m AS (
+    SELECT event_type, ts, pfx,
+           MIN(pfx) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS runmin
+    FROM p
+)
+SELECT event_type, ts, ROUND(pfx - LEAST(runmin, 0), 6) AS cusum_r,
+       (ROUND(pfx - LEAST(runmin, 0), 6) > 5.0) AS alarm
+FROM m
+"""
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series winsorization at [p01, p99] (operators/stats.py:winsorize)
+    with EXACT interpolated percentiles — Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the ANSI percentile_cont definition, so the clip
+    bounds agree; rounding only defends the interpolation arithmetic."""
+    from tsdownsample_spark.operators.stats import winsorize
+
+    ev = load(spark, sf_dir, "events")
+    out = winsorize(ev, y_col="value", by=["event_type"], lower=0.01, upper=0.99)
+    return out.select(
+        "event_type",
+        "event_id",
+        F.round("value_w", 6).alias("value_w_r"),
+        F.round("p_lo", 6).alias("p_lo_r"),
+        F.round("p_hi", 6).alias("p_hi_r"),
+    )
+
+
+_ORACLE_WINSORIZE = """
+WITH b AS (
+    SELECT event_type,
+           quantile_cont(value, 0.01) AS p_lo,
+           quantile_cont(value, 0.99) AS p_hi
+    FROM events GROUP BY 1
+)
+SELECT e.event_type, e.event_id,
+       ROUND(LEAST(GREATEST(e.value, b.p_lo), b.p_hi), 6) AS value_w_r,
+       ROUND(b.p_lo, 6) AS p_lo_r, ROUND(b.p_hi, 6) AS p_hi_r
+FROM events e JOIN b USING (event_type)
+"""
+
+
 def q_downsample_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reconstruction-fidelity report (operators/evaluate.py): linear-interp
     error of the distributed MinMax n_out=100 selection against the raw
@@ -2113,18 +2213,19 @@ _WINDOW_R05 = [
     "q_anomaly_prefix", "q_minmax_jvm", "q_m4_jvm", "q_everynth_jvm",
     "q_ann_ivf_mp", "q_dup_spans", "q_dedup_cluster", "q_dup_span_cut",
     "q_lm_score", "q_token_budget",
+    # (3) new contract rows this round, second batch (series diagnostics)
+    "q_autocorr", "q_cusum", "q_winsorize",
     # (3) implementation changed this round
     "q_pack_greedy", "q_gapfill_linear",
     # (4) high-value r4-green fill (q_token_tiers, q_compress_roundtrip,
-    # q_asof_join, q_lttb_x and q_nanminmax_x rotated to the tail — never-
-    # driver-checked new rows outrank r4-green ones, and the lttb/nanminmax
-    # selector classes keep their §2.1 row via q_lttb/q_nanminmax; the
-    # cascade twin q_stream_tiers stays.  The tail is not unchecked:
+    # q_asof_join, q_lttb_x, q_nanminmax_x, q_anomaly, q_rollup_1d and
+    # q_downsample_error rotated to the tail — never-driver-checked new rows
+    # outrank r4-green ones, and the lttb/nanminmax selector classes keep
+    # their §2.1 row via q_lttb/q_nanminmax; the cascade twin q_stream_tiers
+    # stays.  The tail is not unchecked:
     # tests/test_entry_contract.py::test_queries_against_oracles oracle-
     # compares EVERY registry entry, window and tail, in CI.)
-    "q_anomaly", "q_rollup_1d",
-    "q_downsample_error", "q_interval_join",
-    "q_stream_tiers",
+    "q_interval_join", "q_stream_tiers",
 ]
 
 
@@ -2187,6 +2288,9 @@ def queries() -> dict:
         "q_quantiles": q_quantiles,
         "q_counter_rate": q_counter_rate,
         "q_twa": q_twa,
+        "q_autocorr": q_autocorr,
+        "q_cusum": q_cusum,
+        "q_winsorize": q_winsorize,
         "q_downsample_error": q_downsample_error,
         "q_multi_select": q_multi_select,
         "q_pyramid": q_pyramid,
@@ -2262,6 +2366,9 @@ def oracle_sql() -> dict:
         "q_quantiles": _ORACLE_QUANTILES,
         "q_counter_rate": _ORACLE_COUNTER_RATE,
         "q_twa": _ORACLE_TWA,
+        "q_autocorr": _ORACLE_AUTOCORR,
+        "q_cusum": _ORACLE_CUSUM,
+        "q_winsorize": _ORACLE_WINSORIZE,
         "q_downsample_error": _oracle_downsample_error(),
         "q_multi_select": _oracle_multi_select(),
         "q_pyramid": _oracle_pyramid(),
