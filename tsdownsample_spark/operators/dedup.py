@@ -389,6 +389,7 @@ def duplicate_spans(
     tokens_col: str = "tokens",
     min_count: int = 2,
     hash: str = "md5",
+    form: str = "window",
 ) -> DataFrame:
     """Exact duplicated token-window detection (substring-level dedup).
 
@@ -414,14 +415,31 @@ def duplicate_spans(
     document row and only ``(start, hash)`` pairs are exploded — the token
     array itself is never replicated per span row (at 5k tokens/doc a
     naive explode-then-slice would carry ~n/stride copies of the array
-    through the Generate).  The count is ONE window over the hash — the
-    same no-join shape as :func:`dedup_exact`, per-hash state bounded by
-    duplicate multiplicity, never corpus size.  A groupBy + join-back form
-    was measured 1.8x SLOWER (BENCH/ab_dup_spans_form.json): the probe
-    side re-derives every span's md5, doubling the dominant hashing work,
-    while the window form derives once and pays only the hash-keyed
-    exchange + sort.  At 100 TB this is the published shape: shuffle
-    proportional to window count.
+    through the Generate).  Two physical forms, both shuffling only span
+    rows (never tokens):
+
+    * ``form="window"`` — ONE ``COUNT(*) OVER (PARTITION BY win_hash)``:
+      derives each hash once, per-hash state bounded by duplicate
+      multiplicity; pays a hash-keyed exchange PLUS A FULL SORT of every
+      span row (WindowExec sorts its partition input).  With ``md5`` this
+      form won its A/B 1.8x (BENCH/ab_dup_spans_form.json): string-build +
+      md5 dominates, and the join form below derives it twice.
+    * ``form="join"`` — count-only hash AGGREGATION on the hash (codegen
+      hash-agg, no sort), filter to the >= min_count survivors (on real
+      corpora a sliver of all windows), join back to a re-derived span
+      side.  MEASURED AND REJECTED under xxhash64 too
+      (BENCH/ab_spans_join_xx.json, randomized order, both ladder levels):
+      1.9x slower at 2 cores, 1.6x at 8 — cheap hashing does NOT rescue
+      it, because the doubled cost is the Generate/struct explode of every
+      span row, not the hash itself.  Kept for the record and for engines
+      where the probe side is a materialized table (no re-derivation).
+
+    The window form's sort-exchange is the spans scaling ladder's measured
+    wall (0.41 at 2->8 cores in a calm-confirmed window,
+    BENCH/scaling_runAI.json) — but it is also the cheaper plan at BOTH
+    core counts, so the floor is the host's serialized sort bandwidth, not
+    a fixable plan defect.  At 100 TB both forms are the published shape:
+    shuffle proportional to window count, never tokens.
     """
     from pyspark.sql import Window as W
 
@@ -429,9 +447,20 @@ def duplicate_spans(
         toks, window=window, stride=stride, id_col=id_col,
         tokens_col=tokens_col, hash=hash
     )
-    return spans.withColumn(
-        "n_dup", F.count("*").over(W.partitionBy("win_hash"))
-    ).where(F.col("n_dup") >= min_count)
+    if form == "window":
+        return spans.withColumn(
+            "n_dup", F.count("*").over(W.partitionBy("win_hash"))
+        ).where(F.col("n_dup") >= min_count)
+    if form == "join":
+        counts = (
+            spans.groupBy("win_hash")
+            .agg(F.count("*").alias("n_dup"))
+            .where(F.col("n_dup") >= min_count)
+        )
+        return spans.join(counts, "win_hash").select(
+            id_col, "start", "win_hash", "n_dup"
+        )
+    raise ValueError(f"form must be 'window' or 'join', got {form!r}")
 
 
 def merge_duplicate_spans(
