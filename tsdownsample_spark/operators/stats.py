@@ -74,6 +74,7 @@ def cusum(
     k: float = 0.5,
     h: float = 5.0,
     tiebreak: Sequence[str] = (),
+    stats_df: DataFrame | None = None,
 ) -> DataFrame:
     """One-sided (positive-shift) CUSUM change detection per series.
 
@@ -85,10 +86,21 @@ def cusum(
     "distance above the running minimum of the prefix sums", which two
     cumulative ROWS windows compute in one pass per series.  Output columns:
     ``cusum_s`` (the statistic) and ``alarm``.
+
+    ``stats_df`` (optional): a precomputed calibration table
+    ``(by..., _mu, _sd)`` to standardize against instead of the input's own
+    mean/std — the production mode (calibrate on an in-control reference
+    period, monitor everything after) and the contract the streaming twin
+    (streaming/stream_cusum.py) shares, since a stream cannot know its
+    future mean.
     """
     by = list(by)
-    stats = df.groupBy(*by).agg(
-        F.avg(y_col).alias("_mu"), F.stddev_samp(y_col).alias("_sd")
+    stats = (
+        stats_df
+        if stats_df is not None
+        else df.groupBy(*by).agg(
+            F.avg(y_col).alias("_mu"), F.stddev_samp(y_col).alias("_sd")
+        )
     )
     order = _order_cols(x_col, tiebreak)
     cum = (
