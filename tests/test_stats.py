@@ -15,7 +15,13 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from tsdownsample_spark.operators.stats import autocorr, cusum, winsorize
+from tsdownsample_spark.operators.stats import (
+    autocorr,
+    cusum,
+    ewma,
+    seasonal_zscore,
+    winsorize,
+)
 
 
 def _series_df(spark, n=400, series=3, seed=7):
@@ -100,6 +106,56 @@ def test_winsorize_bounds_and_interior_identity(spark):
             assert lo - 1e-12 <= r["value_w"] <= hi + 1e-12
             if lo < r["value"] < hi:
                 assert r["value_w"] == r["value"]
+
+
+def test_ewma_matches_pandas_full_series(spark):
+    """Full-series EWMA vs pandas ewm(adjust=False) — the contract row
+    restarts daily only to keep the oracle recursion shallow; this pins
+    the unsegmented semantics (at float tolerance: pandas divides by
+    old_wt+new_wt, which is ~1 ulp off the textbook form we compute)."""
+    import pandas as pd
+
+    df = _series_df(spark, n=500, series=2)
+    out = {
+        (r["key"], r["t"]): r["ewma"]
+        for r in ewma(df, x_col="t", y_col="value", by=["key"], alpha=0.25).collect()
+    }
+    pdf = df.toPandas().sort_values(["key", "t"])
+    for key, grp in pdf.groupby("key"):
+        exp = grp["value"].ewm(alpha=0.25, adjust=False).mean().to_numpy()
+        for t, e in zip(grp["t"], exp):
+            assert out[(key, t)] == pytest.approx(e, rel=1e-12), (key, t)
+
+
+def test_ewma_first_point_identity_and_alpha_one(spark):
+    df = _series_df(spark, n=20, series=1)
+    rows = sorted(
+        ewma(df, x_col="t", y_col="value", by=["key"], alpha=1.0).collect(),
+        key=lambda r: r["t"],
+    )
+    for r in rows:  # alpha=1 -> no smoothing at all
+        assert r["ewma"] == pytest.approx(r["value"], abs=0.0)
+    with pytest.raises(ValueError, match="alpha"):
+        ewma(df, x_col="t", y_col="value", by=["key"], alpha=0.0)
+
+
+def test_seasonal_zscore_profile(spark):
+    # two "hours" with different baselines; z must use each row's own slot
+    rows = []
+    for day in range(30):
+        rows.append(("a", f"2024-01-{day+1:02d} 03:00:00", 10.0 + (day % 3)))
+        rows.append(("a", f"2024-01-{day+1:02d} 15:00:00", 100.0 + (day % 3)))
+    df = spark.createDataFrame(rows, "key string, ts string, value double").select(
+        "key", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    out = seasonal_zscore(df, x_col="ts", y_col="value", by=["key"]).collect()
+    mus = {r["season_slot"]: r["season_mu"] for r in out}
+    assert mus[3] == pytest.approx(11.0)
+    assert mus[15] == pytest.approx(101.0)
+    for r in out:  # identical residual pattern in both slots -> same |z| range
+        assert abs(r["z_seasonal"]) < 1.5
+    with pytest.raises(ValueError, match="season"):
+        seasonal_zscore(df, by=["key"], season="fortnight")
 
 
 def test_winsorize_rejects_bad_bounds(spark):

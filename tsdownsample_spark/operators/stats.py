@@ -1,5 +1,5 @@
 """Per-series statistical diagnostics: autocorrelation, CUSUM change
-detection, winsorization.
+detection, winsorization, EWMA smoothing, seasonal-baseline z-scores.
 
 These extend the engine past the reference's selector surface
 (tsdownsample has no analytics beyond downsampling; these are the
@@ -22,6 +22,16 @@ Spark-first notes (100 TB shapes):
 * ``winsorize`` — exact interpolated percentiles per series (map-side
   partial ``percentile``), joined back and clipped; one narrow join, no
   second scan of the fact side beyond the clip projection.
+* ``ewma`` — the one operator here that is genuinely sequential
+  (``y'_t = a*y_t + (1-a)*y'_{t-1}`` carries state point to point, like
+  LTTB's selected-point dependence): whole-series groups through
+  ``applyInPandas``, parallel ACROSS series — the documented escape hatch,
+  not a regression to per-row Python (Arrow batches, vectorized pandas
+  ewm inside).
+* ``seasonal_zscore`` — per-(series, hour-of-day) baseline profile via one
+  groupBy, joined back (AQE broadcasts the 24x-series-count profile), each
+  point scored against its OWN season — the diurnal-pattern-aware variant
+  of the global z-score.
 """
 
 from __future__ import annotations
@@ -31,7 +41,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["autocorr", "cusum", "winsorize"]
+__all__ = ["autocorr", "cusum", "winsorize", "ewma", "seasonal_zscore"]
 
 
 def _order_cols(x_col: str, tiebreak: Sequence[str]) -> list[Column]:
@@ -147,4 +157,103 @@ def winsorize(
     return df.join(bounds, on=by, how="inner").withColumn(
         f"{y_col}_w",
         F.least(F.greatest(F.col(y_col), F.col("p_lo")), F.col("p_hi")),
+    )
+
+
+def ewma(
+    df: DataFrame,
+    x_col: str = "ts",
+    y_col: str = "value",
+    by: Sequence[str] = ("series_key",),
+    alpha: float = 0.3,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Exponentially weighted moving average per series
+    (``adjust=False`` semantics: ``y'_0 = y_0``,
+    ``y'_t = alpha*y_t + (1-alpha)*y'_{t-1}``).
+
+    Sequential by definition — each smoothed value feeds the next — so it
+    runs whole-series-per-group through ``applyInPandas`` (the LTTB
+    pattern: parallel across series, vectorized pandas ``ewm`` within).
+    A window/closed-form rewrite exists on paper (weighted prefix sums)
+    but needs ``(1-alpha)^-t`` factors that overflow float64 within a few
+    thousand points, so the honest distributed shape is one group per
+    series; memory is bounded by series length like every whole-series
+    kernel here (see queries.event_series for the scale framing).
+    Output: input columns (less tiebreak) plus ``ewma``.
+
+    The recursion is an explicit loop spelling exactly
+    ``alpha*y + (1-alpha)*prev`` — NOT pandas ``ewm(adjust=False)``, whose
+    internal ``(old_wt*prev + new_wt*y) / (old_wt + new_wt)`` divides by a
+    sum that is one ulp off 1.0 for most alphas, breaking bit-parity with
+    any engine that writes the textbook form (observed: a 6th-decimal
+    rounding flip against the DuckDB oracle at alpha=0.3).
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    by = list(by)
+    tiebreak = list(tiebreak)
+    import pandas as pd  # noqa: F401  (worker-side)
+
+    cols = by + [x_col] + tiebreak + [y_col]
+    out_fields = [df.schema[c] for c in by + [x_col, y_col]]
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(out_fields + [StructField("ewma", DoubleType())])
+    sort_cols = [x_col] + tiebreak
+
+    a = float(alpha)
+    one_minus_a = 1.0 - a
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf.sort_values(sort_cols, kind="mergesort", ignore_index=True)
+        v = pdf[y_col].to_numpy(dtype="float64")
+        sm = np.empty_like(v)
+        ew = np.nan
+        for i, x in enumerate(v):
+            if np.isnan(x):
+                sm[i] = ew  # NULL/NaN inherits the running smooth
+            else:
+                ew = x if np.isnan(ew) else a * x + one_minus_a * ew
+                sm[i] = ew
+        out = pdf[by + [x_col, y_col]].copy()
+        out["ewma"] = sm
+        return out
+
+    return df.select(*cols).groupBy(*by).applyInPandas(fn, schema=schema)
+
+
+def seasonal_zscore(
+    df: DataFrame,
+    x_col: str = "ts",
+    y_col: str = "value",
+    by: Sequence[str] = ("series_key",),
+    season: str = "hour_of_day",
+) -> DataFrame:
+    """Score each point against its (series, season-slot) baseline.
+
+    A diurnal web-traffic series makes a global z-score blind (3am is
+    always "anomalous"); the fix is the classic seasonal profile: mean/std
+    per (series, hour-of-day | day-of-week), joined back.  One groupBy
+    (map-side combinable, output cardinality = series x slots) + one
+    AQE-broadcastable join.  Adds ``season_slot``, ``season_mu``,
+    ``season_sd``, ``z_seasonal``.
+    """
+    slots = {
+        "hour_of_day": F.hour(F.col(x_col)),
+        "day_of_week": F.dayofweek(F.col(x_col)),
+    }
+    if season not in slots:
+        raise ValueError(f"season must be one of {sorted(slots)}, got {season!r}")
+    by = list(by)
+    slotted = df.withColumn("season_slot", slots[season])
+    profile = slotted.groupBy(*by, "season_slot").agg(
+        F.avg(y_col).alias("season_mu"),
+        F.stddev_samp(y_col).alias("season_sd"),
+    )
+    return slotted.join(profile, on=by + ["season_slot"], how="inner").withColumn(
+        "z_seasonal",
+        (F.col(y_col) - F.col("season_mu")) / F.col("season_sd"),
     )

@@ -1746,6 +1746,93 @@ FROM events e JOIN b USING (event_type)
 """
 
 
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-restart EWMA smoothing per event_type
+    (operators/stats.py:ewma with by=[event_type, day]).  The restart
+    keeps the DuckDB oracle's recursive-CTE depth at ~80 (a full-series
+    recursion at sf0.01 costs ~60 s of per-iteration CTE overhead);
+    full-series semantics are pinned against pandas ewm in
+    tests/test_stats.py.  The comparison column is FLOOR(ew*1e6 + 0.5)
+    micro-units, not ROUND(ew, 6): the recursion is bit-identical across
+    engines (verified), but ROUND is not — Spark rounds the shortest
+    decimal repr (BigDecimal.valueOf, HALF_UP) while DuckDB rounds the
+    exact binary value, and an exact ...x5 boundary flips them; floor of
+    a pure double expression is engine-invariant."""
+    from tsdownsample_spark.operators.stats import ewma
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    out = ewma(
+        ev, x_col="ts", y_col="value", by=["event_type", "day"], alpha=0.3,
+        tiebreak=["event_id"],
+    )
+    return out.select(
+        "event_type",
+        "day",
+        "ts",
+        "value",
+        F.expr("CAST(FLOOR(ewma * 1e6 + 0.5) AS BIGINT)").alias("ewma_u6"),
+    )
+
+
+_ORACLE_EWMA = """
+WITH RECURSIVE ordered AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), rec AS (
+  SELECT event_type, day, ts, value, rn, value AS ew FROM ordered WHERE rn = 1
+  UNION ALL
+  -- (1.0 - 0.3), not literal 0.7: the operator computes one_minus_a =
+  -- 1 - alpha, and the two constants differ by one ulp — enough to flip
+  -- a 6th-decimal rounding after ~60 recursion steps
+  SELECT o.event_type, o.day, o.ts, o.value, o.rn,
+         0.3*o.value + (1.0 - 0.3)*r.ew
+  FROM ordered o
+  JOIN rec r ON o.event_type = r.event_type AND o.day = r.day AND o.rn = r.rn + 1
+)
+SELECT event_type, day, ts, value,
+       CAST(FLOOR(ew * 1e6 + 0.5) AS BIGINT) AS ewma_u6
+FROM rec
+"""
+
+
+def q_seasonal_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal-baseline z-score per event_type
+    (operators/stats.py:seasonal_zscore): one profile groupBy (series x 24
+    slots) + one AQE-broadcastable join — the diurnal-aware variant of the
+    global z-score.  Sum-based baseline, so both sides round to 6."""
+    from tsdownsample_spark.operators.stats import seasonal_zscore
+
+    ev = load(spark, sf_dir, "events")
+    out = seasonal_zscore(
+        ev, x_col="ts", y_col="value", by=["event_type"], season="hour_of_day"
+    )
+    return out.select(
+        "event_type",
+        "event_id",
+        "season_slot",
+        F.round("season_mu", 6).alias("mu_r"),
+        F.round("season_sd", 6).alias("sd_r"),
+        F.round("z_seasonal", 6).alias("z_r"),
+    )
+
+
+_ORACLE_SEASONAL_Z = """
+WITH p AS (
+    SELECT event_type, hour(ts) AS season_slot,
+           AVG(value) AS mu, STDDEV_SAMP(value) AS sd
+    FROM events GROUP BY 1, 2
+)
+SELECT e.event_type, e.event_id, p.season_slot,
+       ROUND(p.mu, 6) AS mu_r, ROUND(p.sd, 6) AS sd_r,
+       ROUND((e.value - p.mu) / p.sd, 6) AS z_r
+FROM events e JOIN p ON e.event_type = p.event_type AND hour(e.ts) = p.season_slot
+"""
+
+
 def q_downsample_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reconstruction-fidelity report (operators/evaluate.py): linear-interp
     error of the distributed MinMax n_out=100 selection against the raw
@@ -2201,7 +2288,9 @@ _WINDOW_R05 = [
     "q_nanm4_x", "q_nanm4_long", "q_nanm4_x_long", "q_bigram_lm",
     # (2) stale-since-r03 engine rows
     "q_rollup_1m", "q_rollup_1h",
-    "q_gapfill_null", "q_gapfill_zero", "q_gapfill_locf",
+    # q_gapfill_zero rides the tail: null/locf/linear cover the family's
+    # three distinct code paths; zero differs from null by one literal
+    "q_gapfill_null", "q_gapfill_locf",
     "q_counter_rate", "q_twa", "q_pyramid",
     # (2) stale-since-r03 distributed long/x selector rows
     "q_minmax_long", "q_m4_long", "q_everynth_long", "q_minmaxlttb_long",
@@ -2214,18 +2303,19 @@ _WINDOW_R05 = [
     "q_ann_ivf_mp", "q_dup_spans", "q_dedup_cluster", "q_dup_span_cut",
     "q_lm_score", "q_token_budget",
     # (3) new contract rows this round, second batch (series diagnostics)
-    "q_autocorr", "q_cusum", "q_winsorize",
+    "q_autocorr", "q_cusum", "q_winsorize", "q_ewma", "q_seasonal_z",
     # (3) implementation changed this round
     "q_pack_greedy", "q_gapfill_linear",
     # (4) high-value r4-green fill (q_token_tiers, q_compress_roundtrip,
-    # q_asof_join, q_lttb_x, q_nanminmax_x, q_anomaly, q_rollup_1d and
-    # q_downsample_error rotated to the tail — never-driver-checked new rows
-    # outrank r4-green ones, and the lttb/nanminmax selector classes keep
-    # their §2.1 row via q_lttb/q_nanminmax; the cascade twin q_stream_tiers
-    # stays.  The tail is not unchecked:
+    # q_asof_join, q_lttb_x, q_nanminmax_x, q_anomaly, q_rollup_1d,
+    # q_downsample_error and q_interval_join rotated to the tail —
+    # never-driver-checked new rows outrank r4-green ones, and the
+    # lttb/nanminmax selector classes keep their §2.1 row via
+    # q_lttb/q_nanminmax; the cascade twin q_stream_tiers stays.
+    # The tail is not unchecked:
     # tests/test_entry_contract.py::test_queries_against_oracles oracle-
     # compares EVERY registry entry, window and tail, in CI.)
-    "q_interval_join", "q_stream_tiers",
+    "q_stream_tiers",
 ]
 
 
@@ -2291,6 +2381,8 @@ def queries() -> dict:
         "q_autocorr": q_autocorr,
         "q_cusum": q_cusum,
         "q_winsorize": q_winsorize,
+        "q_ewma": q_ewma,
+        "q_seasonal_z": q_seasonal_z,
         "q_downsample_error": q_downsample_error,
         "q_multi_select": q_multi_select,
         "q_pyramid": q_pyramid,
@@ -2369,6 +2461,8 @@ def oracle_sql() -> dict:
         "q_autocorr": _ORACLE_AUTOCORR,
         "q_cusum": _ORACLE_CUSUM,
         "q_winsorize": _ORACLE_WINSORIZE,
+        "q_ewma": _ORACLE_EWMA,
+        "q_seasonal_z": _ORACLE_SEASONAL_Z,
         "q_downsample_error": _oracle_downsample_error(),
         "q_multi_select": _oracle_multi_select(),
         "q_pyramid": _oracle_pyramid(),
