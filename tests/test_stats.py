@@ -20,6 +20,7 @@ from tsdownsample_spark.operators.stats import (
     cusum,
     ewma,
     seasonal_zscore,
+    trend,
     winsorize,
 )
 
@@ -156,6 +157,24 @@ def test_seasonal_zscore_profile(spark):
         assert abs(r["z_seasonal"]) < 1.5
     with pytest.raises(ValueError, match="season"):
         seasonal_zscore(df, by=["key"], season="fortnight")
+
+
+def test_trend_matches_polyfit(spark):
+    """Known slope recovered exactly; r2 = 1 for a noiseless line.  trend()
+    takes timestamps, so build one point per hour: slope 2.0/day."""
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        ("a", (base + pd.Timedelta(hours=i)).to_pydatetime(), 5.0 + 2.0 * i / 24.0)
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, value double")
+    r = trend(df, x_col="ts", y_col="value", by=["key"]).collect()[0]
+    assert r["slope_per_day"] == pytest.approx(2.0, rel=1e-12)
+    assert r["intercept"] == pytest.approx(5.0, rel=1e-12)
+    assert r["r2"] == pytest.approx(1.0, abs=1e-12)
+    assert r["n"] == 100
 
 
 def test_winsorize_rejects_bad_bounds(spark):

@@ -41,7 +41,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["autocorr", "cusum", "winsorize", "ewma", "seasonal_zscore"]
+__all__ = ["autocorr", "cusum", "ewma", "seasonal_zscore", "trend", "winsorize"]
 
 
 def _order_cols(x_col: str, tiebreak: Sequence[str]) -> list[Column]:
@@ -223,6 +223,40 @@ def ewma(
         return out
 
     return df.select(*cols).groupBy(*by).applyInPandas(fn, schema=schema)
+
+
+def trend(
+    df: DataFrame,
+    x_col: str = "ts",
+    y_col: str = "value",
+    by: Sequence[str] = ("series_key",),
+) -> DataFrame:
+    """Per-series least-squares trend: slope per DAY, intercept, r², n.
+
+    ANSI ``regr_slope``/``regr_intercept``/``regr_r2`` aggregates — one
+    map-side-combinable groupBy, shuffle cardinality = series count.  The
+    regressor is elapsed days since the series' own first point (a
+    groupBy-min + join back): translation-invariant in exact arithmetic,
+    but anchoring at zero conditions the sums and makes the intercept the
+    fitted level AT the series start, the number a dashboard wants.
+    """
+    by = list(by)
+    t0 = df.groupBy(*by).agg(F.min(x_col).alias("_t0"))
+    days = (
+        F.unix_micros(F.col(x_col).cast("timestamp"))
+        - F.unix_micros(F.col("_t0").cast("timestamp"))
+    ) / F.lit(86400.0 * 1e6)
+    return (
+        df.join(t0, on=by, how="inner")
+        .withColumn("_days", days)
+        .groupBy(*by)
+        .agg(
+            F.regr_slope(F.col(y_col), F.col("_days")).alias("slope_per_day"),
+            F.regr_intercept(F.col(y_col), F.col("_days")).alias("intercept"),
+            F.regr_r2(F.col(y_col), F.col("_days")).alias("r2"),
+            F.count(y_col).alias("n"),
+        )
+    )
 
 
 def seasonal_zscore(

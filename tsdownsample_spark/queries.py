@@ -1833,6 +1833,40 @@ FROM events e JOIN p ON e.event_type = p.event_type AND hour(e.ts) = p.season_sl
 """
 
 
+def q_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series least-squares trend (operators/stats.py:trend): ANSI regr
+    aggregates over elapsed days since each series' first point.  Sum-based
+    regression folds, so both sides round to 6."""
+    from tsdownsample_spark.operators.stats import trend
+
+    ev = load(spark, sf_dir, "events")
+    out = trend(ev, x_col="ts", y_col="value", by=["event_type"])
+    return out.select(
+        "event_type",
+        F.round("slope_per_day", 6).alias("slope_r"),
+        F.round("intercept", 6).alias("icept_r"),
+        F.round("r2", 6).alias("r2_r"),
+        "n",
+    )
+
+
+_ORACLE_TREND = """
+WITH t0 AS (
+    SELECT event_type, MIN(ts) AS first_ts FROM events GROUP BY 1
+), d AS (
+    SELECT e.event_type, e.value,
+           date_diff('microsecond', t0.first_ts, e.ts) / (86400.0 * 1e6) AS days
+    FROM events e JOIN t0 USING (event_type)
+)
+SELECT event_type,
+       ROUND(regr_slope(value, days), 6) AS slope_r,
+       ROUND(regr_intercept(value, days), 6) AS icept_r,
+       ROUND(regr_r2(value, days), 6) AS r2_r,
+       COUNT(value) AS n
+FROM d GROUP BY 1
+"""
+
+
 def q_downsample_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reconstruction-fidelity report (operators/evaluate.py): linear-interp
     error of the distributed MinMax n_out=100 selection against the raw
@@ -2292,8 +2326,10 @@ _WINDOW_R05 = [
     # three distinct code paths; zero differs from null by one literal
     "q_gapfill_null", "q_gapfill_locf",
     "q_counter_rate", "q_twa", "q_pyramid",
-    # (2) stale-since-r03 distributed long/x selector rows
-    "q_minmax_long", "q_m4_long", "q_everynth_long", "q_minmaxlttb_long",
+    # (2) stale-since-r03 distributed long/x selector rows (q_everynth_long
+    # rides the tail: projection-only form, and everynth keeps two window
+    # rows via q_everynth + q_everynth_jvm)
+    "q_minmax_long", "q_m4_long", "q_minmaxlttb_long",
     "q_nanminmax_long", "q_nanminmaxlttb_long",
     "q_minmax_x_long", "q_m4_x_long", "q_minmaxlttb_x_long",
     "q_nanminmax_x_long", "q_nanminmaxlttb_x_long",
@@ -2304,6 +2340,7 @@ _WINDOW_R05 = [
     "q_lm_score", "q_token_budget",
     # (3) new contract rows this round, second batch (series diagnostics)
     "q_autocorr", "q_cusum", "q_winsorize", "q_ewma", "q_seasonal_z",
+    "q_trend",
     # (3) implementation changed this round
     "q_pack_greedy", "q_gapfill_linear",
     # (4) high-value r4-green fill (q_token_tiers, q_compress_roundtrip,
@@ -2383,6 +2420,7 @@ def queries() -> dict:
         "q_winsorize": q_winsorize,
         "q_ewma": q_ewma,
         "q_seasonal_z": q_seasonal_z,
+        "q_trend": q_trend,
         "q_downsample_error": q_downsample_error,
         "q_multi_select": q_multi_select,
         "q_pyramid": q_pyramid,
@@ -2463,6 +2501,7 @@ def oracle_sql() -> dict:
         "q_winsorize": _ORACLE_WINSORIZE,
         "q_ewma": _ORACLE_EWMA,
         "q_seasonal_z": _ORACLE_SEASONAL_Z,
+        "q_trend": _ORACLE_TREND,
         "q_downsample_error": _oracle_downsample_error(),
         "q_multi_select": _oracle_multi_select(),
         "q_pyramid": _oracle_pyramid(),
