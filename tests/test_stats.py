@@ -20,6 +20,7 @@ from tsdownsample_spark.operators.stats import (
     cusum,
     ewma,
     seasonal_zscore,
+    spearman,
     trend,
     winsorize,
 )
@@ -175,6 +176,32 @@ def test_trend_matches_polyfit(spark):
     assert r["intercept"] == pytest.approx(5.0, rel=1e-12)
     assert r["r2"] == pytest.approx(1.0, abs=1e-12)
     assert r["n"] == 100
+
+
+def test_spearman_fractional_ranks_with_ties(spark):
+    """Hand-checkable tied fixture: values with ties get AVERAGE ranks
+    (the standard definition), verified against a NumPy re-derivation."""
+    vals = [3.0, 1.0, 2.0, 2.0, 5.0, 2.0, 4.0, 1.0]
+    rows = [("a", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "key string, t long, value double")
+    r = spearman(df, x_col="t", y_col="value", by=["key"]).collect()[0]
+    v = np.asarray(vals)
+    # average ranks: mean of 1-based positions each tied value occupies
+    order = np.argsort(v, kind="stable")
+    pos = np.empty(len(v))
+    pos[order] = np.arange(1, len(v) + 1)
+    ry = np.array([pos[v == x].mean() for x in v])
+    rx = np.arange(1, len(v) + 1)
+    expect = np.corrcoef(rx, ry)[0, 1]
+    assert r["n"] == len(v)
+    assert r["rho"] == pytest.approx(expect, abs=1e-12)
+
+
+def test_spearman_perfect_monotone_is_one(spark):
+    rows = [("a", i, float(i * i)) for i in range(50)]  # nonlinear but monotone
+    df = spark.createDataFrame(rows, "key string, t long, value double")
+    r = spearman(df, x_col="t", y_col="value", by=["key"]).collect()[0]
+    assert r["rho"] == pytest.approx(1.0, abs=1e-12)
 
 
 def test_winsorize_rejects_bad_bounds(spark):

@@ -41,7 +41,15 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["autocorr", "cusum", "ewma", "seasonal_zscore", "trend", "winsorize"]
+__all__ = [
+    "autocorr",
+    "cusum",
+    "ewma",
+    "seasonal_zscore",
+    "spearman",
+    "trend",
+    "winsorize",
+]
 
 
 def _order_cols(x_col: str, tiebreak: Sequence[str]) -> list[Column]:
@@ -256,6 +264,42 @@ def trend(
             F.regr_r2(F.col(y_col), F.col("_days")).alias("r2"),
             F.count(y_col).alias("n"),
         )
+    )
+
+
+def spearman(
+    df: DataFrame,
+    x_col: str = "ts",
+    y_col: str = "value",
+    by: Sequence[str] = ("series_key",),
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Spearman rank correlation of ``y_col`` against time, per series —
+    the robust monotonic-trend detector (outliers that wreck the
+    least-squares ``trend`` slope barely move a rank statistic).
+
+    Fractional (average) ranks for ties — the standard definition —
+    computed as ``AVG(row_number) OVER (PARTITION BY series, value)``:
+    tied values share the mean of the positions they occupy, which needs
+    no dense/min-rank correction terms.  Then one Pearson ``corr`` over
+    the rank pairs.  Two ROWS-free windows + one map-side-combinable
+    groupBy; shuffle cardinality = series count.
+    """
+    by = list(by)
+    w_ord = Window.partitionBy(*by).orderBy(*_order_cols(x_col, tiebreak))
+    rn_y = Window.partitionBy(*by).orderBy(
+        F.col(y_col), *_order_cols(x_col, tiebreak)
+    )
+    ranked = (
+        df.where(F.col(y_col).isNotNull())
+        .withColumn("_rx", F.row_number().over(w_ord).cast("double"))
+        .withColumn("_rn_y", F.row_number().over(rn_y).cast("double"))
+        .withColumn(
+            "_ry", F.avg("_rn_y").over(Window.partitionBy(*by, y_col))
+        )
+    )
+    return ranked.groupBy(*by).agg(
+        F.corr("_rx", "_ry").alias("rho"), F.count("*").alias("n")
     )
 
 

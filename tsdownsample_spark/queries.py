@@ -1867,6 +1867,38 @@ FROM d GROUP BY 1
 """
 
 
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of value against time per event_type
+    (operators/stats.py:spearman) — fractional ranks for ties, then one
+    Pearson corr over rank pairs.  Ranks are integers so only the corr
+    fold needs the 6-decimal rounding."""
+    from tsdownsample_spark.operators.stats import spearman
+
+    ev = load(spark, sf_dir, "events")
+    out = spearman(
+        ev, x_col="ts", y_col="value", by=["event_type"], tiebreak=["event_id"]
+    )
+    return out.select("event_type", F.round("rho", 6).alias("rho_r"), "n")
+
+
+_ORACLE_SPEARMAN = """
+WITH r1 AS (
+    SELECT event_type, value,
+           CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY ts, event_id) AS DOUBLE) AS rx,
+           CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY value, ts, event_id) AS DOUBLE) AS rn_y
+    FROM events
+), r2 AS (
+    SELECT event_type, rx,
+           AVG(rn_y) OVER (PARTITION BY event_type, value) AS ry
+    FROM r1
+)
+SELECT event_type, ROUND(corr(rx, ry), 6) AS rho_r, COUNT(*) AS n
+FROM r2 GROUP BY 1
+"""
+
+
 def q_downsample_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reconstruction-fidelity report (operators/evaluate.py): linear-interp
     error of the distributed MinMax n_out=100 selection against the raw
@@ -2331,7 +2363,9 @@ _WINDOW_R05 = [
     # rows via q_everynth + q_everynth_jvm)
     "q_minmax_long", "q_m4_long", "q_minmaxlttb_long",
     "q_nanminmax_long", "q_nanminmaxlttb_long",
-    "q_minmax_x_long", "q_m4_x_long", "q_minmaxlttb_x_long",
+    # q_m4_x_long rides the tail: m4 keeps four in-window rows
+    # (q_m4/_jvm/_long/_x)
+    "q_minmax_x_long", "q_minmaxlttb_x_long",
     "q_nanminmax_x_long", "q_nanminmaxlttb_x_long",
     "q_minmax_x", "q_m4_x",
     # (3) new contract rows this round
@@ -2340,7 +2374,7 @@ _WINDOW_R05 = [
     "q_lm_score", "q_token_budget",
     # (3) new contract rows this round, second batch (series diagnostics)
     "q_autocorr", "q_cusum", "q_winsorize", "q_ewma", "q_seasonal_z",
-    "q_trend",
+    "q_trend", "q_spearman",
     # (3) implementation changed this round
     "q_pack_greedy", "q_gapfill_linear",
     # (4) high-value r4-green fill (q_token_tiers, q_compress_roundtrip,
@@ -2421,6 +2455,7 @@ def queries() -> dict:
         "q_ewma": q_ewma,
         "q_seasonal_z": q_seasonal_z,
         "q_trend": q_trend,
+        "q_spearman": q_spearman,
         "q_downsample_error": q_downsample_error,
         "q_multi_select": q_multi_select,
         "q_pyramid": q_pyramid,
@@ -2502,6 +2537,7 @@ def oracle_sql() -> dict:
         "q_ewma": _ORACLE_EWMA,
         "q_seasonal_z": _ORACLE_SEASONAL_Z,
         "q_trend": _ORACLE_TREND,
+        "q_spearman": _ORACLE_SPEARMAN,
         "q_downsample_error": _oracle_downsample_error(),
         "q_multi_select": _oracle_multi_select(),
         "q_pyramid": _oracle_pyramid(),
