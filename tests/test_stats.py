@@ -216,8 +216,10 @@ def test_winsorize_rejects_bad_bounds(spark):
         lambda df: autocorr(df, x_col="t", y_col="value", by=["key"], lag=1),
         lambda df: cusum(df, x_col="t", y_col="value", by=["key"]),
         lambda df: winsorize(df, y_col="value", by=["key"]),
+        lambda df: trend(df, x_col="t", y_col="value", by=["key"]),
+        lambda df: spearman(df, x_col="t", y_col="value", by=["key"]),
     ],
-    ids=["autocorr", "cusum", "winsorize"],
+    ids=["autocorr", "cusum", "winsorize", "trend", "spearman"],
 )
 def test_plans_have_no_python(spark, build):
     df = _series_df(spark, n=50, series=2)
