@@ -7,6 +7,7 @@ from tsdownsample_spark.operators.sample import (
     hash_sample,
     quota_sample,
     split_assign,
+    temperature_resample,
 )
 
 
@@ -182,3 +183,61 @@ class TestTokenBudgetSample:
             token_budget_sample(df, -1, by="source", weight="n_tok")
         with _pytest.raises(ValueError):
             token_budget_sample(df, {"a": -2}, by="source", weight="n_tok")
+
+
+class TestTemperatureResample:
+    @pytest.fixture(scope="class")
+    def skewed(self, spark):
+        # 1600 docs of s_big, 4 x 100 of small sources
+        rows = [(i, "s_big") for i in range(1600)]
+        rows += [(10_000 + j * 1000 + i, f"s_sm{j}") for j in range(4) for i in range(100)]
+        return spark.createDataFrame(rows, "doc_id long, source string")
+
+    def test_flattening_upweights_small_sources(self, spark, skewed):
+        out = temperature_resample(
+            skewed, alpha=0.5, by="source", key="doc_id", seed="t", target_frac=0.5
+        )
+        rates = {
+            r["source"]: r["keep_rate"]
+            for r in out.select("source", "keep_rate").distinct().collect()
+        }
+        # alpha<1 flattens: small sources keep a HIGHER fraction than big
+        assert rates["s_sm0"] > rates["s_big"]
+        # all small sources share one count, hence one rate
+        assert len({rates[f"s_sm{j}"] for j in range(4)}) == 1
+        # rates are valid probabilities
+        assert all(0.0 < v <= 1.0 for v in rates.values())
+
+    def test_cap_binds_when_temperature_exceeds_size(self, spark, skewed):
+        # alpha -> 0 equalizes shares; tiny sources cannot supply 1/5 of
+        # the target each without duplication, so their rate caps at 1.0
+        out = temperature_resample(
+            skewed, alpha=0.05, by="source", key="doc_id", seed="t",
+            target_frac=0.8,
+        )
+        rates = {
+            r["source"]: r["keep_rate"]
+            for r in out.select("source", "keep_rate").distinct().collect()
+        }
+        assert rates["s_sm0"] == pytest.approx(1.0)
+        n_sm = out.where("source = 's_sm0'").count()
+        assert n_sm == 100  # cap = keep everything
+
+    def test_deterministic_under_repartition(self, spark, skewed):
+        a = sorted(
+            r.doc_id
+            for r in temperature_resample(skewed, seed="t").select("doc_id").collect()
+        )
+        b = sorted(
+            r.doc_id
+            for r in temperature_resample(skewed.repartition(13), seed="t")
+            .select("doc_id")
+            .collect()
+        )
+        assert a == b
+
+    def test_rejects_bad_params(self, spark, skewed):
+        with pytest.raises(ValueError, match="alpha"):
+            temperature_resample(skewed, alpha=0.0)
+        with pytest.raises(ValueError, match="target_frac"):
+            temperature_resample(skewed, target_frac=1.5)

@@ -152,3 +152,62 @@ def token_budget_sample(
         df.withColumn(cum_col, F.sum(F.col(weight)).over(w))
         .where(F.col(cum_col) <= b)
     )
+
+
+def temperature_resample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    by: str = "source",
+    key: str = "doc_id",
+    seed: str = "0",
+    target_frac: float = 0.5,
+) -> DataFrame:
+    """Temperature-flattened source mixture (the multilingual-LM sampling
+    recipe: raise each source's share ``p_s`` to ``alpha`` < 1 and
+    renormalize, so small sources are upweighted relative to their size
+    without duplication).
+
+    Per-source keep-rate ``r_s = min(1, target_frac * N * q_s / n_s)``
+    with ``q_s = n_s^alpha / sum(n^alpha)``; each row kept by the same
+    deterministic hash rule as :func:`hash_sample` (engine-portable,
+    repartition-stable).  The min(1, .) cap is the standard single-pass
+    compromise: a source whose temperature share exceeds its actual size
+    keeps everything (sampling cannot exceed 1x without duplication), so
+    the realized total undershoots ``target_frac * N`` when caps bind —
+    callers wanting exact totals renormalize over the uncapped sources or
+    duplicate (epoch) the capped ones.
+
+    Scale shape: ONE tiny groupBy on the source key; the rates side
+    (|sources| rows) broadcast-joins back; the keep decision is a pure
+    projection + filter on the fact side — no fact-side shuffle at all.
+    Adds ``keep_rate`` for auditability.
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not (0.0 < target_frac <= 1.0):
+        raise ValueError(f"target_frac must be in (0, 1], got {target_frac}")
+    counts = df.groupBy(by).agg(F.count("*").alias("_n"))
+    # global sums via an empty-partition window over the TINY counts side
+    # (|sources| rows — one single-partition exchange of a dimension, not a
+    # fact-side shuffle; also avoids the counts-joined-with-agg-of-counts
+    # self-join attribute ambiguity).  Names must differ by more than case:
+    # Spark resolution is case-insensitive, so "_N" would OVERWRITE "_n".
+    w_all = Window.partitionBy()
+    pw = F.pow(F.col("_n").cast("double"), F.lit(alpha))
+    rates = (
+        counts.withColumn("_tot_n", F.sum("_n").over(w_all))
+        .withColumn("_tot_z", F.sum(pw).over(w_all))
+        .withColumn("_q", pw / F.col("_tot_z"))
+        .withColumn(
+            "keep_rate",
+            F.least(
+                F.lit(1.0),
+                F.lit(target_frac) * F.col("_tot_n") * F.col("_q") / F.col("_n"),
+            ),
+        )
+        .select(by, "keep_rate")
+    )
+    thr = F.floor(F.col("keep_rate") * F.lit(float(_HASH_SPACE))).cast("bigint")
+    return df.join(F.broadcast(rates), on=by, how="inner").where(
+        _hash32(key, seed) < thr
+    )

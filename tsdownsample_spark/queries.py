@@ -2366,7 +2366,9 @@ _WINDOW_R05 = [
     # q_m4_x_long rides the tail: m4 keeps four in-window rows
     # (q_m4/_jvm/_long/_x)
     "q_minmax_x_long", "q_minmaxlttb_x_long",
-    "q_nanminmax_x_long", "q_nanminmaxlttb_x_long",
+    # q_nanminmaxlttb_x_long rides the tail: nanminmaxlttb keeps
+    # q_nanminmaxlttb + q_nanminmaxlttb_long in the window
+    "q_nanminmax_x_long",
     "q_minmax_x", "q_m4_x",
     # (3) new contract rows this round
     "q_anomaly_prefix", "q_minmax_jvm", "q_m4_jvm", "q_everynth_jvm",
@@ -2374,7 +2376,7 @@ _WINDOW_R05 = [
     "q_lm_score", "q_token_budget",
     # (3) new contract rows this round, second batch (series diagnostics)
     "q_autocorr", "q_cusum", "q_winsorize", "q_ewma", "q_seasonal_z",
-    "q_trend", "q_spearman",
+    "q_trend", "q_spearman", "q_temp_mix",
     # (3) implementation changed this round
     "q_pack_greedy", "q_gapfill_linear",
     # (4) high-value r4-green fill (q_token_tiers, q_compress_roundtrip,

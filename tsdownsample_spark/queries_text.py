@@ -1288,6 +1288,43 @@ FROM h
 """
 
 
+def q_temp_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixture (operators/sample.py:
+    temperature_resample, alpha=0.5): per-source keep-rates from the
+    n^alpha recipe, rows kept by the shared deterministic hash rule —
+    rates broadcast back, zero fact-side shuffle.  keep_rate is a pow/
+    divide fold, so both sides round it to 6; the KEEP DECISION itself
+    compares the raw rate against a 32-bit hash, where a 1-ulp pow
+    divergence moves the threshold by ~1e-7 of one hash bucket."""
+    from tsdownsample_spark.operators.sample import temperature_resample
+
+    docs = _load(spark, sf_dir, "documents")
+    out = temperature_resample(
+        docs, alpha=0.5, by="source", seed="r5", target_frac=0.5
+    )
+    return out.select(
+        "doc_id", "source", F.round("keep_rate", 6).alias("rate_r")
+    )
+
+
+_ORACLE_TEMP_MIX = f"""
+WITH c AS (
+    SELECT source, COUNT(*) AS n FROM documents GROUP BY 1
+), t AS (
+    SELECT SUM(n) AS N, SUM(POWER(CAST(n AS DOUBLE), 0.5)) AS Z FROM c
+), r AS (
+    SELECT c.source,
+           LEAST(1.0, 0.5 * t.N * (POWER(CAST(c.n AS DOUBLE), 0.5) / t.Z) / c.n)
+               AS keep_rate
+    FROM c, t
+)
+SELECT d.doc_id, d.source, ROUND(r.keep_rate, 6) AS rate_r
+FROM documents d JOIN r USING (source)
+WHERE {_DUCK_HASH32.format(seed="r5")}
+      < CAST(FLOOR(r.keep_rate * 4294967296.0) AS BIGINT)
+"""
+
+
 def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic mixture sampling: exactly 10 lowest-hash docs per
     source (operators/sample.py:quota_sample)."""
@@ -1462,6 +1499,7 @@ def queries() -> dict:
         "q_split_assign": q_split_assign,
         "q_quota_sample": q_quota_sample,
         "q_token_budget": q_token_budget,
+        "q_temp_mix": q_temp_mix,
         "q_hash_sample": q_hash_sample,
         "q_decontaminate": q_decontaminate,
     }
@@ -1502,6 +1540,7 @@ def oracle_sql() -> dict:
         "q_split_assign": _ORACLE_SPLIT_ASSIGN,
         "q_quota_sample": _ORACLE_QUOTA_SAMPLE,
         "q_token_budget": _oracle_token_budget(),
+        "q_temp_mix": _ORACLE_TEMP_MIX,
         "q_hash_sample": _ORACLE_HASH_SAMPLE,
         "q_decontaminate": _ORACLE_DECONTAMINATE,
     }
