@@ -22,6 +22,7 @@ from tsdownsample_spark.operators.stats import (
     seasonal_zscore,
     spearman,
     trend,
+    value_histogram,
     winsorize,
 )
 
@@ -202,6 +203,30 @@ def test_spearman_perfect_monotone_is_one(spark):
     df = spark.createDataFrame(rows, "key string, t long, value double")
     r = spearman(df, x_col="t", y_col="value", by=["key"]).collect()[0]
     assert r["rho"] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_value_histogram_counts_and_edges(spark):
+    # values 0..99 in 10 bins of width 9.9: v=99 (the max) clamps to bin 9
+    rows = [("a", i, float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "key string, t long, value double")
+    out = {
+        r["bucket"]: r for r in value_histogram(df, by=["key"], bins=10).collect()
+    }
+    assert sum(r["cnt"] for r in out.values()) == 100
+    assert set(out) == set(range(10))
+    assert out[9]["cnt"] == 10 and out[0]["lo"] == 0.0 and out[0]["hi"] == 99.0
+    # NumPy cross-check with the same edge convention (right edge closed)
+    np_cnt, _ = np.histogram([float(i) for i in range(100)], bins=10, range=(0, 99))
+    assert [out[b]["cnt"] for b in range(10)] == list(np_cnt)
+
+
+def test_value_histogram_constant_series_single_bucket(spark):
+    rows = [("a", i, 7.0) for i in range(5)]
+    df = spark.createDataFrame(rows, "key string, t long, value double")
+    out = value_histogram(df, by=["key"], bins=10).collect()
+    assert len(out) == 1 and out[0]["bucket"] == 0 and out[0]["cnt"] == 5
+    with pytest.raises(ValueError, match="bins"):
+        value_histogram(df, by=["key"], bins=0)
 
 
 def test_winsorize_rejects_bad_bounds(spark):

@@ -48,6 +48,7 @@ __all__ = [
     "seasonal_zscore",
     "spearman",
     "trend",
+    "value_histogram",
     "winsorize",
 ]
 
@@ -264,6 +265,46 @@ def trend(
             F.regr_r2(F.col(y_col), F.col("_days")).alias("r2"),
             F.count(y_col).alias("n"),
         )
+    )
+
+
+def value_histogram(
+    df: DataFrame,
+    y_col: str = "value",
+    by: Sequence[str] = ("series_key",),
+    bins: int = 20,
+) -> DataFrame:
+    """Equi-width value histogram per series: ``bins`` buckets over the
+    series' own [min, max], one count per non-empty bucket.
+
+    Two map-side-combinable groupBys (bounds, then counts) + one
+    broadcastable join — the distribution tier a dashboard renders next to
+    the rollup tiers.  Bucket rule spelled as explicit arithmetic
+    (``floor((v - lo) / w)`` clamped to ``bins - 1`` so ``v = hi`` lands in
+    the last bucket) rather than an engine-specific ``width_bucket``, so
+    any SQL engine reproduces it bit-for-bit.  A constant series (w = 0)
+    degenerates to a single bucket 0.  Output: (by..., bucket, lo, hi,
+    cnt) — empty buckets are absent (sparse form; densify with
+    ``sequence(0, bins-1)`` if a renderer needs zeros).
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    by = list(by)
+    bounds = df.groupBy(*by).agg(
+        F.min(y_col).alias("lo"), F.max(y_col).alias("hi")
+    )
+    w = (F.col("hi") - F.col("lo")) / F.lit(float(bins))
+    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col(y_col) - F.col("lo")) / w).cast("int"),
+            F.lit(bins - 1),
+        )
+    )
+    return (
+        df.join(bounds, on=by, how="inner")
+        .withColumn("bucket", bucket)
+        .groupBy(*by, "bucket", "lo", "hi")
+        .agg(F.count("*").alias("cnt"))
     )
 
 

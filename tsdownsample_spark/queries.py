@@ -1899,6 +1899,42 @@ FROM r2 GROUP BY 1
 """
 
 
+def q_value_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram per event_type
+    (operators/stats.py:value_histogram, 20 bins): explicit
+    floor((v-lo)/w) arithmetic so both engines bucket bit-identically;
+    counts are integers, only lo/hi round."""
+    from tsdownsample_spark.operators.stats import value_histogram
+
+    ev = load(spark, sf_dir, "events")
+    out = value_histogram(ev, y_col="value", by=["event_type"], bins=20)
+    return out.select(
+        "event_type",
+        "bucket",
+        F.round("lo", 6).alias("lo_r"),
+        F.round("hi", 6).alias("hi_r"),
+        "cnt",
+    )
+
+
+_ORACLE_VALUE_HIST = """
+WITH b AS (
+    SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+    FROM events GROUP BY 1
+), d AS (
+    SELECT e.event_type, b.lo, b.hi,
+           CASE WHEN b.hi = b.lo THEN 0
+                ELSE LEAST(CAST(FLOOR((e.value - b.lo) / ((b.hi - b.lo) / 20.0))
+                                AS INT), 19)
+           END AS bucket
+    FROM events e JOIN b USING (event_type)
+)
+SELECT event_type, bucket, ROUND(lo, 6) AS lo_r, ROUND(hi, 6) AS hi_r,
+       COUNT(*) AS cnt
+FROM d GROUP BY 1, 2, 3, 4
+"""
+
+
 def q_downsample_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reconstruction-fidelity report (operators/evaluate.py): linear-interp
     error of the distributed MinMax n_out=100 selection against the raw
@@ -2365,9 +2401,9 @@ _WINDOW_R05 = [
     "q_nanminmax_long", "q_nanminmaxlttb_long",
     # q_m4_x_long rides the tail: m4 keeps four in-window rows
     # (q_m4/_jvm/_long/_x)
-    "q_minmax_x_long", "q_minmaxlttb_x_long",
-    # q_nanminmaxlttb_x_long rides the tail: nanminmaxlttb keeps
-    # q_nanminmaxlttb + q_nanminmaxlttb_long in the window
+    "q_minmax_x_long",
+    # q_nanminmaxlttb_x_long and q_minmaxlttb_x_long ride the tail: both
+    # classes keep two other in-window rows (base + _long)
     "q_nanminmax_x_long",
     "q_minmax_x", "q_m4_x",
     # (3) new contract rows this round
@@ -2376,7 +2412,7 @@ _WINDOW_R05 = [
     "q_lm_score", "q_token_budget",
     # (3) new contract rows this round, second batch (series diagnostics)
     "q_autocorr", "q_cusum", "q_winsorize", "q_ewma", "q_seasonal_z",
-    "q_trend", "q_spearman", "q_temp_mix",
+    "q_trend", "q_spearman", "q_temp_mix", "q_value_hist",
     # (3) implementation changed this round
     "q_pack_greedy", "q_gapfill_linear",
     # (4) high-value r4-green fill (q_token_tiers, q_compress_roundtrip,
@@ -2458,6 +2494,7 @@ def queries() -> dict:
         "q_seasonal_z": q_seasonal_z,
         "q_trend": q_trend,
         "q_spearman": q_spearman,
+        "q_value_hist": q_value_hist,
         "q_downsample_error": q_downsample_error,
         "q_multi_select": q_multi_select,
         "q_pyramid": q_pyramid,
@@ -2540,6 +2577,7 @@ def oracle_sql() -> dict:
         "q_seasonal_z": _ORACLE_SEASONAL_Z,
         "q_trend": _ORACLE_TREND,
         "q_spearman": _ORACLE_SPEARMAN,
+        "q_value_hist": _ORACLE_VALUE_HIST,
         "q_downsample_error": _oracle_downsample_error(),
         "q_multi_select": _oracle_multi_select(),
         "q_pyramid": _oracle_pyramid(),
