@@ -19,6 +19,7 @@ from tsdownsample_spark.operators.stats import (
     autocorr,
     cusum,
     ewma,
+    seasonal_strength,
     seasonal_zscore,
     spearman,
     trend,
@@ -227,6 +228,29 @@ def test_value_histogram_constant_series_single_bucket(spark):
     assert len(out) == 1 and out[0]["bucket"] == 0 and out[0]["cnt"] == 5
     with pytest.raises(ValueError, match="bins"):
         value_histogram(df, by=["key"], bins=0)
+
+
+def test_seasonal_strength_separates_diurnal_from_noise(spark):
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    rows = []
+    base = pd.Timestamp("2024-01-01")
+    for i in range(24 * 30):
+        ts = (base + pd.Timedelta(hours=i)).to_pydatetime()
+        rows.append(("diurnal", ts, float(10.0 + 5.0 * (i % 24 == 12))))
+        rows.append(("noise", ts, float(rng.normal(10, 2))))
+    df = spark.createDataFrame(rows, "key string, ts timestamp, value double")
+    out = {
+        r["key"]: r["strength"]
+        for r in seasonal_strength(df, by=["key"]).collect()
+    }
+    # diurnal value is a pure function of hour -> SS_within = 0 -> R² = 1
+    assert out["diurnal"] == pytest.approx(1.0, abs=1e-12)
+    # hour explains ~nothing of iid noise: E[R²] ≈ 23/719; bound loosely
+    assert out["noise"] < 0.15
+    with pytest.raises(ValueError, match="season"):
+        seasonal_strength(df, by=["key"], season="lunar")
 
 
 def test_winsorize_rejects_bad_bounds(spark):

@@ -45,6 +45,7 @@ __all__ = [
     "autocorr",
     "cusum",
     "ewma",
+    "seasonal_strength",
     "seasonal_zscore",
     "spearman",
     "trend",
@@ -375,4 +376,59 @@ def seasonal_zscore(
     return slotted.join(profile, on=by + ["season_slot"], how="inner").withColumn(
         "z_seasonal",
         (F.col(y_col) - F.col("season_mu")) / F.col("season_sd"),
+    )
+
+
+def seasonal_strength(
+    df: DataFrame,
+    x_col: str = "ts",
+    y_col: str = "value",
+    by: Sequence[str] = ("series_key",),
+    season: str = "hour_of_day",
+) -> DataFrame:
+    """How seasonal is each series?  The one-way-ANOVA R² of the season
+    profile: ``1 - SS_within_slots / SS_total`` — 0 when slot means explain
+    nothing, -> 1 when the value is a pure function of its season slot.
+    The go/no-go gate before trusting :func:`seasonal_zscore` baselines.
+
+    ONE pass of decomposable partials — per (series, slot) ``(n, Σv, Σv²)``
+    — then a tiny per-series fold: ``SS_within = Σ_slots (Σv² - (Σv)²/n)``
+    and ``SS_total = Σv² - (Σv)²/N`` need nothing else.  Two
+    map-side-combinable groupBys, no join back to the fact side at all.
+    Output: (by..., strength, n).
+    """
+    slots = {
+        "hour_of_day": F.hour(F.col(x_col)),
+        "day_of_week": F.dayofweek(F.col(x_col)),
+    }
+    if season not in slots:
+        raise ValueError(f"season must be one of {sorted(slots)}, got {season!r}")
+    by = list(by)
+    v = F.col(y_col).cast("double")
+    per_slot = (
+        df.withColumn("_slot", slots[season])
+        .groupBy(*by, "_slot")
+        .agg(
+            F.count(y_col).alias("_n"),
+            F.sum(v).alias("_s1"),
+            F.sum(v * v).alias("_s2"),
+        )
+    )
+    return (
+        per_slot.groupBy(*by)
+        .agg(
+            (
+                F.sum("_s2") - F.sum(F.col("_s1") * F.col("_s1") / F.col("_n"))
+            ).alias("_ssw"),
+            (
+                F.sum("_s2")
+                - F.sum("_s1") * F.sum("_s1") / F.sum("_n")
+            ).alias("_sst"),
+            F.sum("_n").alias("n"),
+        )
+        .withColumn(
+            "strength",
+            F.when(F.col("_sst") > 0, 1.0 - F.col("_ssw") / F.col("_sst")),
+        )
+        .select(*by, "strength", "n")
     )

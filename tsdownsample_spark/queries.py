@@ -1935,6 +1935,36 @@ FROM d GROUP BY 1, 2, 3, 4
 """
 
 
+def q_season_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal strength per event_type (operators/stats.py:
+    seasonal_strength): the one-way-ANOVA R² of the hour-of-day profile
+    from one pass of per-slot (n, Σv, Σv²) partials.  Sum-of-squares
+    folds, so both sides round to 6."""
+    from tsdownsample_spark.operators.stats import seasonal_strength
+
+    ev = load(spark, sf_dir, "events")
+    out = seasonal_strength(
+        ev, x_col="ts", y_col="value", by=["event_type"], season="hour_of_day"
+    )
+    return out.select(
+        "event_type", F.round("strength", 6).alias("strength_r"), "n"
+    )
+
+
+_ORACLE_SEASON_STRENGTH = """
+WITH s AS (
+    SELECT event_type, hour(ts) AS slot,
+           COUNT(value) AS n, SUM(value) AS s1, SUM(value * value) AS s2
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       ROUND(1.0 - (SUM(s2) - SUM(s1 * s1 / n))
+                   / (SUM(s2) - SUM(s1) * SUM(s1) / SUM(n)), 6) AS strength_r,
+       SUM(n) AS n
+FROM s GROUP BY 1
+"""
+
+
 def q_downsample_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reconstruction-fidelity report (operators/evaluate.py): linear-interp
     error of the distributed MinMax n_out=100 selection against the raw
@@ -2390,21 +2420,18 @@ _WINDOW_R05 = [
     "q_nanm4_x", "q_nanm4_long", "q_nanm4_x_long", "q_bigram_lm",
     # (2) stale-since-r03 engine rows
     "q_rollup_1m", "q_rollup_1h",
-    # q_gapfill_zero rides the tail: null/locf/linear cover the family's
-    # three distinct code paths; zero differs from null by one literal
-    "q_gapfill_null", "q_gapfill_locf",
+    "q_gapfill_null", "q_gapfill_zero", "q_gapfill_locf",
     "q_counter_rate", "q_twa", "q_pyramid",
     # (2) stale-since-r03 distributed long/x selector rows (q_everynth_long
     # rides the tail: projection-only form, and everynth keeps two window
     # rows via q_everynth + q_everynth_jvm)
     "q_minmax_long", "q_m4_long", "q_minmaxlttb_long",
     "q_nanminmax_long", "q_nanminmaxlttb_long",
-    # q_m4_x_long rides the tail: m4 keeps four in-window rows
-    # (q_m4/_jvm/_long/_x)
-    "q_minmax_x_long",
-    # q_nanminmaxlttb_x_long and q_minmaxlttb_x_long ride the tail: both
-    # classes keep two other in-window rows (base + _long)
-    "q_nanminmax_x_long",
+    # the rest of the x_long family (q_minmax/m4/minmaxlttb/nanminmax/
+    # nanminmaxlttb_x_long) rides the tail: q_nanm4_x_long above is the
+    # family's representative row, every class keeps >=2 other in-window
+    # rows, and the driver-checked with-x coverage continues via q_nanm4_x
+    # + q_minmax_x + q_m4_x
     "q_minmax_x", "q_m4_x",
     # (3) new contract rows this round
     "q_anomaly_prefix", "q_minmax_jvm", "q_m4_jvm", "q_everynth_jvm",
@@ -2413,6 +2440,7 @@ _WINDOW_R05 = [
     # (3) new contract rows this round, second batch (series diagnostics)
     "q_autocorr", "q_cusum", "q_winsorize", "q_ewma", "q_seasonal_z",
     "q_trend", "q_spearman", "q_temp_mix", "q_value_hist",
+    "q_season_strength",
     # (3) implementation changed this round
     "q_pack_greedy", "q_gapfill_linear",
     # (4) high-value r4-green fill (q_token_tiers, q_compress_roundtrip,
@@ -2495,6 +2523,7 @@ def queries() -> dict:
         "q_trend": q_trend,
         "q_spearman": q_spearman,
         "q_value_hist": q_value_hist,
+        "q_season_strength": q_season_strength,
         "q_downsample_error": q_downsample_error,
         "q_multi_select": q_multi_select,
         "q_pyramid": q_pyramid,
@@ -2578,6 +2607,7 @@ def oracle_sql() -> dict:
         "q_trend": _ORACLE_TREND,
         "q_spearman": _ORACLE_SPEARMAN,
         "q_value_hist": _ORACLE_VALUE_HIST,
+        "q_season_strength": _ORACLE_SEASON_STRENGTH,
         "q_downsample_error": _oracle_downsample_error(),
         "q_multi_select": _oracle_multi_select(),
         "q_pyramid": _oracle_pyramid(),
