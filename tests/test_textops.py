@@ -741,3 +741,52 @@ def test_semantic_dedup_planted_clusters(spark):
     assert out[0] == (0, True) and out[1] == (0, False) and out[2] == (0, False)
     assert out[3] == (3, True) and out[4] == (3, False)
     assert out[5] == (5, True)
+
+
+class TestLshRecallReport:
+    """Measured dedup recall (the ANN-recall closure's dedup twin): banded
+    LSH can only lose true pairs that never become candidates — the report
+    quantifies exactly that against exact all-pairs Jaccard truth."""
+
+    def test_fixture_recall_is_total(self, spark, docs):
+        from tsdownsample_spark.operators.dedup import lsh_recall_report
+
+        rep = lsh_recall_report(docs, threshold=0.5)
+        # the fixture's planted near-dups are one-word swaps (J ~ 0.9),
+        # deep inside the (4,4) banding sweet spot: all of them candidates
+        assert rep["true_pairs"] > 0
+        assert rep["recall"] == 1.0
+
+    def test_graded_similarity_hits_the_theory_curve(self, spark):
+        """P(candidate | J=s) = 1 - (1 - s^rows)^bands: ~0.99 at s~0.9,
+        ~0.06 at s~0.33.  A graded fixture must show BOTH — near-total
+        recall of high-sim pairs and (documented) loss of low-sim ones —
+        proving the report measures the miss region instead of echoing 1."""
+        import numpy as np
+
+        from tsdownsample_spark.operators.dedup import lsh_recall_report
+
+        rng = np.random.default_rng(5)
+        vocab = [f"w{i:05d}" for i in range(20_000)]
+        rows, did = [], 0
+
+        def fresh(n):
+            return [vocab[i] for i in rng.choice(len(vocab), n, replace=False)]
+
+        for shared_words in (95, 50):          # J ~ 0.9 and ~ 0.33
+            for _ in range(40):
+                base = fresh(100)
+                twin = base[:shared_words] + fresh(100 - shared_words)
+                rows.append((f"d{did:05d}", " ".join(base))); did += 1
+                rows.append((f"d{did:05d}", " ".join(twin))); did += 1
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        hi = lsh_recall_report(df, threshold=0.7)   # captures the 95-shared tier
+        lo = lsh_recall_report(df, threshold=0.25)  # includes the 50-shared tier
+        assert hi["true_pairs"] >= 35
+        assert hi["recall"] >= 0.9              # theory ~0.99 at s~0.9
+        assert lo["true_pairs"] > hi["true_pairs"]
+        # the low-sim tier is MOSTLY missed at (4,4) — that is the point
+        low_tier_truth = lo["true_pairs"] - hi["true_pairs"]
+        low_tier_hit = lo["lsh_true_candidates"] - hi["lsh_true_candidates"]
+        assert low_tier_truth >= 35
+        assert low_tier_hit / low_tier_truth <= 0.5   # theory ~0.06 at s~0.33

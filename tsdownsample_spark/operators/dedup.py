@@ -690,3 +690,55 @@ def apply_span_cuts(
             (F.size(t) - F.size("_clean")).cast("long").alias("n_cut"),
         )
     )
+
+
+def lsh_recall_report(
+    df: DataFrame,
+    threshold: float = 0.5,
+    k: int = 16,
+    bands: int = 4,
+    rows: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle: int = 3,
+    hash: str = "md5",
+) -> dict:
+    """Measured recall of banded-LSH candidates against EXACT truth.
+
+    Truth = all pairs with exact shingle-Jaccard >= ``threshold``
+    (O(n²) — a DIAGNOSTIC for a sample or fixture, never the corpus);
+    LSH = :func:`minhash_signatures` -> :func:`lsh_candidate_pairs` with
+    the same (k, bands, rows).  Because the pipeline's verification stage
+    is exact Jaccard, candidate recall IS pipeline recall, and precision
+    is uninteresting (false candidates are filtered exactly); what LSH can
+    lose is only the true pairs that never become candidates — this
+    measures exactly that, the ANN-recall closure's dedup twin.
+
+    Theory cross-check: P(candidate | J=s) = 1 - (1 - s^rows)^bands; at
+    the (4,4) default and s=0.8 that is ~0.87, rising steeply with s.
+    Returns {"true_pairs", "lsh_true_candidates", "recall",
+    "candidate_pairs"}.
+    """
+    ids = df.select(id_col)
+    a = ids.select(F.col(id_col).alias("id_a"))
+    b = ids.select(F.col(id_col).alias("id_b"))
+    all_pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    truth = jaccard_pairs(
+        df, all_pairs, text_col=text_col, id_col=id_col, shingle=shingle,
+        threshold=threshold, hash=None,
+    ).select("id_a", "id_b")
+    sigs = minhash_signatures(
+        df, text_col=text_col, id_col=id_col, k=k, shingle=shingle, hash=hash
+    )
+    cand = lsh_candidate_pairs(sigs, id_col=id_col, bands=bands, rows=rows, hash=hash)
+    n_truth = truth.count()
+    n_cand = cand.count()
+    n_hit = truth.join(cand, ["id_a", "id_b"], "left_semi").count()
+    return {
+        "true_pairs": n_truth,
+        "lsh_true_candidates": n_hit,
+        "recall": (n_hit / n_truth) if n_truth else None,
+        "candidate_pairs": n_cand,
+        "config": {"threshold": threshold, "k": k, "bands": bands,
+                   "rows": rows, "shingle": shingle, "hash": hash},
+    }
