@@ -245,3 +245,48 @@ class TestLMCrossentropy:
             lm_crossentropy(df)._jdf.queryExecution().executedPlan().toString()
         )
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestNgramNovelty:
+    def _docs(self, spark):
+        # batch 0 = docs 0-1, batch 1 = docs 2-3 (batch_size=2)
+        rows = [
+            (0, "a b c d"),            # shingles: 'a b c', 'b c d'
+            (1, "a b c e"),            # 'a b c' (dup in-batch), 'b c e'
+            (2, "a b c d"),            # all seen in batch 0
+            (3, "x y z w"),            # 'x y z', 'y z w' both new
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_hand_computed_curve(self, spark):
+        from tsdownsample_spark.operators.frequency import ngram_novelty
+
+        out = {
+            r.batch: r
+            for r in ngram_novelty(
+                self._docs(spark), batch_size=2, shingle=3
+            ).collect()
+        }
+        # batch 0: distinct {'a b c','b c d','b c e'} all first seen -> 1.0
+        assert (out[0].n_shingles, out[0].n_new) == (3, 3)
+        assert out[0].novelty == 1.0
+        # batch 1: {'a b c','b c d','x y z','y z w'} -> 2 new of 4
+        assert (out[1].n_shingles, out[1].n_new) == (4, 2)
+        assert out[1].novelty == 0.5
+
+    def test_plan_is_python_free_no_join(self, spark):
+        from tsdownsample_spark.operators.frequency import ngram_novelty
+
+        plan = (
+            ngram_novelty(self._docs(spark), batch_size=2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for marker in (
+            "BatchEvalPython",
+            "ArrowEvalPython",
+            "FlatMapGroupsInPandas",
+            "Join",
+        ):
+            assert marker not in plan, marker

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from tsdownsample_spark.operators.stats import (
     autocorr,
+    ks_drift,
     cusum,
     ewma,
     seasonal_strength,
@@ -267,8 +268,9 @@ def test_winsorize_rejects_bad_bounds(spark):
         lambda df: winsorize(df, y_col="value", by=["key"]),
         lambda df: trend(df, x_col="t", y_col="value", by=["key"]),
         lambda df: spearman(df, x_col="t", y_col="value", by=["key"]),
+        lambda df: ks_drift(df, x_col="t", y_col="value", by=["key"]),
     ],
-    ids=["autocorr", "cusum", "winsorize", "trend", "spearman"],
+    ids=["autocorr", "cusum", "winsorize", "trend", "spearman", "ks_drift"],
 )
 def test_plans_have_no_python(spark, build):
     df = _series_df(spark, n=50, series=2)
@@ -279,3 +281,45 @@ def test_plans_have_no_python(spark, build):
     # side: the only Window in the cusum plan is the cumulative ROWS pair
     if "cusum" in str(build):
         assert "Join" in plan
+
+
+def _ks_truth(t, v):
+    """Exact two-sample KS between the halves split at the time-range
+    midpoint, CDFs stepped per distinct value (ties move both CDFs)."""
+    t = np.asarray(t)
+    v = np.asarray(v)
+    mid = (int(t.min()) + int(t.max())) // 2
+    a, b = np.sort(v[t <= mid]), np.sort(v[t > mid])
+    grid = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(a, grid, side="right") / len(a)
+    fb = np.searchsorted(b, grid, side="right") / len(b)
+    return float(np.max(np.abs(fa - fb))), len(a), len(b)
+
+
+def test_ks_drift_matches_numpy_truth(spark):
+    df = _series_df(spark)
+    out = {
+        r["key"]: r
+        for r in ks_drift(df, x_col="t", y_col="value", by=["key"]).collect()
+    }
+    pdf = df.toPandas()
+    for key, grp in pdf.groupby("key"):
+        d, n0, n1 = _ks_truth(grp["t"], grp["value"])
+        assert out[key]["d"] == pytest.approx(d, abs=1e-12), key
+        assert (out[key]["n_early"], out[key]["n_late"]) == (n0, n1)
+    # the planted level shift in s0 must dominate the in-control series
+    assert out["s0"]["d"] > 2 * max(out["s1"]["d"], out["s2"]["d"])
+
+
+def test_ks_drift_identical_halves_is_zero_and_disjoint_is_one(spark):
+    rows = [("same", t, float(t % 10)) for t in range(40)]
+    rows += [("shift", t, float(t >= 20)) for t in range(40)]
+    df = spark.createDataFrame(rows, "key string, t long, value double")
+    out = {
+        r["key"]: r["d"]
+        for r in ks_drift(df, x_col="t", y_col="value", by=["key"]).collect()
+    }
+    # identical value multisets in both halves -> D = 0 exactly
+    assert out["same"] == 0.0
+    # disjoint supports -> D = 1 exactly
+    assert out["shift"] == 1.0

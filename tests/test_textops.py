@@ -790,3 +790,58 @@ class TestLshRecallReport:
         low_tier_hit = lo["lsh_true_candidates"] - hi["lsh_true_candidates"]
         assert low_tier_truth >= 35
         assert low_tier_hit / low_tier_truth <= 0.5   # theory ~0.06 at s~0.33
+
+
+class TestContainmentPairs:
+    def test_subset_doc_scores_one_while_jaccard_does_not(self, spark):
+        """A short doc fully embedded in a long one: containment = 1.0
+        exactly (its shingle set is a subset), while Jaccard stays well
+        below 1 — the asymmetry containment_pairs exists to expose."""
+        from tsdownsample_spark.operators.dedup import containment_pairs
+
+        short = "alpha beta gamma delta epsilon"
+        long = short + " zeta eta theta iota kappa " + short
+        df = spark.createDataFrame(
+            [("s", short), ("l", long)], "doc_id string, text string"
+        )
+        pairs = spark.createDataFrame([("l", "s")], "id_a string, id_b string")
+        row = containment_pairs(df, pairs).collect()[0]
+        assert row.containment == 1.0
+        # the subset side is c_b (id_b = the short doc)
+        assert row.c_b == 1.0 and row.c_a < 1.0
+        jac = jaccard_pairs(df, pairs).collect()[0].jaccard
+        assert jac < 0.6
+
+    def test_manual_counts_and_xxhash_form_agree(self, spark):
+        from tsdownsample_spark.operators.dedup import containment_pairs
+
+        a = "one two three four five"      # 3-shingles: 3 distinct
+        b = "one two three nine ten"       # shares exactly 1 shingle
+        df = spark.createDataFrame(
+            [("a", a), ("b", b)], "doc_id string, text string"
+        )
+        pairs = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
+        row = containment_pairs(df, pairs).collect()[0]
+        assert row.c_a == pytest.approx(1 / 3, abs=1e-6)
+        assert row.c_b == pytest.approx(1 / 3, abs=1e-6)
+        assert row.containment == row.c_a
+        xx = containment_pairs(df, pairs, hash="xxhash64").collect()[0]
+        assert (xx.c_a, xx.c_b, xx.containment) == (
+            row.c_a, row.c_b, row.containment,
+        )
+
+    def test_threshold_filters_on_max_side(self, spark):
+        from tsdownsample_spark.operators.dedup import containment_pairs
+
+        short = "alpha beta gamma delta epsilon"
+        long = short + " zeta eta theta iota kappa"
+        other = "uno dos tres cuatro cinco"
+        df = spark.createDataFrame(
+            [("s", short), ("l", long), ("o", other)],
+            "doc_id string, text string",
+        )
+        pairs = spark.createDataFrame(
+            [("l", "s"), ("l", "o")], "id_a string, id_b string"
+        )
+        kept = containment_pairs(df, pairs, threshold=0.9).collect()
+        assert [(r.id_a, r.id_b) for r in kept] == [("l", "s")]

@@ -263,6 +263,66 @@ def jaccard_pairs(
     return j
 
 
+def containment_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle: int = 3,
+    threshold: float = 0.0,
+    hash: str | None = None,
+) -> DataFrame:
+    """Verify candidate pairs with exact SET CONTAINMENT over distinct
+    shingles — the asymmetric companion to :func:`jaccard_pairs`.
+
+    Jaccard under-scores subsumption: a short doc fully embedded in a long
+    one (quote farms, boilerplate wrappers, page + page-with-nav) has
+    ``J = |A|/|B| → 0`` as the host grows, yet it is a textbook near-dup
+    the keep-first policy should collapse.  Containment fixes the
+    denominator to one side: ``c_a = |A∩B|/|A|`` (how much of A is inside
+    B), ``c_b = |A∩B|/|B|``, and ``containment = max(c_a, c_b)`` — 1.0
+    whenever either doc's shingle set is a subset of the other's,
+    regardless of length ratio.
+
+    Same scale shape as :func:`jaccard_pairs` (and the same optional
+    ``hash="xxhash64"`` 8-byte-element form): shingle sets are left-semi
+    restricted to ids appearing in a candidate pair before any set op —
+    cost is bounded by the candidate neighborhood, never all-pairs.
+    ``threshold`` filters on the max-containment score.
+    Output: (id_a, id_b, c_a, c_b, containment).
+    """
+    sh = F.expr(f"array_distinct({_shingles_expr(text_col, shingle)})")
+    if hash == "xxhash64":
+        sh = F.expr(
+            f"array_distinct(transform({_shingles_expr(text_col, shingle)}, "
+            f"s -> xxhash64(s)))"
+        )
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    docs = df.select(F.col(id_col), sh.alias("sh")).join(ids, id_col, "left_semi")
+    out = (
+        pairs.join(
+            docs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            docs.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+        .withColumn("_i", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("c_a", F.round(F.col("_i") / F.size("sh_a"), 6))
+        .withColumn("c_b", F.round(F.col("_i") / F.size("sh_b"), 6))
+        .withColumn("containment", F.greatest("c_a", "c_b"))
+        .select("id_a", "id_b", "c_a", "c_b", "containment")
+    )
+    if threshold > 0:
+        out = out.filter(F.col("containment") >= threshold)
+    return out
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

@@ -32,7 +32,13 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["heavy_hitters", "tfidf_topk", "bigram_pairs", "lm_crossentropy"]
+__all__ = [
+    "heavy_hitters",
+    "tfidf_topk",
+    "bigram_pairs",
+    "lm_crossentropy",
+    "ngram_novelty",
+]
 
 
 def heavy_hitters(
@@ -195,4 +201,57 @@ def lm_crossentropy(
             F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
             "xent",
         )
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_size: int = 100,
+    shingle: int = 3,
+) -> DataFrame:
+    """Novelty curve of a growing corpus: bucket documents into ingest
+    batches (``batch = id div batch_size`` — deterministic ingestion
+    order) and report, per batch, what fraction of its DISTINCT word
+    k-gram shingles have never been seen in any earlier batch.  This is
+    the diminishing-returns diagnostic of corpus growth (each crawl
+    snapshot contributes fewer new n-grams than the last) and the
+    batch-granular twin of train/eval decontamination: a batch whose
+    novelty collapses toward 0 is re-crawling what the corpus already
+    holds.
+
+    100 TB shape: explode -> groupBy(shingle, batch) distinct pairs (the
+    ONLY corpus-sized stage, map-side combinable, shuffle ∝ distinct
+    (shingle, batch) — bounded by vocabulary growth, not tokens); the
+    first-seen batch is a min() window partitioned BY SHINGLE (tiny
+    partitions — one row per batch the shingle appears in), then one
+    batch-cardinality groupBy.  No joins, zero Python.
+    Output: (batch, n_shingles, n_new, novelty) — novelty = n_new/n_shingles.
+    """
+    from tsdownsample_spark.operators.text import _shingles_expr
+
+    pairs = (
+        df.select(
+            F.expr(f"cast({id_col} as long) div {int(batch_size)}").alias(
+                "batch"
+            ),
+            F.explode(F.expr(_shingles_expr(text_col, shingle))).alias("sh"),
+        )
+        .groupBy("sh", "batch")
+        .agg(F.lit(1).alias("_one"))
+    )
+    first = pairs.withColumn(
+        "_first", F.min("batch").over(Window.partitionBy("sh"))
+    )
+    return (
+        first.groupBy("batch")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("batch") == F.col("_first")).cast("long")).alias(
+                "n_new"
+            ),
+        )
+        .withColumn("novelty", F.col("n_new") / F.col("n_shingles"))
+        .select("batch", "n_shingles", "n_new", "novelty")
     )

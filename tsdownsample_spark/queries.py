@@ -1965,6 +1965,52 @@ FROM s GROUP BY 1
 """
 
 
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift per event_type
+    (operators/stats.py:ks_drift): each series split at its time-range
+    midpoint, D = max CDF gap between the halves' value distributions,
+    stepped per distinct value so ties move both CDFs together.  D is a
+    ratio of integer cumulative counts — only the final max rounds."""
+    from tsdownsample_spark.operators.stats import ks_drift
+
+    ev = load(spark, sf_dir, "events")
+    out = ks_drift(ev, x_col="ts", y_col="value", by=["event_type"])
+    return out.select(
+        "event_type", F.round("d", 6).alias("d_r"), "n_early", "n_late"
+    )
+
+
+_ORACLE_KS_DRIFT = """
+WITH b AS (
+    SELECT event_type,
+           (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid
+    FROM events GROUP BY 1
+), t AS (
+    SELECT e.event_type, e.value,
+           CASE WHEN epoch_us(e.ts) > b.mid THEN 1 ELSE 0 END AS late
+    FROM events e JOIN b USING (event_type)
+), s AS (
+    SELECT event_type, value,
+           SUM(1 - late) AS c0, SUM(late) AS c1
+    FROM t GROUP BY 1, 2
+), c AS (
+    SELECT event_type,
+           SUM(c0) OVER (PARTITION BY event_type ORDER BY value
+                         ROWS UNBOUNDED PRECEDING) AS cum0,
+           SUM(c1) OVER (PARTITION BY event_type ORDER BY value
+                         ROWS UNBOUNDED PRECEDING) AS cum1,
+           SUM(c0) OVER (PARTITION BY event_type) AS n0,
+           SUM(c1) OVER (PARTITION BY event_type) AS n1
+    FROM s
+)
+SELECT event_type,
+       ROUND(MAX(ABS(cum0::DOUBLE / n0 - cum1::DOUBLE / n1)), 6) AS d_r,
+       CAST(MAX(n0) AS BIGINT) AS n_early,
+       CAST(MAX(n1) AS BIGINT) AS n_late
+FROM c GROUP BY 1
+"""
+
+
 def q_downsample_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reconstruction-fidelity report (operators/evaluate.py): linear-interp
     error of the distributed MinMax n_out=100 selection against the raw
@@ -2524,6 +2570,7 @@ def queries() -> dict:
         "q_spearman": q_spearman,
         "q_value_hist": q_value_hist,
         "q_season_strength": q_season_strength,
+        "q_ks_drift": q_ks_drift,
         "q_downsample_error": q_downsample_error,
         "q_multi_select": q_multi_select,
         "q_pyramid": q_pyramid,
@@ -2608,6 +2655,7 @@ def oracle_sql() -> dict:
         "q_spearman": _ORACLE_SPEARMAN,
         "q_value_hist": _ORACLE_VALUE_HIST,
         "q_season_strength": _ORACLE_SEASON_STRENGTH,
+        "q_ks_drift": _ORACLE_KS_DRIFT,
         "q_downsample_error": _oracle_downsample_error(),
         "q_multi_select": _oracle_multi_select(),
         "q_pyramid": _oracle_pyramid(),

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from tsdownsample_spark.operators.dedup import (
     dedup_exact,
+    containment_pairs,
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -229,6 +230,89 @@ SELECT p.id_a, p.id_b,
 FROM pairs p
 JOIN sh x ON x.doc_id = p.id_a
 JOIN sh y ON y.doc_id = p.id_b
+"""
+
+
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric set-containment verification of LSH candidate pairs
+    (operators/dedup.py:containment_pairs) — catches subsumption near-dups
+    (short doc embedded in a long one) that Jaccard under-scores.  Same
+    candidate derivation as q_jaccard_pairs; oracle recomputes
+    |A∩B|/|A| and /|B| over distinct shingle lists."""
+    docs = _load_wide(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    sig = minhash_signatures(docs, k=16)
+    pairs = lsh_candidate_pairs(sig, bands=4, rows=4)
+    return containment_pairs(docs, pairs)
+
+
+_ORACLE_CONTAINMENT = f"""
+WITH bases AS (
+    SELECT doc_id, {_DUCK_BASE} AS _b FROM documents
+),
+sig AS (
+    SELECT doc_id, [{_DUCK_MINS}] AS sig FROM bases
+),
+banded AS (
+    SELECT doc_id, b AS band_idx,
+           md5(array_to_string(sig[b * 4 + 1 : b * 4 + 4], '|')) AS band_hash
+    FROM sig, UNNEST(range(4)) AS t(b)
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+),
+sh AS (
+    SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS sh FROM documents
+),
+scored AS (
+    SELECT p.id_a, p.id_b,
+           ROUND(len(list_intersect(x.sh, y.sh))::DOUBLE / len(x.sh), 6) AS c_a,
+           ROUND(len(list_intersect(x.sh, y.sh))::DOUBLE / len(y.sh), 6) AS c_b
+    FROM pairs p
+    JOIN sh x ON x.doc_id = p.id_a
+    JOIN sh y ON y.doc_id = p.id_b
+)
+SELECT id_a, id_b, c_a, c_b, GREATEST(c_a, c_b) AS containment FROM scored
+"""
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-growth novelty curve (operators/frequency.py:ngram_novelty):
+    per 100-doc ingest batch (deterministic doc_id order), the fraction of
+    its distinct 3-gram shingles never seen in an earlier batch.  Counts
+    are integers; only the final ratio rounds."""
+    from tsdownsample_spark.operators.frequency import ngram_novelty
+
+    docs = _load_wide(spark, sf_dir, "documents")
+    out = ngram_novelty(docs, batch_size=100, shingle=3)
+    return out.select(
+        "batch",
+        "n_shingles",
+        "n_new",
+        F.round("novelty", 6).alias("novelty_r"),
+    )
+
+
+_ORACLE_NGRAM_NOVELTY = f"""
+WITH pairs AS (
+    SELECT DISTINCT doc_id // 100 AS batch, t.sh
+    FROM documents, UNNEST({_DUCK_SHINGLES}) AS t(sh)
+),
+f AS (
+    SELECT batch, MIN(batch) OVER (PARTITION BY sh) AS first_batch
+    FROM pairs
+)
+SELECT batch,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN batch = first_batch THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+       ROUND(SUM(CASE WHEN batch = first_batch THEN 1 ELSE 0 END)::DOUBLE
+             / COUNT(*), 6) AS novelty_r
+FROM f GROUP BY 1
 """
 
 
@@ -1475,6 +1559,8 @@ def queries() -> dict:
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_lsh": q_minhash_lsh,
         "q_jaccard_pairs": q_jaccard_pairs,
+        "q_containment": q_containment,
+        "q_ngram_novelty": q_ngram_novelty,
         "q_dedup_cluster": q_dedup_cluster,
         "q_lm_score": q_lm_score,
         "q_simhash": q_simhash,
@@ -1513,6 +1599,8 @@ def oracle_sql() -> dict:
         "q_dedup_exact": _ORACLE_DEDUP_EXACT,
         "q_minhash_lsh": _ORACLE_MINHASH_LSH,
         "q_jaccard_pairs": _ORACLE_JACCARD,
+        "q_containment": _ORACLE_CONTAINMENT,
+        "q_ngram_novelty": _ORACLE_NGRAM_NOVELTY,
         "q_dedup_cluster": _ORACLE_DEDUP_CLUSTER,
         "q_lm_score": _ORACLE_LM_SCORE,
         "q_simhash": _ORACLE_SIMHASH,
