@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from tsdownsample_spark.operators.stats import (
     autocorr,
     ks_drift,
+    xcorr,
     cusum,
     ewma,
     seasonal_strength,
@@ -269,8 +270,10 @@ def test_winsorize_rejects_bad_bounds(spark):
         lambda df: trend(df, x_col="t", y_col="value", by=["key"]),
         lambda df: spearman(df, x_col="t", y_col="value", by=["key"]),
         lambda df: ks_drift(df, x_col="t", y_col="value", by=["key"]),
+        lambda df: xcorr(df, x_col="t", y_col="value", by="key", lag=1),
     ],
-    ids=["autocorr", "cusum", "winsorize", "trend", "spearman", "ks_drift"],
+    ids=["autocorr", "cusum", "winsorize", "trend", "spearman", "ks_drift",
+         "xcorr"],
 )
 def test_plans_have_no_python(spark, build):
     df = _series_df(spark, n=50, series=2)
@@ -323,3 +326,74 @@ def test_ks_drift_identical_halves_is_zero_and_disjoint_is_one(spark):
     assert out["same"] == 0.0
     # disjoint supports -> D = 1 exactly
     assert out["shift"] == 1.0
+
+
+class TestXcorr:
+    def _panel_df(self, spark):
+        # two series over 60 "minutes" on a long x (micros): b = a shifted
+        # by one bucket plus a constant; c = anti-correlated with a
+        rows = []
+        base = [float((i * 37) % 11) for i in range(61)]
+        for i in range(60):
+            t = i * 60_000_000
+            rows.append(("a", t, base[i]))
+            rows.append(("b", t, base[i - 1] + 5.0 if i else 0.0))
+            rows.append(("c", t, -base[i]))
+        return spark.createDataFrame(rows, "key string, t long, value double")
+
+    def test_lagged_twin_and_anticorrelation(self, spark):
+        from tsdownsample_spark.operators.stats import xcorr
+
+        df = self._panel_df(spark)
+        out = {
+            (r.key_a, r.key_b): r
+            for r in xcorr(
+                df, x_col="t", y_col="value", by="key", every="minute", lag=1
+            ).collect()
+        }
+        # b IS a delayed one bucket (plus a constant, which corr ignores):
+        # at lag=1, corr(a_t, b_{t-1}) pairs b's copy of a_{t-2}... the
+        # clean identity is the pair (b, a): b_t vs a_{t-1} = exactly equal
+        # shifted values -> r = 1
+        assert out[("b", "a")].r == pytest.approx(1.0, abs=1e-9)
+        assert out[("c", "a")].r is not None
+        # n_buckets: 59 overlapping (t>=1 joined against t<=58 shifted)
+        assert out[("b", "a")].n_buckets == 59
+        # anti-correlated pair at lag 0
+        out0 = {
+            (r.key_a, r.key_b): r
+            for r in xcorr(
+                df, x_col="t", y_col="value", by="key", every="minute", lag=0
+            ).collect()
+        }
+        assert out0[("c", "a")].r == pytest.approx(-1.0, abs=1e-9)
+        assert out0[("a", "c")].r == pytest.approx(-1.0, abs=1e-9)
+
+    def test_bucket_means_not_raw_points(self, spark):
+        from tsdownsample_spark.operators.stats import xcorr
+
+        # two points per bucket whose MEAN is constant for x but raw values
+        # vary: corr against any series must be NULL (zero variance) —
+        # proving bucket means, not raw points, enter the fold
+        rows = []
+        for i in range(20):
+            t = i * 60_000_000
+            rows.append(("x", t, 10.0 + i))
+            rows.append(("x", t + 1_000_000, 10.0 - i))   # mean always 10
+            rows.append(("y", t, float(i)))
+        df = spark.createDataFrame(rows, "key string, t long, value double")
+        out = {
+            (r.key_a, r.key_b): r
+            for r in xcorr(
+                df, x_col="t", y_col="value", by="key", every="minute", lag=0
+            ).collect()
+        }
+        assert out[("x", "y")].r is None
+        assert out[("x", "y")].n_buckets == 20
+
+    def test_rejects_unknown_granularity(self, spark):
+        from tsdownsample_spark.operators.stats import xcorr
+
+        df = self._panel_df(spark)
+        with pytest.raises(ValueError, match="every"):
+            xcorr(df, x_col="t", y_col="value", by="key", every="5 minutes")

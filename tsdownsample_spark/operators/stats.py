@@ -52,6 +52,7 @@ __all__ = [
     "trend",
     "value_histogram",
     "winsorize",
+    "xcorr",
 ]
 
 
@@ -508,4 +509,89 @@ def ks_drift(
             F.max("_n1").alias("n_late"),
         )
         .select(*by, "d", "n_early", "n_late")
+    )
+
+
+_XCORR_STEPS_US = {
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+}
+
+
+def xcorr(
+    df: DataFrame,
+    x_col: str = "ts",
+    y_col: str = "value",
+    by: str = "series_key",
+    every: str = "minute",
+    lag: int = 0,
+) -> DataFrame:
+    """Lead-lag cross-correlation matrix between series: Pearson corr of
+    per-bucket MEAN values across every ordered series pair, with the
+    second series shifted by ``lag`` buckets — the "which metrics move
+    together, and who leads?" fabric of observability and of feature
+    screening over metric panels.  ``lag > 0`` correlates a's bucket ``t``
+    against b's bucket ``t - lag`` (b LEADS a); only buckets where both
+    sides exist enter the fold (inner join), so sparse series don't
+    fabricate zero-filled agreement.
+
+    100 TB shape: the raw scan collapses FIRST to one row per
+    (series, bucket) — map-side-combinable groupBy, shuffle ∝
+    series x buckets, never points — and everything downstream runs on
+    that collapsed panel: one integer-bucket equi-join (AQE broadcasts the
+    panel when small) and one corr fold per ordered pair.  Bucket ids are
+    integer epoch-micros div step, so the lag shift is exact integer
+    arithmetic, engine-portable.  Zero Python.
+    Output: (key_a, key_b, r, n_buckets) for all ordered pairs a != b.
+    """
+    if every not in _XCORR_STEPS_US:
+        raise ValueError(
+            f"every must be one of {sorted(_XCORR_STEPS_US)}, got {every!r}"
+        )
+    step = _XCORR_STEPS_US[every]
+    if "timestamp" in dict(df.dtypes).get(x_col, ""):
+        us = F.unix_micros(F.col(x_col).cast("timestamp"))
+    else:
+        us = F.col(x_col).cast("long")
+    panel = (
+        df.withColumn("_us", us)
+        .groupBy(
+            F.col(by).alias("_k"),
+            F.expr(f"_us div {step}").alias("_bkt"),
+        )
+        .agg(F.avg(y_col).alias("_v"))
+    )
+    a = panel.select(
+        F.col("_k").alias("key_a"),
+        F.col("_bkt").alias("_j"),
+        F.col("_v").alias("_va"),
+    )
+    b = panel.select(
+        F.col("_k").alias("key_b"),
+        (F.col("_bkt") + F.lit(int(lag))).alias("_j"),
+        F.col("_v").alias("_vb"),
+    )
+    # corr spelled as covar/(sd*sd): under ANSI mode (Spark 4 default)
+    # the built-in corr THROWS on a zero-variance side, and one flat
+    # series must not kill a whole-panel job — this form returns NULL
+    # for degenerate pairs, matching DuckDB/ANSI corr semantics
+    return (
+        a.join(b, "_j")
+        .where(F.col("key_a") != F.col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(
+            F.covar_samp("_va", "_vb").alias("_cov"),
+            F.stddev_samp("_va").alias("_sa"),
+            F.stddev_samp("_vb").alias("_sb"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+        .withColumn(
+            "r",
+            F.when(
+                (F.col("_sa") > 0) & (F.col("_sb") > 0),
+                F.col("_cov") / (F.col("_sa") * F.col("_sb")),
+            ),
+        )
+        .select("key_a", "key_b", "r", "n_buckets")
     )

@@ -2011,6 +2011,38 @@ FROM c GROUP BY 1
 """
 
 
+def q_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation matrix over event types
+    (operators/stats.py:xcorr): minute-bucket mean panels, lag=1 (key_b
+    one bucket ahead), Pearson corr per ordered pair.  Bucket means and
+    the corr fold are float folds — round 6; the integer bucket join is
+    exact on both engines (epoch_us div step)."""
+    from tsdownsample_spark.operators.stats import xcorr
+
+    ev = load(spark, sf_dir, "events")
+    out = xcorr(
+        ev, x_col="ts", y_col="value", by="event_type", every="minute", lag=1
+    )
+    return out.select(
+        "key_a", "key_b", F.round("r", 6).alias("r_r"), "n_buckets"
+    )
+
+
+_ORACLE_XCORR = """
+WITH panel AS (
+    SELECT event_type AS k, epoch_us(ts) // 60000000 AS bkt,
+           AVG(value) AS v
+    FROM events GROUP BY 1, 2
+)
+SELECT a.k AS key_a, b.k AS key_b,
+       ROUND(corr(a.v, b.v), 6) AS r_r,
+       COUNT(*) AS n_buckets
+FROM panel a JOIN panel b
+  ON a.bkt = b.bkt + 1 AND a.k <> b.k
+GROUP BY 1, 2
+"""
+
+
 def q_downsample_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reconstruction-fidelity report (operators/evaluate.py): linear-interp
     error of the distributed MinMax n_out=100 selection against the raw
@@ -2571,6 +2603,7 @@ def queries() -> dict:
         "q_value_hist": q_value_hist,
         "q_season_strength": q_season_strength,
         "q_ks_drift": q_ks_drift,
+        "q_xcorr": q_xcorr,
         "q_downsample_error": q_downsample_error,
         "q_multi_select": q_multi_select,
         "q_pyramid": q_pyramid,
@@ -2656,6 +2689,7 @@ def oracle_sql() -> dict:
         "q_value_hist": _ORACLE_VALUE_HIST,
         "q_season_strength": _ORACLE_SEASON_STRENGTH,
         "q_ks_drift": _ORACLE_KS_DRIFT,
+        "q_xcorr": _ORACLE_XCORR,
         "q_downsample_error": _oracle_downsample_error(),
         "q_multi_select": _oracle_multi_select(),
         "q_pyramid": _oracle_pyramid(),
