@@ -17,7 +17,9 @@ from pyspark.sql import functions as F
 
 from tsdownsample_spark.operators.stats import (
     autocorr,
+    burstiness,
     ks_drift,
+    mad_outliers,
     xcorr,
     cusum,
     ewma,
@@ -271,9 +273,11 @@ def test_winsorize_rejects_bad_bounds(spark):
         lambda df: spearman(df, x_col="t", y_col="value", by=["key"]),
         lambda df: ks_drift(df, x_col="t", y_col="value", by=["key"]),
         lambda df: xcorr(df, x_col="t", y_col="value", by="key", lag=1),
+        lambda df: mad_outliers(df, y_col="value", by=["key"]),
+        lambda df: burstiness(df, x_col="t", by=["key"]),
     ],
     ids=["autocorr", "cusum", "winsorize", "trend", "spearman", "ks_drift",
-         "xcorr"],
+         "xcorr", "mad_outliers", "burstiness"],
 )
 def test_plans_have_no_python(spark, build):
     df = _series_df(spark, n=50, series=2)
@@ -397,3 +401,81 @@ class TestXcorr:
         df = self._panel_df(spark)
         with pytest.raises(ValueError, match="every"):
             xcorr(df, x_col="t", y_col="value", by="key", every="5 minutes")
+
+
+class TestMadOutliers:
+    def test_flags_spike_not_fat_mean(self, spark):
+        from tsdownsample_spark.operators.stats import mad_outliers
+
+        # 50 quiet points around 10 plus one huge spike: classic z-score
+        # would be dragged by the spike's own effect on std; MAD must flag
+        # exactly the spike
+        rows = [("s", i, 10.0 + (i % 5) * 0.1) for i in range(50)]
+        rows.append(("s", 50, 500.0))
+        df = spark.createDataFrame(rows, "key string, t long, value double")
+        out = mad_outliers(df, y_col="value", by=["key"], k=3.5).collect()
+        flagged = [r for r in out if r.outlier]
+        assert len(flagged) == 1 and flagged[0].value == 500.0
+        assert abs(flagged[0].rz) > 100  # spike is enormous in MAD units
+
+    def test_constant_series_yields_null_not_all_flagged(self, spark):
+        from tsdownsample_spark.operators.stats import mad_outliers
+
+        df = spark.createDataFrame(
+            [("c", i, 7.0) for i in range(20)],
+            "key string, t long, value double",
+        )
+        out = mad_outliers(df, y_col="value", by=["key"]).collect()
+        assert all(r.rz is None for r in out)
+        assert not any(r.outlier for r in out if r.outlier is not None)
+
+    def test_matches_numpy_median_mad(self, spark):
+        import numpy as np
+
+        from tsdownsample_spark.operators.stats import mad_outliers
+
+        vals = [float((i * 17) % 23) for i in range(40)]
+        df = spark.createDataFrame(
+            [("k", i, v) for i, v in enumerate(vals)],
+            "key string, t long, value double",
+        )
+        med = float(np.median(vals))
+        mad = float(np.median(np.abs(np.array(vals) - med)))
+        out = {r.t: r.rz for r in mad_outliers(df, y_col="value", by=["key"]).collect()}
+        for i, v in enumerate(vals):
+            assert out[i] == pytest.approx(
+                (v - med) / (1.4826022185056018 * mad), rel=1e-12
+            )
+
+
+class TestBurstiness:
+    def test_metronome_poissonish_and_bursty(self, spark):
+        from tsdownsample_spark.operators.stats import burstiness
+
+        rows = []
+        # metronome: constant gap -> cv = 0, b = -1
+        for i in range(30):
+            rows.append(("tick", i * 1_000_000))
+        # bursty: 10 tight clusters separated by long silences -> cv > 1
+        t = 0
+        for c in range(10):
+            for j in range(5):
+                rows.append(("burst", t)); t += 1_000
+            t += 10_000_000
+        df = spark.createDataFrame(rows, "key string, ts long")
+        out = {r.key: r for r in burstiness(df, x_col="ts", by=["key"]).collect()}
+        assert out["tick"].cv == pytest.approx(0.0, abs=1e-12)
+        assert out["tick"].b == pytest.approx(-1.0, abs=1e-12)
+        assert out["burst"].cv > 1.0 and out["burst"].b > 0.0
+        assert out["tick"].n_gaps == 29
+        assert out["burst"].n_gaps == 49
+
+    def test_short_series_yields_null_cv(self, spark):
+        from tsdownsample_spark.operators.stats import burstiness
+
+        df = spark.createDataFrame(
+            [("one", 0), ("one", 5), ("lone", 3)], "key string, ts long"
+        )
+        out = {r.key: r for r in burstiness(df, x_col="ts", by=["key"]).collect()}
+        assert out["one"].cv is None          # a single gap has no sample std
+        assert "lone" not in out              # no gaps at all -> no row

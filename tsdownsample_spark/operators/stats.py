@@ -43,9 +43,11 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "autocorr",
+    "burstiness",
     "cusum",
     "ewma",
     "ks_drift",
+    "mad_outliers",
     "seasonal_strength",
     "seasonal_zscore",
     "spearman",
@@ -594,4 +596,109 @@ def xcorr(
             ),
         )
         .select("key_a", "key_b", "r", "n_buckets")
+    )
+
+
+# 1 / Phi^-1(0.75): scales MAD to the sigma of a normal distribution, the
+# standard consistency constant (Rousseeuw & Croux 1993, public)
+_MAD_SCALE = 1.4826022185056018
+
+
+def mad_outliers(
+    df: DataFrame,
+    y_col: str = "value",
+    by: Sequence[str] = ("series_key",),
+    k: float = 3.5,
+) -> DataFrame:
+    """Robust per-series outlier scores: ``rz = (y - median) /
+    (1.4826 * MAD)`` with ``MAD = median(|y - median|)``, flagged when
+    ``|rz| > k`` (k=3.5 is the classic Iglewicz-Hoaglin cut).  The robust
+    twin of the rolling z-score (anomaly.py): mean/std themselves move
+    when outliers land, so a fat-tailed series scores its own spikes as
+    normal — median/MAD don't, making this the preferred first-pass
+    quality gate over sensor panels and training-metric streams.
+
+    100 TB shape: two exact interpolated ``percentile`` folds (map-side
+    sort-based partials, same engine-portable definition as winsorize —
+    ANSI percentile_cont), each joined back to the facts; the stats sides
+    are one row per series so AQE broadcasts both joins.  Zero Python,
+    no windows, no whole-partition buffering.  A zero-MAD series (over
+    half its points at the median) yields NULL rz — constant series must
+    not flag everything.
+
+    Output: input columns plus ``rz`` (NULL when MAD = 0) and ``outlier``.
+    """
+    by = list(by)
+    med = df.groupBy(*by).agg(
+        F.expr(f"percentile({y_col}, 0.5)").alias("_med")
+    )
+    dev = df.join(med, on=by, how="inner")
+    mad = dev.groupBy(*by).agg(
+        F.expr(f"percentile(abs({y_col} - _med), 0.5)").alias("_mad")
+    )
+    return (
+        dev.join(mad, on=by, how="inner")
+        .withColumn(
+            "rz",
+            F.when(
+                F.col("_mad") > 0,
+                (F.col(y_col) - F.col("_med"))
+                / (F.lit(_MAD_SCALE) * F.col("_mad")),
+            ),
+        )
+        .withColumn("outlier", F.abs(F.col("rz")) > F.lit(float(k)))
+        .drop("_med", "_mad")
+    )
+
+
+def burstiness(
+    df: DataFrame,
+    x_col: str = "ts",
+    by: Sequence[str] = ("series_key",),
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Inter-arrival burstiness per series: coefficient of variation
+    ``cv = std(delta) / mean(delta)`` of consecutive event gaps, plus the
+    bounded Goh-Barabasi burstiness index ``b = (cv - 1) / (cv + 1)``
+    (public: Goh & Barabasi 2008, EPL 81).  A Poisson arrival stream has
+    cv = 1 / b = 0; a metronome cv = 0 / b = -1; bursty traffic b > 0 —
+    the one-number triage for "is this event stream clockwork, random, or
+    bursty?" before sessionization or rate alerting.
+
+    100 TB shape: one ROWS lag window per series (the sessionize/gaps
+    shuffle, reusable across all of them) and one map-side-combinable
+    groupBy; shuffle cardinality = series count.  Zero Python.  Gaps are
+    integer epoch-micros differences, so the folds are exact until the
+    final two divisions.  Series with < 3 points (< 2 gaps) yield NULL cv
+    (stddev_samp of one gap is undefined); an all-simultaneous series
+    (mean gap 0) also yields NULL rather than Inf.
+
+    Output: ``by + (n_gaps, mean_gap_us, cv, b)``.
+    """
+    by = list(by)
+    if "timestamp" in dict(df.dtypes).get(x_col, ""):
+        us = F.unix_micros(F.col(x_col).cast("timestamp"))
+    else:
+        us = F.col(x_col).cast("long")
+    w = Window.partitionBy(*by).orderBy(
+        *_order_cols(x_col, tiebreak)
+    )
+    gaps = (
+        df.withColumn("_us", us)
+        .withColumn("_gap", (F.col("_us") - F.lag("_us").over(w)).cast("double"))
+        .where(F.col("_gap").isNotNull())
+    )
+    agg = gaps.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.avg("_gap").alias("mean_gap_us"),
+        F.stddev_samp("_gap").alias("_sd"),
+    )
+    cv = F.when(
+        (F.col("n_gaps") >= 2) & (F.col("mean_gap_us") > 0),
+        F.col("_sd") / F.col("mean_gap_us"),
+    )
+    return (
+        agg.withColumn("cv", cv)
+        .withColumn("b", (F.col("cv") - 1) / (F.col("cv") + 1))
+        .select(*by, "n_gaps", "mean_gap_us", "cv", "b")
     )

@@ -2043,6 +2043,82 @@ GROUP BY 1, 2
 """
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD outlier flags per event type
+    (operators/stats.py:mad_outliers): two exact-percentile folds
+    (median, MAD), rz = (v - med)/(1.4826*MAD), |rz| > 3.5 flagged.
+    The checked shape is the flagged rows only — both engines compute the
+    interpolated median identically (ANSI percentile_cont), and the max
+    |rz| at sf0.01 is ~12.5, far from the 3.5 cut, so the filter cannot
+    flip on float residue; rz rounds to 6 for the value hash."""
+    from tsdownsample_spark.operators.stats import mad_outliers
+
+    ev = load(spark, sf_dir, "events")
+    out = mad_outliers(ev, y_col="value", by=["event_type"], k=3.5)
+    return out.where("outlier").select(
+        "event_id", "event_type", F.round("rz", 6).alias("rz_r")
+    )
+
+
+_ORACLE_MAD_OUTLIERS = """
+WITH med AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS med
+    FROM events GROUP BY 1
+),
+j AS (
+    SELECT e.event_id, e.event_type, e.value, m.med
+    FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+    SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+    FROM j GROUP BY 1
+)
+SELECT j.event_id, j.event_type,
+       ROUND((j.value - j.med) / (1.4826022185056018 * d.mad), 6) AS rz_r
+FROM j JOIN mad d USING (event_type)
+WHERE d.mad > 0
+  AND abs((j.value - j.med) / (1.4826022185056018 * d.mad)) > 3.5
+"""
+
+
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness per event type
+    (operators/stats.py:burstiness): one lag window over integer
+    epoch-micros, then cv = std/mean of the gaps and the Goh-Barabasi
+    index b = (cv-1)/(cv+1).  Gap extraction is exact integer arithmetic
+    on both engines; the folds are float — round 6."""
+    from tsdownsample_spark.operators.stats import burstiness
+
+    ev = load(spark, sf_dir, "events")
+    out = burstiness(ev, x_col="ts", by=["event_type"], tiebreak=["event_id"])
+    return out.select(
+        "event_type",
+        "n_gaps",
+        F.round("mean_gap_us", 6).alias("mean_gap_us_r"),
+        F.round("cv", 6).alias("cv_r"),
+        F.round("b", 6).alias("b_r"),
+    )
+
+
+_ORACLE_BURSTINESS = """
+WITH g AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+           ) AS DOUBLE) AS gap
+    FROM events
+)
+SELECT event_type, COUNT(gap) AS n_gaps,
+       ROUND(AVG(gap), 6) AS mean_gap_us_r,
+       ROUND(stddev_samp(gap) / AVG(gap), 6) AS cv_r,
+       ROUND((stddev_samp(gap) / AVG(gap) - 1)
+             / (stddev_samp(gap) / AVG(gap) + 1), 6) AS b_r
+FROM g
+WHERE gap IS NOT NULL
+GROUP BY 1
+"""
+
+
 def q_downsample_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reconstruction-fidelity report (operators/evaluate.py): linear-interp
     error of the distributed MinMax n_out=100 selection against the raw
@@ -2604,6 +2680,8 @@ def queries() -> dict:
         "q_season_strength": q_season_strength,
         "q_ks_drift": q_ks_drift,
         "q_xcorr": q_xcorr,
+        "q_mad_outliers": q_mad_outliers,
+        "q_burstiness": q_burstiness,
         "q_downsample_error": q_downsample_error,
         "q_multi_select": q_multi_select,
         "q_pyramid": q_pyramid,
@@ -2690,6 +2768,8 @@ def oracle_sql() -> dict:
         "q_season_strength": _ORACLE_SEASON_STRENGTH,
         "q_ks_drift": _ORACLE_KS_DRIFT,
         "q_xcorr": _ORACLE_XCORR,
+        "q_mad_outliers": _ORACLE_MAD_OUTLIERS,
+        "q_burstiness": _ORACLE_BURSTINESS,
         "q_downsample_error": _oracle_downsample_error(),
         "q_multi_select": _oracle_multi_select(),
         "q_pyramid": _oracle_pyramid(),
