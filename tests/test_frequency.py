@@ -290,3 +290,81 @@ class TestNgramNovelty:
             "Join",
         ):
             assert marker not in plan, marker
+
+
+class TestUnigramEntropy:
+    def test_hand_computed(self, spark):
+        import math
+
+        from tsdownsample_spark.operators.frequency import unigram_entropy
+
+        # group g: counts {a:2, b:1, c:1} over N=4
+        # H = -(0.5 log2 0.5 + 0.25 log2 0.25 * 2) = 1.5 bits
+        rows = [("g", "a"), ("g", "a"), ("g", "b"), ("g", "c"),
+                ("u", "k"), ("u", "k"), ("u", "k"),          # single value
+                ("n", None), ("n", "p"), ("n", "q")]          # null dropped
+        df = spark.createDataFrame(rows, "src string, tok string")
+        out = {r.src: r for r in unigram_entropy(df, "tok", by=["src"]).collect()}
+        assert out["g"].entropy_bits == pytest.approx(1.5, abs=1e-12)
+        assert (out["g"].n_values, out["g"].n_distinct) == (4, 3)
+        assert out["u"].entropy_bits == pytest.approx(0.0, abs=1e-12)
+        # null excluded: N=2, uniform over {p, q} -> 1 bit
+        assert out["n"].entropy_bits == pytest.approx(1.0, abs=1e-12)
+        assert out["n"].n_values == 2
+
+    def test_plan_python_free_one_exchange_pair(self, spark):
+        from tsdownsample_spark.operators.frequency import unigram_entropy
+
+        df = spark.createDataFrame(
+            [("s", str(i % 7)) for i in range(50)], "src string, tok string"
+        )
+        plan = (
+            unigram_entropy(df, "tok", by=["src"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestZipfSlope:
+    def test_exact_power_law_recovers_slope(self, spark):
+        from tsdownsample_spark.operators.frequency import zipf_slope
+
+        # freq = 120/rank exactly (ranks 1..6 all divide 120), so
+        # ln(freq) vs ln(rank) is a perfect line of slope -1
+        rows = []
+        freqs = [120, 60, 40, 30, 24, 20]          # 120/rank, ranks 1..6
+        for r, f in enumerate(freqs, start=1):
+            rows += [("s", f"tok{r:02d}")] * f
+        df = spark.createDataFrame(rows, "src string, tok string")
+        out = zipf_slope(df, "tok", by=["src"]).collect()[0]
+        assert out.slope == pytest.approx(-1.0, abs=1e-9)
+        assert out.r2 == pytest.approx(1.0, abs=1e-9)
+        assert out.n_ranks == 6
+
+    def test_max_rank_truncates_and_validates(self, spark):
+        from tsdownsample_spark.operators.frequency import zipf_slope
+
+        rows = []
+        for r, f in enumerate([120, 60, 40, 30, 24, 20, 1, 1, 1], start=1):
+            rows += [("s", f"tok{r:02d}")] * f
+        df = spark.createDataFrame(rows, "src string, tok string")
+        # the flat tail of ones ruins the fit; truncating to the head
+        # restores it
+        full = zipf_slope(df, "tok", by=["src"]).collect()[0]
+        head = zipf_slope(df, "tok", by=["src"], max_rank=6).collect()[0]
+        assert head.r2 > full.r2 and head.n_ranks == 6
+        assert head.slope == pytest.approx(-1.0, abs=1e-9)
+        with pytest.raises(ValueError, match="max_rank"):
+            zipf_slope(df, "tok", by=["src"], max_rank=2)
+
+    def test_plan_python_free(self, spark):
+        from tsdownsample_spark.operators.frequency import zipf_slope
+
+        df = spark.createDataFrame(
+            [("s", str(i % 9)) for i in range(60)], "src string, tok string"
+        )
+        plan = (
+            zipf_slope(df, "tok", by=["src"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

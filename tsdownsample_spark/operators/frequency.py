@@ -38,6 +38,8 @@ __all__ = [
     "bigram_pairs",
     "lm_crossentropy",
     "ngram_novelty",
+    "unigram_entropy",
+    "zipf_slope",
 ]
 
 
@@ -254,4 +256,86 @@ def ngram_novelty(
         )
         .withColumn("novelty", F.col("n_new") / F.col("n_shingles"))
         .select("batch", "n_shingles", "n_new", "novelty")
+    )
+
+
+def unigram_entropy(
+    df: DataFrame,
+    col: str,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Shannon entropy (bits) of the value distribution of ``col`` per
+    ``by`` group — for token columns, the unigram entropy that corpus
+    curation tracks per source/language: collapsing diversity (entropy
+    drop) flags template spam or a scraper stuck in a loop, and the
+    entropy-per-token budget feeds mixture design next to q_temp_mix's
+    n^alpha rates.
+
+    100 TB shape: ONE distinct-count groupBy (map-side partial combine —
+    shuffle is the distinct (group, value) cardinality, never occurrences),
+    then the per-group fold via the identity
+    ``H = log2(N) - (1/N) * sum(c * log2(c))`` — algebraically equal to
+    ``-sum(p log2 p)`` but computable from raw counts in one aggregation
+    without materializing probabilities (no second pass for N, no join).
+    Zero Python.  NULL values are excluded (their mass is a data-quality
+    question, not a distribution one).
+
+    Output: ``by + (n_values, n_distinct, entropy_bits)``; a single-valued
+    group yields exactly 0.0.
+    """
+    by = list(by)
+    counts = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(*by, col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    n = F.sum("_c")
+    return counts.groupBy(*by).agg(
+        n.alias("n_values"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (
+            F.log2(n) - F.sum(F.col("_c") * F.log2("_c")) / n
+        ).alias("entropy_bits"),
+    )
+
+
+def zipf_slope(
+    df: DataFrame,
+    col: str,
+    by: Sequence[str] = (),
+    max_rank: int | None = None,
+) -> DataFrame:
+    """Zipf rank-frequency fit per group: least-squares slope/intercept/R²
+    of ``ln(freq)`` against ``ln(rank)`` over the frequency-ranked distinct
+    values of ``col``.  Natural text sits near slope -1 (Zipf's law,
+    public); machine-generated or deduplicated-to-death corpora drift
+    flat (slope -> 0) or cliff off — a one-number corpus-health check per
+    source that pairs with unigram_entropy.
+
+    100 TB shape: the same ONE distinct-count groupBy as heavy_hitters
+    (shuffle = distinct cardinality), a rank window over the already
+    aggregated distinct rows (count desc, value asc — deterministic under
+    ties), then ANSI ``regr_slope/regr_intercept/regr_r2`` folds.
+    ``max_rank`` truncates the fit to the head (the classic practice:
+    the tail bends below the power law) with a plain filter.  Zero Python.
+
+    Output: ``by + (slope, intercept, r2, n_ranks)``.
+    """
+    by = list(by)
+    counts = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(*by, col)
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy(*by).orderBy(F.col("freq").desc(), F.col(col).asc())
+    ranked = counts.withColumn("rank", F.row_number().over(w))
+    if max_rank is not None:
+        if max_rank < 3:
+            raise ValueError(f"max_rank must be >= 3, got {max_rank}")
+        ranked = ranked.where(F.col("rank") <= max_rank)
+    return ranked.groupBy(*by).agg(
+        F.expr("regr_slope(ln(cast(freq as double)), ln(cast(rank as double)))").alias("slope"),
+        F.expr("regr_intercept(ln(cast(freq as double)), ln(cast(rank as double)))").alias("intercept"),
+        F.expr("regr_r2(ln(cast(freq as double)), ln(cast(rank as double)))").alias("r2"),
+        F.count(F.lit(1)).alias("n_ranks"),
     )

@@ -856,6 +856,80 @@ QUALIFY rank <= 10
 """
 
 
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram entropy (operators/frequency.py:unigram_entropy):
+    one distinct-count groupBy, then H = log2(N) - sum(c*log2(c))/N in a
+    single fold.  The counts are exact integers on both engines; the log
+    fold is float — round 6."""
+    from tsdownsample_spark.operators.frequency import unigram_entropy
+
+    toks = tokenize_docs(spark, sf_dir)
+    ex = toks.select("source", F.explode("tokens").alias("token"))
+    out = unigram_entropy(ex, "token", by=["source"])
+    return out.select(
+        "source",
+        "n_values",
+        "n_distinct",
+        F.round("entropy_bits", 6).alias("entropy_bits_r"),
+    )
+
+
+_ORACLE_TOKEN_ENTROPY = f"""
+WITH tok AS (
+    SELECT source, unnest({_DUCK_TOKENIZE}) AS token FROM documents
+),
+c AS (
+    SELECT source, token, COUNT(*) AS c FROM tok GROUP BY 1, 2
+)
+SELECT source, SUM(c) AS n_values, COUNT(*) AS n_distinct,
+       ROUND(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 6) AS entropy_bits_r
+FROM c GROUP BY 1
+"""
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf rank-frequency fit (operators/frequency.py:
+    zipf_slope): heavy-hitters distinct-count groupBy, deterministic rank
+    window (freq desc, token asc), ANSI regr_slope/intercept/r2 over
+    ln(freq) vs ln(rank), truncated to the head (max_rank=500) where the
+    power law lives.  Ranks and freqs are exact integers on both engines;
+    the regression folds are float — round 6."""
+    from tsdownsample_spark.operators.frequency import zipf_slope
+
+    toks = tokenize_docs(spark, sf_dir)
+    ex = toks.select("source", F.explode("tokens").alias("token"))
+    out = zipf_slope(ex, "token", by=["source"], max_rank=500)
+    return out.select(
+        "source",
+        F.round("slope", 6).alias("slope_r"),
+        F.round("intercept", 6).alias("intercept_r"),
+        F.round("r2", 6).alias("r2_r"),
+        "n_ranks",
+    )
+
+
+_ORACLE_ZIPF_SLOPE = f"""
+WITH tok AS (
+    SELECT source, unnest({_DUCK_TOKENIZE}) AS token FROM documents
+),
+c AS (
+    SELECT source, token, COUNT(*) AS freq FROM tok GROUP BY 1, 2
+),
+r AS (
+    SELECT source, freq,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY freq DESC, token ASC) AS rank
+    FROM c
+)
+SELECT source,
+       ROUND(regr_slope(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) AS slope_r,
+       ROUND(regr_intercept(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) AS intercept_r,
+       ROUND(regr_r2(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) AS r2_r,
+       COUNT(*) AS n_ranks
+FROM r WHERE rank <= 500 GROUP BY 1
+"""
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction sweep (operators/text.py:scrub_pii — chained JVM
     regexp_replace, zero shuffle).  The synthetic corpus is digit-free, so
@@ -1573,6 +1647,8 @@ def queries() -> dict:
         "q_semantic_dedup": q_semantic_dedup,
         "q_tokenize": q_tokenize,
         "q_heavy_hitters": q_heavy_hitters,
+        "q_token_entropy": q_token_entropy,
+        "q_zipf_slope": q_zipf_slope,
         "q_pii_scrub": q_pii_scrub,
         "q_repetition": q_repetition,
         "q_tfidf": q_tfidf,
@@ -1613,6 +1689,8 @@ def oracle_sql() -> dict:
         "q_semantic_dedup": _oracle_semantic_dedup(),
         "q_tokenize": _ORACLE_TOKENIZE,
         "q_heavy_hitters": _ORACLE_HEAVY_HITTERS,
+        "q_token_entropy": _ORACLE_TOKEN_ENTROPY,
+        "q_zipf_slope": _ORACLE_ZIPF_SLOPE,
         "q_pii_scrub": _ORACLE_PII_SCRUB,
         "q_repetition": _ORACLE_REPETITION,
         "q_tfidf": _ORACLE_TFIDF,
