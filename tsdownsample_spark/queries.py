@@ -2119,6 +2119,44 @@ GROUP BY 1
 """
 
 
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column data-quality profile of the events table
+    (operators/profile.py:profile_columns, exact distinct mode so DuckDB
+    can oracle it; the 100 TB default is the HLL sketch — see module
+    docstring for the exact-mode EXPAND cost).  min/max are native-type
+    folds cast to string AFTER aggregation; the fixture's doubles and
+    microsecond timestamps print identically on both engines (checked —
+    exotic float magnitudes could diverge in scientific-notation
+    thresholds, so generic use prefers the typed folds)."""
+    from tsdownsample_spark.operators.profile import profile_columns
+
+    ev = load(spark, sf_dir, "events")
+    out = profile_columns(ev, exact=True)
+    return out.select(
+        "column",
+        "n_rows",
+        "n_nonnull",
+        F.round("null_frac", 6).alias("null_frac_r"),
+        "n_distinct",
+        "min_str",
+        "max_str",
+    )
+
+
+def _oracle_profile() -> str:
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    parts = []
+    for c in cols:
+        parts.append(f"""
+SELECT '{c}' AS column, COUNT(*) AS n_rows, COUNT({c}) AS n_nonnull,
+       ROUND(1.0 - COUNT({c}) / CAST(COUNT(*) AS DOUBLE), 6) AS null_frac_r,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_str,
+       CAST(MAX({c}) AS VARCHAR) AS max_str
+FROM events""")
+    return "\nUNION ALL\n".join(parts)
+
+
 def q_downsample_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reconstruction-fidelity report (operators/evaluate.py): linear-interp
     error of the distributed MinMax n_out=100 selection against the raw
@@ -2682,6 +2720,7 @@ def queries() -> dict:
         "q_xcorr": q_xcorr,
         "q_mad_outliers": q_mad_outliers,
         "q_burstiness": q_burstiness,
+        "q_profile": q_profile,
         "q_downsample_error": q_downsample_error,
         "q_multi_select": q_multi_select,
         "q_pyramid": q_pyramid,
@@ -2770,6 +2809,7 @@ def oracle_sql() -> dict:
         "q_xcorr": _ORACLE_XCORR,
         "q_mad_outliers": _ORACLE_MAD_OUTLIERS,
         "q_burstiness": _ORACLE_BURSTINESS,
+        "q_profile": _oracle_profile(),
         "q_downsample_error": _oracle_downsample_error(),
         "q_multi_select": _oracle_multi_select(),
         "q_pyramid": _oracle_pyramid(),
