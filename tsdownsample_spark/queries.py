@@ -2157,6 +2157,92 @@ FROM events""")
     return "\nUNION ALL\n".join(parts)
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase over events
+    (operators/funnel.py:funnel): per step, users whose step event is
+    strictly after their first prior-step time; joins shrink stage by
+    stage.  Counts are exact; the conversion fraction rounds to 6."""
+    from tsdownsample_spark.operators.funnel import funnel
+
+    ev = load(spark, sf_dir, "events")
+    out = funnel(ev, ["view", "click", "purchase"])
+    return out.select(
+        "step_idx",
+        "step",
+        "n_users",
+        F.round("frac_first", 6).alias("frac_first_r"),
+    )
+
+
+_ORACLE_FUNNEL = """
+WITH s1 AS (
+    SELECT user_id, MIN(ts) AS t FROM events
+    WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+    WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1
+),
+s3 AS (
+    SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1
+),
+c AS (
+    SELECT 1 AS step_idx, 'view' AS step,
+           (SELECT COUNT(*) FROM s1) AS n_users
+    UNION ALL
+    SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+)
+SELECT step_idx, step, n_users,
+       ROUND(CAST(n_users AS DOUBLE)
+             / NULLIF((SELECT COUNT(*) FROM s1), 0), 6) AS frac_first_r
+FROM c
+"""
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily retention triangle over events
+    (operators/funnel.py:retention_cohorts): cohort = first-seen day per
+    user, one count per (cohort, day offset) a user was active on,
+    retention against the cohort's own day-0 size.  All integer counts
+    and date arithmetic; only the retention ratio rounds."""
+    from tsdownsample_spark.operators.funnel import retention_cohorts
+
+    ev = load(spark, sf_dir, "events")
+    out = retention_cohorts(ev)
+    return out.select(
+        "cohort_day",
+        "offset_days",
+        "n_users",
+        F.round("retention", 6).alias("retention_r"),
+    )
+
+
+_ORACLE_RETENTION = """
+WITH f AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+    FROM events GROUP BY 1
+),
+a AS (
+    SELECT DISTINCT e.user_id, f.cohort_day,
+           date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS offset_days
+    FROM events e JOIN f USING (user_id)
+),
+c AS (
+    SELECT cohort_day, offset_days, COUNT(*) AS n_users
+    FROM a GROUP BY 1, 2
+),
+d0 AS (
+    SELECT cohort_day, n_users AS n0 FROM c WHERE offset_days = 0
+)
+SELECT c.cohort_day, c.offset_days, c.n_users,
+       ROUND(CAST(c.n_users AS DOUBLE) / d0.n0, 6) AS retention_r
+FROM c JOIN d0 USING (cohort_day)
+"""
+
+
 def q_downsample_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reconstruction-fidelity report (operators/evaluate.py): linear-interp
     error of the distributed MinMax n_out=100 selection against the raw
@@ -2721,6 +2807,8 @@ def queries() -> dict:
         "q_mad_outliers": q_mad_outliers,
         "q_burstiness": q_burstiness,
         "q_profile": q_profile,
+        "q_funnel": q_funnel,
+        "q_retention": q_retention,
         "q_downsample_error": q_downsample_error,
         "q_multi_select": q_multi_select,
         "q_pyramid": q_pyramid,
@@ -2810,6 +2898,8 @@ def oracle_sql() -> dict:
         "q_mad_outliers": _ORACLE_MAD_OUTLIERS,
         "q_burstiness": _ORACLE_BURSTINESS,
         "q_profile": _oracle_profile(),
+        "q_funnel": _ORACLE_FUNNEL,
+        "q_retention": _ORACLE_RETENTION,
         "q_downsample_error": _oracle_downsample_error(),
         "q_multi_select": _oracle_multi_select(),
         "q_pyramid": _oracle_pyramid(),
