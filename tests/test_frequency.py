@@ -368,3 +368,63 @@ class TestZipfSlope:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestPmiCollocations:
+    def _docs(self, spark):
+        # "new york" always adjacent (strong collocation); "the" everywhere
+        # (high margins -> low pmi); pair counts are hand-countable
+        rows = [
+            (1, "s", "the new york times the paper"),
+            (2, "s", "new york is the city"),
+            (3, "s", "the new york subway runs"),
+            (4, "s", "the paper is the paper"),
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+
+    def test_hand_computed_pmi(self, spark):
+        import math
+
+        from tsdownsample_spark.operators.frequency import pmi_collocations
+
+        out = pmi_collocations(
+            self._docs(spark), min_count=3, k=5
+        ).collect()
+        by_pair = {(r.w1, r.w2): r for r in out}
+        # pairs total N = 5+4+4+4 = 17; c('new','york') = 3;
+        # c1('new') = 3 (always left of york); c2('york') = 3
+        r = by_pair[("new", "york")]
+        assert r.c_ab == 3
+        assert r.pmi == pytest.approx(math.log(3 * 17 / (3 * 3)), rel=1e-12)
+        assert r.rank == 1       # the strongest collocation in the fixture
+
+    def test_min_count_gates_hapax_pairs(self, spark):
+        from tsdownsample_spark.operators.frequency import pmi_collocations
+
+        out = pmi_collocations(self._docs(spark), min_count=3, k=10).collect()
+        assert all(r.c_ab >= 3 for r in out)
+        # hapax pair 'york is' must be gated out despite high raw pmi
+        assert ("york", "is") not in {(r.w1, r.w2) for r in out}
+
+    def test_by_group_and_validation(self, spark):
+        from tsdownsample_spark.operators.frequency import pmi_collocations
+
+        df = self._docs(spark)
+        out = pmi_collocations(df, by="source", min_count=2, k=3).collect()
+        assert all(r.source == "s" for r in out)
+        assert all(r.rank <= 3 for r in out)
+        with pytest.raises(ValueError, match="min_count"):
+            pmi_collocations(df, min_count=0)
+        with pytest.raises(ValueError, match="k must"):
+            pmi_collocations(df, k=0)
+
+    def test_plan_python_free(self, spark):
+        from tsdownsample_spark.operators.frequency import pmi_collocations
+
+        plan = (
+            pmi_collocations(self._docs(spark), by="source")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

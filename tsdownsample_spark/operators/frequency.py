@@ -38,6 +38,7 @@ __all__ = [
     "bigram_pairs",
     "lm_crossentropy",
     "ngram_novelty",
+    "pmi_collocations",
     "unigram_entropy",
     "zipf_slope",
 ]
@@ -338,4 +339,71 @@ def zipf_slope(
         F.expr("regr_intercept(ln(cast(freq as double)), ln(cast(rank as double)))").alias("intercept"),
         F.expr("regr_r2(ln(cast(freq as double)), ln(cast(rank as double)))").alias("r2"),
         F.count(F.lit(1)).alias("n_ranks"),
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    by: str | None = None,
+    min_count: int = 5,
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` collocations per group by pointwise mutual information:
+    ``pmi = ln(c_ab * N / (c_a * c_b))`` with ``c_ab`` adjacent-pair
+    counts, ``c_a``/``c_b`` the word's occurrences as left/right member of
+    any pair, and ``N`` total pairs — the contingency-table PMI (Church &
+    Hanks 1990, public).  The phrase detector used to promote "new york" /
+    "machine learning" to single tokens before BPE training; ``min_count``
+    kills the PMI-of-rare-words artifact (two hapaxes adjacent once score
+    arbitrarily high).
+
+    100 TB shape: pairs never materialize per word — one in-expression
+    struct build per doc row (:func:`bigram_pairs`), then THREE
+    distinct-cardinality groupBys (pairs, left margins, right margins) and
+    two equi-joins of margins ONTO the min_count-filtered pair table
+    (margins are vocabulary-sized — AQE broadcasts); N folds map-side.
+    Rank is a window over the already-filtered pair counts.  Zero Python.
+
+    Output: ``([by] + w1, w2, c_ab, pmi, rank)``.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    grp = [by] if by is not None else []
+    pairs = bigram_pairs(
+        df.select(*grp, text_col) if by else df, text_col=text_col,
+        id_col=by if by else df.columns[0],
+    )
+    if not by:
+        pairs = pairs.select("w1", "w2")
+    cab = pairs.groupBy(*grp, "w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    totals = cab.groupBy(*grp).agg(F.sum("c_ab").alias("_n"))
+    left = cab.groupBy(*grp, "w1").agg(F.sum("c_ab").alias("_ca"))
+    right = cab.groupBy(*grp, "w2").agg(F.sum("c_ab").alias("_cb"))
+    scored = (
+        cab.where(F.col("c_ab") >= min_count)
+        .join(left, on=grp + ["w1"], how="inner")
+        .join(right, on=grp + ["w2"], how="inner")
+        .join(totals, on=grp, how="inner") if grp else
+        cab.where(F.col("c_ab") >= min_count)
+        .join(left, on=["w1"], how="inner")
+        .join(right, on=["w2"], how="inner")
+        .crossJoin(F.broadcast(totals))
+    )
+    scored = scored.withColumn(
+        "pmi",
+        F.log(
+            F.col("c_ab").cast("double") * F.col("_n")
+            / (F.col("_ca").cast("double") * F.col("_cb"))
+        ),
+    )
+    w = Window.partitionBy(*grp).orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(*grp, "w1", "w2", "c_ab", "pmi", "rank")
     )

@@ -930,6 +930,49 @@ FROM r WHERE rank <= 500 GROUP BY 1
 """
 
 
+def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocations per source (operators/frequency.py:
+    pmi_collocations): contingency-table PMI over adjacent word pairs,
+    min_count=5.  The checked shape is EVERY gated pair with its rounded
+    PMI (k set above the gated-pair count) rather than the top-k rank
+    column: rank order on raw-double PMI could flip across engines on a
+    1-ulp ln() difference, while the VALUES round-trip stably at 6
+    decimals — the unit tests pin the ranking semantics."""
+    from tsdownsample_spark.operators.frequency import pmi_collocations
+
+    docs = _load(spark, sf_dir, "documents")
+    out = pmi_collocations(docs, by="source", min_count=5, k=10**6)
+    return out.select(
+        "source", "w1", "w2", "c_ab", F.round("pmi", 6).alias("pmi_r")
+    )
+
+
+_ORACLE_PMI = """
+WITH p AS (
+    SELECT source,
+           unnest(list_transform(range(1, len(string_split(text, ' '))),
+                  i -> struct_pack(w1 := string_split(text, ' ')[i],
+                                   w2 := string_split(text, ' ')[i+1]))) AS bg
+    FROM documents
+),
+cab AS (
+    SELECT source, bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS c_ab
+    FROM p GROUP BY 1, 2, 3
+),
+tot AS (SELECT source, SUM(c_ab) AS n FROM cab GROUP BY 1),
+l AS (SELECT source, w1, SUM(c_ab) AS ca FROM cab GROUP BY 1, 2),
+r AS (SELECT source, w2, SUM(c_ab) AS cb FROM cab GROUP BY 1, 2)
+SELECT cab.source, cab.w1, cab.w2, cab.c_ab,
+       ROUND(ln(CAST(cab.c_ab AS DOUBLE) * tot.n
+                / (CAST(l.ca AS DOUBLE) * r.cb)), 6) AS pmi_r
+FROM cab
+JOIN l USING (source, w1)
+JOIN r USING (source, w2)
+JOIN tot USING (source)
+WHERE cab.c_ab >= 5
+"""
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction sweep (operators/text.py:scrub_pii — chained JVM
     regexp_replace, zero shuffle).  The synthetic corpus is digit-free, so
@@ -1649,6 +1692,7 @@ def queries() -> dict:
         "q_heavy_hitters": q_heavy_hitters,
         "q_token_entropy": q_token_entropy,
         "q_zipf_slope": q_zipf_slope,
+        "q_pmi": q_pmi,
         "q_pii_scrub": q_pii_scrub,
         "q_repetition": q_repetition,
         "q_tfidf": q_tfidf,
@@ -1691,6 +1735,7 @@ def oracle_sql() -> dict:
         "q_heavy_hitters": _ORACLE_HEAVY_HITTERS,
         "q_token_entropy": _ORACLE_TOKEN_ENTROPY,
         "q_zipf_slope": _ORACLE_ZIPF_SLOPE,
+        "q_pmi": _ORACLE_PMI,
         "q_pii_scrub": _ORACLE_PII_SCRUB,
         "q_repetition": _ORACLE_REPETITION,
         "q_tfidf": _ORACLE_TFIDF,
