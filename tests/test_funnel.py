@@ -99,3 +99,50 @@ class TestRetentionCohorts:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestTransitionMatrix:
+    def test_counts_and_row_normalization(self, spark):
+        from tsdownsample_spark.operators.funnel import transition_matrix
+
+        rows = [
+            # u1: a -> b -> a -> c   => (a,b) (b,a) (a,c)
+            (1, 0, "a"), (1, 1, "b"), (1, 2, "a"), (1, 3, "c"),
+            # u2: a -> b             => (a,b)
+            (2, 0, "a"), (2, 1, "b"),
+            # u3: single event, no transition
+            (3, 0, "c"),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+        out = {(r.from_type, r.to_type): r
+               for r in transition_matrix(df, x_col="ts").collect()}
+        assert out[("a", "b")].n == 2 and out[("a", "c")].n == 1
+        assert out[("a", "b")].p == pytest.approx(2 / 3)
+        assert out[("b", "a")].p == pytest.approx(1.0)   # b row: 1 of 1
+        assert ("c", "a") not in out                     # sparse: no row
+        # no cross-user pair: u1's last 'c' never chains into u2's 'a'
+        assert sum(r.n for r in out.values()) == 4
+
+    def test_tie_order_deterministic_via_tiebreak(self, spark):
+        from tsdownsample_spark.operators.funnel import transition_matrix
+
+        # two events at the SAME ts: tiebreak column decides the sequence
+        rows = [(1, 0, 10, "a"), (1, 0, 11, "b"), (1, 1, 12, "c")]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts long, event_id long, event_type string"
+        )
+        out = {(r.from_type, r.to_type)
+               for r in transition_matrix(df, x_col="ts", tiebreak=["event_id"]).collect()}
+        assert out == {("a", "b"), ("b", "c")}
+
+    def test_plan_python_free(self, spark):
+        from tsdownsample_spark.operators.funnel import transition_matrix
+
+        df = spark.createDataFrame(
+            [(1, 0, "a"), (1, 1, "b")], "user_id long, ts long, event_type string"
+        )
+        plan = (
+            transition_matrix(df, x_col="ts")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

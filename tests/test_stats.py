@@ -479,3 +479,51 @@ class TestBurstiness:
         out = {r.key: r for r in burstiness(df, x_col="ts", by=["key"]).collect()}
         assert out["one"].cv is None          # a single gap has no sample std
         assert "lone" not in out              # no gaps at all -> no row
+
+
+class TestPsiDrift:
+    def test_identical_halves_near_zero_and_shift_large(self, spark):
+        from tsdownsample_spark.operators.stats import psi_drift
+
+        rows = []
+        # 'same': value pattern repeats identically in both halves
+        for i in range(200):
+            rows.append(("same", i, float(i % 10)))
+        # 'shift': first half in [0,10), second half in [50,60)
+        for i in range(100):
+            rows.append(("shift", i, float(i % 10)))
+        for i in range(100, 200):
+            rows.append(("shift", i, 50.0 + (i % 10)))
+        df = spark.createDataFrame(rows, "key string, t long, value double")
+        out = {r.key: r for r in
+               psi_drift(df, x_col="t", y_col="value", by=["key"]).collect()}
+        assert abs(out["same"].psi) < 0.01          # only smoothing residue
+        assert out["shift"].psi > 1.0               # disjoint supports
+        assert out["same"].n_early + out["same"].n_late == 200
+
+    def test_matches_hand_psi(self, spark):
+        import math
+
+        from tsdownsample_spark.operators.stats import psi_drift
+
+        # 2 bins over [0, 1]: early = 3x0.0 1x1.0, late = 1x0.0 3x1.0
+        # t range 0..7 -> mid = 3 -> early t<=3, late t>3
+        vals = [0.0, 0.0, 0.0, 1.0, 0.0, 1.0, 1.0, 1.0]
+        df = spark.createDataFrame(
+            [("k", i, v) for i, v in enumerate(vals)],
+            "key string, t long, value double",
+        )
+        out = psi_drift(df, x_col="t", y_col="value", by=["key"], bins=2).collect()[0]
+        def p(c, n): return (c + 0.5) / (n + 0.5 * 2)
+        exp = sum(
+            (p(ce, 4) - p(cl, 4)) * math.log(p(ce, 4) / p(cl, 4))
+            for ce, cl in [(3, 1), (1, 3)]
+        )
+        assert out.psi == pytest.approx(exp, rel=1e-12)
+
+    def test_validation(self, spark):
+        from tsdownsample_spark.operators.stats import psi_drift
+
+        df = spark.createDataFrame([("k", 0, 1.0)], "key string, t long, value double")
+        with pytest.raises(ValueError, match="bins"):
+            psi_drift(df, x_col="t", y_col="value", by=["key"], bins=1)

@@ -48,6 +48,7 @@ __all__ = [
     "ewma",
     "ks_drift",
     "mad_outliers",
+    "psi_drift",
     "seasonal_strength",
     "seasonal_zscore",
     "spearman",
@@ -701,4 +702,85 @@ def burstiness(
         agg.withColumn("cv", cv)
         .withColumn("b", (F.col("cv") - 1) / (F.col("cv") + 1))
         .select(*by, "n_gaps", "mean_gap_us", "cv", "b")
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    x_col: str = "ts",
+    y_col: str = "value",
+    by: Sequence[str] = ("series_key",),
+    bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index per series between the two time halves:
+    ``PSI = sum_b (p_b - q_b) * ln(p_b / q_b)`` over ``bins`` equi-width
+    value buckets — the binned companion to :func:`ks_drift` (KS reacts to
+    the single worst CDF gap; PSI integrates shift across the whole
+    distribution, the convention risk/monitoring teams alert on: <0.1
+    stable, 0.1-0.25 moderate, >0.25 major).
+
+    Deterministic, engine-portable recipe: the time split is the same
+    integer midpoint as ks_drift; buckets use value_histogram's explicit
+    ``floor((v - lo)/w)`` clamped rule over the series' WHOLE-range
+    [min, max] (both halves binned on one shared grid); and the halves'
+    distributions use add-half (Jeffreys) smoothing
+    ``p_b = (c_b + 0.5) / (n + 0.5 * bins)`` so a bucket empty in ONE half
+    contributes a finite term instead of ln(0); buckets empty in BOTH
+    halves are excluded (no data, only smoothing residue) — all spelled
+    the same way in the oracle.
+
+    100 TB shape: two tiny per-series groupBys joined back (bounds+mid;
+    AQE-broadcast), then ONE (series, bucket)-grained count groupBy and
+    ONE per-series fold — shuffle ∝ series x bins, never points.  Zero
+    Python.  Output: (by..., psi, n_early, n_late).
+    """
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    by = list(by)
+    if "timestamp" in dict(df.dtypes).get(x_col, ""):
+        us = F.unix_micros(F.col(x_col).cast("timestamp"))
+    else:
+        us = F.col(x_col).cast("long")
+    bounds = df.groupBy(*by).agg(
+        F.min(us).alias("_tmn"),
+        F.max(us).alias("_tmx"),
+        F.min(y_col).alias("_lo"),
+        F.max(y_col).alias("_hi"),
+    ).withColumn("_mid", F.expr("(_tmn + _tmx) div 2"))
+    w = (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))
+    bucket = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col(y_col) - F.col("_lo")) / w).cast("int"),
+            F.lit(bins - 1),
+        )
+    )
+    tagged = (
+        df.join(bounds, on=by, how="inner")
+        .withColumn("_late", (us > F.col("_mid")).cast("int"))
+        .withColumn("_b", bucket)
+    )
+    cell = tagged.groupBy(*by, "_b").agg(
+        F.sum(1 - F.col("_late")).alias("_ce"),
+        F.sum("_late").alias("_cl"),
+    )
+    # per-series totals ride a tiny window over the <= bins rows per series
+    wall = Window.partitionBy(*by)
+    sm = F.lit(0.5)
+    denom_e = F.sum("_ce").over(wall) + sm * F.lit(float(bins))
+    denom_l = F.sum("_cl").over(wall) + sm * F.lit(float(bins))
+    # Definitional choice, mirrored in the oracle: the sum runs over
+    # OCCUPIED buckets (>=1 point in either half).  A bucket empty in both
+    # halves never materializes a row; its smoothed term would be the tiny
+    # asymmetry ln(denom_l/denom_e)-ish residue of unequal half sizes, pure
+    # smoothing noise with no data behind it — excluded by construction.
+    p = (F.col("_ce") + sm) / denom_e
+    q = (F.col("_cl") + sm) / denom_l
+    return (
+        cell.withColumn("_term", (p - q) * F.log(p / q))
+        .groupBy(*by)
+        .agg(
+            F.sum("_term").alias("psi"),
+            F.sum("_ce").alias("n_early"),
+            F.sum("_cl").alias("n_late"),
+        )
     )

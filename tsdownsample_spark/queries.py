@@ -2243,6 +2243,82 @@ FROM c JOIN d0 USING (cohort_day)
 """
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type
+    (operators/stats.py:psi_drift): same integer midpoint time split as
+    q_ks_drift, 10 equi-width value buckets on the whole-range grid,
+    add-half smoothing, sum over occupied buckets.  Counts and the split
+    are exact integer/float-identical arithmetic on both engines; the
+    PSI fold rounds to 6."""
+    from tsdownsample_spark.operators.stats import psi_drift
+
+    ev = load(spark, sf_dir, "events")
+    out = psi_drift(ev, x_col="ts", y_col="value", by=["event_type"], bins=10)
+    return out.select(
+        "event_type", F.round("psi", 6).alias("psi_r"), "n_early", "n_late"
+    )
+
+
+_ORACLE_PSI_DRIFT = """
+WITH b AS (
+    SELECT event_type, MIN(epoch_us(ts)) AS tmn, MAX(epoch_us(ts)) AS tmx,
+           MIN(value) AS lo, MAX(value) AS hi
+    FROM events GROUP BY 1
+),
+t AS (
+    SELECT e.event_type,
+           CASE WHEN epoch_us(e.ts) > (b.tmn + b.tmx) // 2
+                THEN 1 ELSE 0 END AS late,
+           CASE WHEN b.hi = b.lo THEN 0
+                ELSE LEAST(CAST(FLOOR((e.value - b.lo)
+                                      / ((b.hi - b.lo) / 10.0)) AS INT), 9)
+           END AS bkt
+    FROM events e JOIN b USING (event_type)
+),
+cell AS (
+    SELECT event_type, bkt, SUM(1 - late) AS ce, SUM(late) AS cl
+    FROM t GROUP BY 1, 2
+),
+tot AS (SELECT event_type, SUM(ce) AS ne, SUM(cl) AS nl FROM cell GROUP BY 1)
+SELECT c.event_type,
+       ROUND(SUM(((c.ce + 0.5) / (t.ne + 5.0) - (c.cl + 0.5) / (t.nl + 5.0))
+                 * ln(((c.ce + 0.5) / (t.ne + 5.0))
+                      / ((c.cl + 0.5) / (t.nl + 5.0)))), 6) AS psi_r,
+       t.ne AS n_early, t.nl AS n_late
+FROM cell c JOIN tot t USING (event_type)
+GROUP BY 1, t.ne, t.nl
+"""
+
+
+def q_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order next-event transition matrix over per-user sequences
+    (operators/funnel.py:transition_matrix): one lead window per user
+    (event_id tiebreak pins tied timestamps), (from, to) counts, row
+    normalization over the tiny matrix.  Counts exact; p rounds to 6."""
+    from tsdownsample_spark.operators.funnel import transition_matrix
+
+    ev = load(spark, sf_dir, "events")
+    out = transition_matrix(ev, x_col="ts", tiebreak=["event_id"])
+    return out.select(
+        "from_type", "to_type", "n", F.round("p", 6).alias("p_r")
+    )
+
+
+_ORACLE_TRANSITION = """
+WITH p AS (
+    SELECT event_type AS from_type,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS to_type
+    FROM events
+)
+SELECT from_type, to_type, COUNT(*) AS n,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY from_type), 6) AS p_r
+FROM p WHERE to_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 def q_downsample_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reconstruction-fidelity report (operators/evaluate.py): linear-interp
     error of the distributed MinMax n_out=100 selection against the raw
@@ -2809,6 +2885,8 @@ def queries() -> dict:
         "q_profile": q_profile,
         "q_funnel": q_funnel,
         "q_retention": q_retention,
+        "q_psi_drift": q_psi_drift,
+        "q_transition": q_transition,
         "q_downsample_error": q_downsample_error,
         "q_multi_select": q_multi_select,
         "q_pyramid": q_pyramid,
@@ -2900,6 +2978,8 @@ def oracle_sql() -> dict:
         "q_profile": _oracle_profile(),
         "q_funnel": _ORACLE_FUNNEL,
         "q_retention": _ORACLE_RETENTION,
+        "q_psi_drift": _ORACLE_PSI_DRIFT,
+        "q_transition": _ORACLE_TRANSITION,
         "q_downsample_error": _oracle_downsample_error(),
         "q_multi_select": _oracle_multi_select(),
         "q_pyramid": _oracle_pyramid(),
