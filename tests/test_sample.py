@@ -241,3 +241,70 @@ class TestTemperatureResample:
             temperature_resample(skewed, alpha=0.0)
         with pytest.raises(ValueError, match="target_frac"):
             temperature_resample(skewed, target_frac=1.5)
+
+
+class TestWeightedSample:
+    def _df(self, spark):
+        rows = [(i, "s" if i % 2 else "t", float(1 + (i * 13) % 7)) for i in range(200)]
+        rows += [(900, "s", 0.0), (901, "s", None)]     # excluded weights
+        return spark.createDataFrame(rows, "doc_id long, src string, w double")
+
+    def test_matches_python_aes(self, spark):
+        import hashlib, math
+
+        from tsdownsample_spark.operators.sample import weighted_sample
+
+        df = self._df(spark)
+        got = sorted(r.doc_id for r in weighted_sample(df, 25, "w").collect())
+
+        def h32(i):
+            return int(hashlib.md5(f"{i}:0".encode()).hexdigest()[:8], 16)
+
+        keys = []
+        for r in df.collect():
+            if r.w is None or r.w <= 0:
+                continue
+            u = (h32(r.doc_id) + 0.5) / 2**32
+            keys.append((round(math.log(u) / r.w, 6), -r.doc_id, r.doc_id))
+        exp = sorted(d for _, _, d in sorted(keys, reverse=True)[:25])
+        assert got == exp
+
+    def test_weight_bias_is_real(self, spark):
+        from tsdownsample_spark.operators.sample import weighted_sample
+
+        # two weight classes: heavy rows (w=100) must dominate a small
+        # sample over light rows (w=0.01)
+        rows = [(i, 100.0 if i < 50 else 0.01) for i in range(500)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        got = [r.doc_id for r in weighted_sample(df, 40, "w").collect()]
+        assert sum(1 for d in got if d < 50) >= 38   # ~all heavy
+
+    def test_stratified_per_group_k(self, spark):
+        from tsdownsample_spark.operators.sample import weighted_sample
+
+        df = self._df(spark)
+        got = weighted_sample(df, 7, "w", by="src").collect()
+        from collections import Counter
+        c = Counter(r.src for r in got)
+        assert c == {"s": 7, "t": 7}
+
+    def test_excludes_nonpositive_weights_and_validates(self, spark):
+        from tsdownsample_spark.operators.sample import weighted_sample
+
+        df = self._df(spark)
+        ids = {r.doc_id for r in weighted_sample(df, 1000, "w").collect()}
+        assert 900 not in ids and 901 not in ids
+        with pytest.raises(ValueError, match="k must"):
+            weighted_sample(df, 0, "w")
+        with pytest.raises(ValueError, match="reserved"):
+            weighted_sample(df.withColumn("samp_key", F.lit(1)), 5, "w")
+
+    def test_global_plan_is_take_ordered_not_full_sort(self, spark):
+        from tsdownsample_spark.operators.sample import weighted_sample
+
+        plan = (
+            weighted_sample(self._df(spark), 10, "w")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -211,3 +211,56 @@ def temperature_resample(
     return df.join(F.broadcast(rates), on=by, how="inner").where(
         _hash32(key, seed) < thr
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key: str = "doc_id",
+    by: str | None = None,
+    seed: str = "0",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: top-``k`` rows
+    (per ``by`` stratum, or global) by the Efraimidis–Spirakis exponential
+    key ``ln(u) / w`` with ``u = (hash32(key) + 0.5) / 2^32`` — each row's
+    inclusion probability is proportional to its weight, exactly the A-ES
+    reservoir scheme (Efraimidis & Spirakis 2006, public) with the random
+    draw replaced by the engine's stable md5 hash, so re-runs, engines,
+    and retries all agree row for row.  The quality-weighted subcorpus
+    draw ("sample 1M docs ∝ quality score") that follows curation.
+
+    100 TB shape: scoring is a shuffle-free narrow map.  The global form
+    goes through ``orderBy(...).limit(k)`` — Spark plans
+    TakeOrderedAndProject, a map-side partial top-k per partition merged
+    on ONE k-sized heap, never a full sort.  The stratified form uses a
+    per-stratum rank window (shuffle keyed on the stratum).  The sample
+    key is rounded to 6 decimals BEFORE ranking (the tfidf convention) so
+    cross-engine ln() ulp noise cannot flip an ordering; ties break on
+    the id.  Rows with NULL or non-positive weight are excluded (they
+    have zero inclusion probability by definition).
+
+    Output: input columns + ``samp_key`` (the rounded sort key).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if "samp_key" in df.columns:
+        raise ValueError("reserved output column name 'samp_key' in input")
+    u = (_hash32(key, seed) + F.lit(0.5)) / F.lit(float(_HASH_SPACE))
+    skey = F.round(F.log(u) / F.col(weight_col), 6)
+    scored = (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("samp_key", skey)
+    )
+    if by is None:
+        return scored.orderBy(
+            F.col("samp_key").desc(), F.col(key).asc()
+        ).limit(k)
+    w = Window.partitionBy(by).orderBy(
+        F.col("samp_key").desc(), F.col(key).asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )

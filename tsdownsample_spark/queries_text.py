@@ -1602,6 +1602,39 @@ WHERE {_DUCK_HASH32.format(seed="r4")} < {int(0.25 * (1 << 32))}
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic document sample (operators/sample.py:
+    weighted_sample): Efraimidis-Spirakis exponential keys ln(u)/w with
+    the md5-uniform u, w = n_chars, global top-50 via
+    TakeOrderedAndProject.  The key rounds to 6 before ranking (the tfidf
+    convention) so ln() ulp noise can't flip an order; doc_id breaks
+    ties."""
+    from tsdownsample_spark.operators.sample import weighted_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    out = weighted_sample(
+        docs.select("doc_id", "source", "n_chars"),
+        k=50,
+        weight_col="n_chars",
+        key="doc_id",
+        seed="r5",
+    )
+    return out.select("doc_id", "source", "samp_key")
+
+
+_ORACLE_WEIGHTED_SAMPLE = f"""
+WITH s AS (
+    SELECT doc_id, source,
+           ROUND(ln(({_DUCK_HASH32.format(seed="r5")} + 0.5) / 4294967296.0)
+                 / n_chars, 6) AS samp_key
+    FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, source, samp_key FROM s
+ORDER BY samp_key DESC, doc_id ASC
+LIMIT 50
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval contamination sweep (operators/dedup.py:
     cross_contamination): the eval side is a deterministic 10% hash
@@ -1707,6 +1740,7 @@ def queries() -> dict:
         "q_token_budget": q_token_budget,
         "q_temp_mix": q_temp_mix,
         "q_hash_sample": q_hash_sample,
+        "q_weighted_sample": q_weighted_sample,
         "q_decontaminate": q_decontaminate,
     }
 
@@ -1753,5 +1787,6 @@ def oracle_sql() -> dict:
         "q_token_budget": _oracle_token_budget(),
         "q_temp_mix": _ORACLE_TEMP_MIX,
         "q_hash_sample": _ORACLE_HASH_SAMPLE,
+        "q_weighted_sample": _ORACLE_WEIGHTED_SAMPLE,
         "q_decontaminate": _ORACLE_DECONTAMINATE,
     }
