@@ -1,0 +1,194 @@
+"""rolling_time_stats: trailing time-RANGE window aggregates.
+
+Naive-oracle checks (pandas replay of the frame definition), edge
+semantics (peer inclusion, include_current, min_obs, NULL y, numeric x),
+parser validation, and the plan audit (one Exchange, zero Python).
+"""
+
+import datetime as dt
+import math
+
+import pytest
+
+from tsdownsample_spark.operators.rolling import (
+    duration_to_micros,
+    rolling_time_stats,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(sec):
+    return T0 + dt.timedelta(seconds=sec)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "k string, ts timestamp, value double")
+
+
+def _naive(rows, span_s, include_current=True, min_obs=1):
+    """Replay the frame definition row by row (O(n^2), fine for tests)."""
+    out = {}
+    for k, t, v in rows:
+        frame = []
+        for k2, t2, v2 in rows:
+            if k2 != k or v2 is None:
+                continue
+            d = (t - t2).total_seconds()
+            if include_current:
+                if 0 <= d <= span_s:
+                    frame.append(v2)
+            else:
+                if 0 < d <= span_s:
+                    frame.append(v2)
+        n = len(frame)
+        if n >= min_obs and n > 0:
+            mean = sum(frame) / n
+            var = (
+                sum((x - mean) ** 2 for x in frame) / (n - 1) if n > 1 else None
+            )
+            out[(k, t, v)] = (
+                n,
+                sum(frame),
+                min(frame),
+                max(frame),
+                math.sqrt(var) if var is not None else None,
+            )
+        else:
+            out[(k, t, v)] = (n, None, None, None, None)
+    return out
+
+
+ROWS = [
+    ("a", _ts(0), 1.0),
+    ("a", _ts(30), 3.0),
+    ("a", _ts(60), 5.0),
+    ("a", _ts(61), None),  # NULL y: scored but contributes nothing
+    ("a", _ts(200), 7.0),  # isolated: frame = itself only
+    ("b", _ts(0), 10.0),
+    ("b", _ts(0), 20.0),  # duplicate ts peer
+    ("b", _ts(59), 30.0),
+]
+
+
+def test_matches_naive_inclusive(spark):
+    got = rolling_time_stats(
+        _mk(spark, ROWS), x_col="ts", y_col="value", by=["k"],
+        duration="1 minute",
+    ).collect()
+    exp = _naive(ROWS, 60)
+    assert len(got) == len(ROWS)
+    for r in got:
+        n, s, lo, hi, sd = exp[(r["k"], r["ts"], r["value"])]
+        assert r["roll_n"] == n
+        assert r["roll_sum"] == pytest.approx(s) if s is not None else r["roll_sum"] is None
+        assert r["roll_min"] == lo and r["roll_max"] == hi
+        if sd is None:
+            assert r["roll_std"] is None
+        else:
+            assert r["roll_std"] == pytest.approx(sd)
+
+
+def test_duplicate_ts_peers_share_frames(spark):
+    """RANGE frames are peer-inclusive: both b-rows at t=0 see BOTH values,
+    making the result deterministic without a tiebreak column."""
+    got = {
+        (r["k"], r["value"]): r
+        for r in rolling_time_stats(
+            _mk(spark, ROWS), by=["k"], duration="1 minute"
+        ).collect()
+    }
+    for v in (10.0, 20.0):
+        r = got[("b", v)]
+        assert r["roll_n"] == 2 and r["roll_sum"] == 30.0
+        assert r["roll_min"] == 10.0 and r["roll_max"] == 20.0
+    # the t=59 row covers all three
+    assert got[("b", 30.0)]["roll_n"] == 3
+
+
+def test_exclude_current(spark):
+    """include_current=False: strictly-earlier frame — excludes the row
+    itself AND its same-ts peers."""
+    got = {
+        (r["k"], r["ts"], r["value"]): r
+        for r in rolling_time_stats(
+            _mk(spark, ROWS), by=["k"], duration="1 minute",
+            include_current=False,
+        ).collect()
+    }
+    exp = _naive(ROWS, 60, include_current=False)
+    for key, (n, s, lo, hi, sd) in exp.items():
+        r = got[key]
+        assert r["roll_n"] == n
+        assert (r["roll_sum"] is None) == (s is None)
+        if s is not None:
+            assert r["roll_sum"] == pytest.approx(s)
+    # both duplicate-ts b rows have EMPTY strict frames
+    assert got[("b", _ts(0), 10.0)]["roll_n"] == 0
+    assert got[("b", _ts(0), 20.0)]["roll_n"] == 0
+
+
+def test_min_obs_gates_stats_not_count(spark):
+    got = {
+        (r["k"], r["ts"]): r
+        for r in rolling_time_stats(
+            _mk(spark, ROWS), by=["k"], duration="1 minute", min_obs=3
+        ).collect()
+    }
+    r = got[("a", _ts(30))]  # frame = {1,3}: n=2 < 3
+    assert r["roll_n"] == 2 and r["roll_sum"] is None and r["roll_mean"] is None
+    r = got[("a", _ts(60))]  # frame = {1,3,5}: n=3
+    assert r["roll_n"] == 3 and r["roll_sum"] == 9.0
+
+
+def test_null_y_scored_but_inert(spark):
+    got = {
+        (r["k"], r["ts"]): r
+        for r in rolling_time_stats(
+            _mk(spark, ROWS), by=["k"], duration="1 minute"
+        ).collect()
+    }
+    r = got[("a", _ts(61))]
+    assert r["value"] is None
+    # frame [t-60s, t] = [1, 61]: covers {3, 5}; t=0 ages out, itself inert
+    assert r["roll_n"] == 2 and r["roll_sum"] == 8.0
+
+
+def test_numeric_x_axis(spark):
+    df = spark.createDataFrame(
+        [("a", 0.0, 1.0), ("a", 5.0, 2.0), ("a", 9.0, 4.0), ("a", 20.0, 8.0)],
+        "k string, x double, value double",
+    )
+    got = {
+        r["x"]: r
+        for r in rolling_time_stats(
+            df, x_col="x", y_col="value", by=["k"], duration="10"
+        ).collect()
+    }
+    assert got[9.0]["roll_n"] == 3 and got[9.0]["roll_sum"] == 7.0
+    assert got[20.0]["roll_n"] == 1 and got[20.0]["roll_sum"] == 8.0
+
+
+def test_duration_parser():
+    assert duration_to_micros("5 minutes") == 300_000_000
+    assert duration_to_micros("1 hour") == 3_600_000_000
+    assert duration_to_micros("30 seconds") == 30_000_000
+    assert duration_to_micros("2 days") == 172_800_000_000
+    assert duration_to_micros("250 milliseconds") == 250_000
+    for bad in ("1 month", "-5 minutes", "0 seconds", "five minutes", ""):
+        with pytest.raises(ValueError):
+            duration_to_micros(bad)
+
+
+def test_min_obs_validation(spark):
+    with pytest.raises(ValueError, match="min_obs"):
+        rolling_time_stats(_mk(spark, ROWS), by=["k"], min_obs=0)
+
+
+def test_plan_one_exchange_zero_python(spark):
+    out = rolling_time_stats(_mk(spark, ROWS), by=["k"], duration="1 hour")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # one shuffle on the series key, one Window stage
+    assert plan.count("Exchange") <= 2  # key exchange (+ AQE artifacts)
+    assert "Window" in plan

@@ -2119,6 +2119,56 @@ GROUP BY 1
 """
 
 
+def q_rolling_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing time-RANGE rolling stats per event type
+    (operators/rolling.py:rolling_time_stats): each event scored against
+    the last 2 HOURS of wall time of its own series — the fixed-horizon
+    complement of q_anomaly's fixed-sample ROWS frame.  RANGE frames are
+    peer-inclusive so no tiebreak column is needed (duplicate timestamps
+    land together in every frame that covers their instant).
+
+    Checked shape: count (exact int), sum rounded 2dp (input values are
+    on the 2-decimal grid, so the TRUE sum is on-grid and the round only
+    strips ~1e-12 float residue — tie-free, unlike a mean), min/max
+    (exact — no arithmetic), and sample stddev rounded 6dp (a sqrt —
+    never on a decimal tie; verifies the mean implicitly through the
+    variance identity).  min_obs=5 gates everything but the count."""
+    from tsdownsample_spark.operators.rolling import rolling_time_stats
+
+    ev = load(spark, sf_dir, "events")
+    out = rolling_time_stats(
+        ev, x_col="ts", y_col="value", by=["event_type"],
+        duration="2 hours", min_obs=5,
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "roll_n",
+        F.round("roll_sum", 2).alias("roll_sum_r"),
+        "roll_min",
+        "roll_max",
+        F.round("roll_std", 6).alias("roll_std_r"),
+    )
+
+
+_ORACLE_ROLLING_TIME = """
+SELECT event_id, event_type, ts,
+       COUNT(value) OVER fr AS roll_n,
+       ROUND(CASE WHEN COUNT(value) OVER fr >= 5
+             THEN SUM(value) OVER fr END, 2) AS roll_sum_r,
+       CASE WHEN COUNT(value) OVER fr >= 5
+            THEN MIN(value) OVER fr END AS roll_min,
+       CASE WHEN COUNT(value) OVER fr >= 5
+            THEN MAX(value) OVER fr END AS roll_max,
+       ROUND(CASE WHEN COUNT(value) OVER fr >= 5
+             THEN STDDEV_SAMP(value) OVER fr END, 6) AS roll_std_r
+FROM events
+WINDOW fr AS (PARTITION BY event_type ORDER BY ts
+              RANGE BETWEEN INTERVAL 2 HOURS PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column data-quality profile of the events table
     (operators/profile.py:profile_columns, exact distinct mode so DuckDB
@@ -2882,6 +2932,7 @@ def queries() -> dict:
         "q_xcorr": q_xcorr,
         "q_mad_outliers": q_mad_outliers,
         "q_burstiness": q_burstiness,
+        "q_rolling_time": q_rolling_time,
         "q_profile": q_profile,
         "q_funnel": q_funnel,
         "q_retention": q_retention,
@@ -2975,6 +3026,7 @@ def oracle_sql() -> dict:
         "q_xcorr": _ORACLE_XCORR,
         "q_mad_outliers": _ORACLE_MAD_OUTLIERS,
         "q_burstiness": _ORACLE_BURSTINESS,
+        "q_rolling_time": _ORACLE_ROLLING_TIME,
         "q_profile": _oracle_profile(),
         "q_funnel": _ORACLE_FUNNEL,
         "q_retention": _ORACLE_RETENTION,
