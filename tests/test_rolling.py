@@ -12,6 +12,8 @@ import pytest
 
 from tsdownsample_spark.operators.rolling import (
     duration_to_micros,
+    rolling_time_distinct,
+    rolling_time_quantile,
     rolling_time_stats,
 )
 
@@ -192,3 +194,115 @@ def test_plan_one_exchange_zero_python(spark):
     # one shuffle on the series key, one Window stage
     assert plan.count("Exchange") <= 2  # key exchange (+ AQE artifacts)
     assert "Window" in plan
+
+
+def _naive_quantile(vals, q):
+    """numpy-'linear' / QUANTILE_CONT interpolation."""
+    s = sorted(vals)
+    if not s:
+        return None
+    pos = q * (len(s) - 1)
+    lo, frac = int(math.floor(pos)), pos - math.floor(pos)
+    if frac == 0:
+        return s[lo]
+    return s[lo] * (1 - frac) + s[lo + 1] * frac
+
+
+def test_quantile_matches_naive(spark):
+    got = {
+        (r["k"], r["ts"], r["value"]): r
+        for r in rolling_time_quantile(
+            _mk(spark, ROWS), by=["k"], duration="1 minute", qs=(0.5, 0.9)
+        ).collect()
+    }
+    for k, t, v in ROWS:
+        frame = [
+            v2
+            for k2, t2, v2 in ROWS
+            if k2 == k and v2 is not None and 0 <= (t - t2).total_seconds() <= 60
+        ]
+        r = got[(k, t, v)]
+        for q, col in ((0.5, "roll_q50"), (0.9, "roll_q90")):
+            exp = _naive_quantile(frame, q)
+            if exp is None:
+                assert r[col] is None
+            else:
+                assert r[col] == pytest.approx(exp), (k, t, q)
+
+
+def test_quantile_min_obs_and_colnames(spark):
+    out = rolling_time_quantile(
+        _mk(spark, ROWS), by=["k"], duration="1 minute", qs=(0.25, 0.999),
+        min_obs=3,
+    )
+    assert "roll_q25" in out.columns and "roll_q99.9" in out.columns
+    got = {(r["k"], r["ts"]): r for r in out.collect()}
+    assert got[("a", _ts(30))]["roll_q25"] is None  # n=2 < 3
+    assert got[("a", _ts(60))]["roll_q25"] == pytest.approx(2.0)  # {1,3,5}
+
+
+def test_quantile_approx_close_to_exact(spark):
+    out = rolling_time_quantile(
+        _mk(spark, ROWS), by=["k"], duration="1 minute", qs=(0.5,),
+        exact=False,
+    ).collect()
+    # approx_percentile on tiny frames is exact-rank (no interpolation):
+    # only sanity-check it lands inside the frame's min/max
+    for r in out:
+        if r["roll_q50"] is not None:
+            assert 1.0 <= r["roll_q50"] <= 30.0
+
+
+def test_quantile_validation(spark):
+    df = _mk(spark, ROWS)
+    with pytest.raises(ValueError, match="at least one"):
+        rolling_time_quantile(df, by=["k"], qs=())
+    with pytest.raises(ValueError, match="quantile"):
+        rolling_time_quantile(df, by=["k"], qs=(1.5,))
+    with pytest.raises(ValueError, match="min_obs"):
+        rolling_time_quantile(df, by=["k"], min_obs=0)
+
+
+def test_distinct_exact(spark):
+    rows = [
+        ("a", _ts(0), 1.0),
+        ("a", _ts(10), 1.0),   # dup value inside frame
+        ("a", _ts(20), 2.0),
+        ("a", _ts(100), 2.0),  # everything else aged out
+        ("a", _ts(101), None),  # NULL never counts
+    ]
+    got = {
+        r["ts"]: r["roll_distinct"]
+        for r in rolling_time_distinct(
+            _mk(spark, rows), by=["k"], duration="1 minute"
+        ).collect()
+    }
+    assert got[_ts(0)] == 1
+    assert got[_ts(10)] == 1   # {1,1} -> 1
+    assert got[_ts(20)] == 2   # {1,1,2}
+    assert got[_ts(100)] == 1  # {2}
+    assert got[_ts(101)] == 1  # {2, NULL} -> 1
+
+
+def test_distinct_exclude_current_empty_frame(spark):
+    rows = [("a", _ts(0), 1.0), ("a", _ts(5), 2.0)]
+    got = {
+        r["ts"]: r["roll_distinct"]
+        for r in rolling_time_distinct(
+            _mk(spark, rows), by=["k"], duration="1 minute",
+            include_current=False,
+        ).collect()
+    }
+    assert got[_ts(0)] == 0
+    assert got[_ts(5)] == 1
+
+
+def test_quantile_distinct_plans_zero_python(spark):
+    df = _mk(spark, ROWS)
+    for out in (
+        rolling_time_quantile(df, by=["k"], duration="1 hour"),
+        rolling_time_distinct(df, by=["k"], duration="1 hour"),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert plan.count("Exchange") <= 2 and "Window" in plan

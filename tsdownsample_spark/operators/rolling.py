@@ -28,7 +28,12 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["rolling_time_stats", "duration_to_micros"]
+__all__ = [
+    "rolling_time_stats",
+    "rolling_time_quantile",
+    "rolling_time_distinct",
+    "duration_to_micros",
+]
 
 _UNIT_US = {
     "microsecond": 1,
@@ -57,6 +62,36 @@ def duration_to_micros(duration: str) -> int:
     if n <= 0:
         raise ValueError(f"duration must be positive, got {duration!r}")
     return n * _UNIT_US[m.group(2)]
+
+
+def _range_window(
+    df: DataFrame,
+    x_col: str,
+    by: Sequence[str],
+    duration: str,
+    include_current: bool,
+):
+    """Shared trailing-RANGE frame builder: ``[t - duration, t]`` (or
+    ``[t - duration, t)`` when ``include_current`` is False) ordered by
+    integer microseconds for timestamps or the raw value for numeric x."""
+    t_dtype = dict(df.dtypes)[x_col]
+    if t_dtype.startswith("timestamp"):
+        order = F.unix_micros(F.col(x_col).cast("timestamp"))
+        span = duration_to_micros(duration)
+    else:
+        order = F.col(x_col).cast("double")
+        span = float(duration)
+        if span <= 0:
+            raise ValueError(f"duration must be positive, got {duration!r}")
+        if span != int(span):
+            # the pyspark Window API only takes integer frame bounds;
+            # rescale the x axis upstream for sub-unit spans
+            raise ValueError(
+                f"numeric x_col needs an integral duration, got {duration!r}"
+            )
+        span = int(span)
+    hi = 0 if include_current else -1
+    return Window.partitionBy(*by).orderBy(order).rangeBetween(-span, hi)
 
 
 def rolling_time_stats(
@@ -88,24 +123,7 @@ def rolling_time_stats(
     if min_obs < 1:
         raise ValueError(f"min_obs must be >= 1, got {min_obs}")
     by = list(by)
-    t_dtype = dict(df.dtypes)[x_col]
-    if t_dtype.startswith("timestamp"):
-        order = F.unix_micros(F.col(x_col).cast("timestamp"))
-        span = duration_to_micros(duration)
-    else:
-        order = F.col(x_col).cast("double")
-        span = float(duration)
-        if span <= 0:
-            raise ValueError(f"duration must be positive, got {duration!r}")
-        if span != int(span):
-            # the pyspark Window API only takes integer frame bounds;
-            # rescale the x axis upstream for sub-unit spans
-            raise ValueError(
-                f"numeric x_col needs an integral duration, got {duration!r}"
-            )
-        span = int(span)
-    hi = 0 if include_current else -1
-    w = Window.partitionBy(*by).orderBy(order).rangeBetween(-span, hi)
+    w = _range_window(df, x_col, by, duration, include_current)
 
     y = F.col(y_col).cast("double")
     n = F.count(y).over(w)
@@ -118,3 +136,88 @@ def rolling_time_stats(
         .withColumn("roll_max", gate(F.max(y).over(w)))
         .withColumn("roll_std", gate(F.stddev_samp(y).over(w)))
     )
+
+
+def rolling_time_quantile(
+    df: DataFrame,
+    x_col: str = "ts",
+    y_col: str = "value",
+    by: Sequence[str] = ("series_key",),
+    duration: str = "5 minutes",
+    qs: Sequence[float] = (0.5,),
+    min_obs: int = 1,
+    include_current: bool = True,
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Append ``roll_q50``-style trailing time-window quantiles: for each
+    row, the ``q``-quantile (linear interpolation, the QUANTILE_CONT /
+    numpy 'linear' rule) of its series' observations in the last
+    ``duration`` of wall time.  One output column per entry in ``qs``,
+    named ``roll_q{100q:g}`` (``roll_q50``, ``roll_q99``, ``roll_q99.9``).
+
+    ``exact=True`` uses Spark's ``percentile`` aggregate — it buffers the
+    frame's values per evaluation, so per-series frame cardinality (points
+    per ``duration``) must fit in executor memory; that is a property of
+    the data's sampling rate, not its total size, so the plan scales with
+    series count like every other window here.  ``exact=False`` switches
+    to ``approx_percentile`` (bounded-memory KLL-style sketch, tunable
+    ``accuracy``) for extreme-density series — no DuckDB-exact oracle for
+    that path, so contract rows use the exact form.
+
+    NULL ``y`` rows are scored but contribute nothing; frames with fewer
+    than ``min_obs`` observations yield NULL quantiles.
+    """
+    if min_obs < 1:
+        raise ValueError(f"min_obs must be >= 1, got {min_obs}")
+    if not qs:
+        raise ValueError("qs must name at least one quantile")
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile must be in [0, 1], got {q}")
+    by = list(by)
+    w = _range_window(df, x_col, by, duration, include_current)
+    y = F.col(y_col).cast("double")
+    n = F.count(y).over(w)
+    out = df
+    for q in qs:
+        fn = (
+            F.expr(f"percentile(`{y_col}`, {q!r})")
+            if exact
+            else F.expr(f"approx_percentile(`{y_col}`, {q!r}, {accuracy})")
+        )
+        name = f"roll_q{q * 100:g}"
+        out = out.withColumn(name, F.when(n >= min_obs, fn.over(w)))
+    return out
+
+
+def rolling_time_distinct(
+    df: DataFrame,
+    x_col: str = "ts",
+    y_col: str = "value",
+    by: Sequence[str] = ("series_key",),
+    duration: str = "5 minutes",
+    include_current: bool = True,
+    exact: bool = True,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Append ``roll_distinct``: how many DISTINCT non-null ``y_col``
+    values the row's series saw in the last ``duration`` of wall time —
+    the 'unique users in the past hour' sliding-cardinality primitive.
+
+    ``exact=True`` materialises the frame's value set per evaluation
+    (``collect_set`` over the RANGE frame), so the cap is distinct values
+    per ``duration`` per series — again a data-density property, not a
+    data-size one.  ``exact=False`` uses ``approx_count_distinct``
+    (HyperLogLog++, ``rsd`` relative error, constant memory) for
+    high-cardinality frames; contract rows use the exact form for the
+    DuckDB ``COUNT(DISTINCT ...) OVER`` oracle.
+    """
+    by = list(by)
+    w = _range_window(df, x_col, by, duration, include_current)
+    cnt = (
+        F.size(F.collect_set(y_col).over(w)).cast("long")
+        if exact
+        else F.approx_count_distinct(y_col, rsd).over(w)
+    )
+    return df.withColumn("roll_distinct", cnt)

@@ -2169,6 +2169,74 @@ WINDOW fr AS (PARTITION BY event_type ORDER BY ts
 """
 
 
+def q_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 12-hour rolling median + lower quartile per event type
+    (operators/rolling.py:rolling_time_quantile, exact path): Spark's
+    `percentile` window aggregate against DuckDB's QUANTILE_CONT — both
+    implement the 'linear' interpolation rule.
+
+    Checked shape: qs = (0.25, 0.5) only.  Their interpolation fractions
+    are always in {0, .25, .5, .75}, so the TRUE result sits on the
+    0.0025 grid (input values are on the 0.01 grid) and the 6dp round
+    merely strips float residue — tie-free.  Arbitrary fractions (q=0.9)
+    would interpolate OFF-grid where a last-ulp formula difference
+    between engines could flip a rounding tie; the operator supports
+    them, the contract row doesn't gamble on them."""
+    from tsdownsample_spark.operators.rolling import rolling_time_quantile
+
+    ev = load(spark, sf_dir, "events")
+    out = rolling_time_quantile(
+        ev, x_col="ts", y_col="value", by=["event_type"],
+        duration="12 hours", qs=(0.25, 0.5), min_obs=5,
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.round("roll_q25", 6).alias("roll_q25_r"),
+        F.round("roll_q50", 6).alias("roll_q50_r"),
+    )
+
+
+_ORACLE_ROLLING_QUANTILE = """
+SELECT event_id, event_type, ts,
+       ROUND(CASE WHEN COUNT(value) OVER fr >= 5
+             THEN QUANTILE_CONT(value, 0.25) OVER fr END, 6) AS roll_q25_r,
+       ROUND(CASE WHEN COUNT(value) OVER fr >= 5
+             THEN QUANTILE_CONT(value, 0.5) OVER fr END, 6) AS roll_q50_r
+FROM events
+WINDOW fr AS (PARTITION BY event_type ORDER BY ts
+              RANGE BETWEEN INTERVAL 12 HOURS PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 24-hour distinct active users per event type
+    (operators/rolling.py:rolling_time_distinct, exact path): the
+    sliding-cardinality primitive, collect_set over a RANGE frame vs
+    DuckDB's COUNT(DISTINCT) OVER.  Exact integers — nothing to round.
+    The approx path (HyperLogLog++, constant memory) is the 100 TB
+    escape hatch for high-cardinality frames; pytest covers it, this
+    row oracle-checks the exact semantics."""
+    from tsdownsample_spark.operators.rolling import rolling_time_distinct
+
+    ev = load(spark, sf_dir, "events")
+    out = rolling_time_distinct(
+        ev, x_col="ts", y_col="user_id", by=["event_type"],
+        duration="24 hours",
+    )
+    return out.select("event_id", "event_type", "ts", "roll_distinct")
+
+
+_ORACLE_ROLLING_DISTINCT = """
+SELECT event_id, event_type, ts,
+       COUNT(DISTINCT user_id) OVER fr AS roll_distinct
+FROM events
+WINDOW fr AS (PARTITION BY event_type ORDER BY ts
+              RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column data-quality profile of the events table
     (operators/profile.py:profile_columns, exact distinct mode so DuckDB
@@ -2933,6 +3001,8 @@ def queries() -> dict:
         "q_mad_outliers": q_mad_outliers,
         "q_burstiness": q_burstiness,
         "q_rolling_time": q_rolling_time,
+        "q_rolling_quantile": q_rolling_quantile,
+        "q_rolling_distinct": q_rolling_distinct,
         "q_profile": q_profile,
         "q_funnel": q_funnel,
         "q_retention": q_retention,
@@ -3027,6 +3097,8 @@ def oracle_sql() -> dict:
         "q_mad_outliers": _ORACLE_MAD_OUTLIERS,
         "q_burstiness": _ORACLE_BURSTINESS,
         "q_rolling_time": _ORACLE_ROLLING_TIME,
+        "q_rolling_quantile": _ORACLE_ROLLING_QUANTILE,
+        "q_rolling_distinct": _ORACLE_ROLLING_DISTINCT,
         "q_profile": _oracle_profile(),
         "q_funnel": _ORACLE_FUNNEL,
         "q_retention": _ORACLE_RETENTION,
