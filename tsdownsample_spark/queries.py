@@ -2237,6 +2237,104 @@ WINDOW fr AS (PARTITION BY event_type ORDER BY ts
 """
 
 
+def q_stream_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING trailing time-RANGE rolling stats
+    (streaming/stream_rolling.py): the events table is replayed as THREE
+    ascending time-slice micro-batches (maxFilesPerTrigger=1 over files
+    with ordered mtimes), so the per-key in-span buffer genuinely
+    straddles batch boundaries — not a single-batch degenerate run.  The
+    oracle computes the same 2-hour RANGE frame directly in SQL: a hash
+    match proves stream == batch == independent engine.  Slices cut on
+    strict ts predicates, so same-timestamp peers can never be split
+    across batches (peer-inclusive frames stay deterministic).  Rounding
+    rationale identical to q_rolling_time (sums on the 0.01 grid, std is
+    a sqrt — tie-free)."""
+    import os
+    import tempfile
+    import time
+
+    from tsdownsample_spark.plans.shipping import ship_package
+    from tsdownsample_spark.streaming.stream_rolling import (
+        stream_rolling_time_stats,
+    )
+
+    ship_package(spark)
+    ev = load(spark, sf_dir, "events").select("event_type", "ts", "value")
+    cuts = [
+        int(b)
+        for b in ev.selectExpr(
+            "percentile(unix_micros(CAST(ts AS TIMESTAMP)),"
+            " array(CAST(1/3 AS DOUBLE), CAST(2/3 AS DOUBLE))) AS b"
+        ).collect()[0]["b"]
+    ]
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    slices = [
+        ev.where(t_us < cuts[0]),
+        ev.where((t_us >= cuts[0]) & (t_us < cuts[1])),
+        ev.where(t_us >= cuts[1]),
+    ]
+    src = tempfile.mkdtemp(prefix="tsds_stream_rolling_in_")
+    now = time.time()
+    for j, sl in enumerate(slices):
+        d = tempfile.mkdtemp(prefix=f"tsds_stream_rolling_w{j}_")
+        sl.coalesce(1).write.mode("overwrite").parquet(d)
+        for f_ in sorted(os.listdir(d)):
+            if f_.endswith(".parquet"):
+                dst = os.path.join(src, f"{j:04d}.parquet")
+                os.replace(os.path.join(d, f_), dst)
+                os.utime(dst, (now - 600 + 60 * j, now - 600 + 60 * j))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_rolling_time_stats(
+        stream, x_col="ts", y_col="value", by=["event_type"],
+        duration="2 hours", min_obs=5,
+    )
+    sink = tempfile.mkdtemp(prefix="tsds_stream_rolling_out_")
+    ckpt = tempfile.mkdtemp(prefix="tsds_stream_rolling_ckpt_")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):  # pragma: no cover - contention guard
+        q.stop()
+        raise TimeoutError("stream_rolling did not drain in 300s")
+    return spark.read.parquet(sink).select(
+        "event_type",
+        "ts_us",
+        "value",
+        "roll_n",
+        F.round("roll_sum", 2).alias("roll_sum_r"),
+        "roll_min",
+        "roll_max",
+        F.round("roll_std", 6).alias("roll_std_r"),
+    )
+
+
+_ORACLE_STREAM_ROLLING = """
+SELECT event_type, epoch_us(ts) AS ts_us, value,
+       COUNT(value) OVER fr AS roll_n,
+       ROUND(CASE WHEN COUNT(value) OVER fr >= 5
+             THEN SUM(value) OVER fr END, 2) AS roll_sum_r,
+       CASE WHEN COUNT(value) OVER fr >= 5
+            THEN MIN(value) OVER fr END AS roll_min,
+       CASE WHEN COUNT(value) OVER fr >= 5
+            THEN MAX(value) OVER fr END AS roll_max,
+       ROUND(CASE WHEN COUNT(value) OVER fr >= 5
+             THEN STDDEV_SAMP(value) OVER fr END, 6) AS roll_std_r
+FROM events
+WHERE ts IS NOT NULL
+WINDOW fr AS (PARTITION BY event_type ORDER BY ts
+              RANGE BETWEEN INTERVAL 2 HOURS PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column data-quality profile of the events table
     (operators/profile.py:profile_columns, exact distinct mode so DuckDB
@@ -3003,6 +3101,7 @@ def queries() -> dict:
         "q_rolling_time": q_rolling_time,
         "q_rolling_quantile": q_rolling_quantile,
         "q_rolling_distinct": q_rolling_distinct,
+        "q_stream_rolling": q_stream_rolling,
         "q_profile": q_profile,
         "q_funnel": q_funnel,
         "q_retention": q_retention,
@@ -3099,6 +3198,7 @@ def oracle_sql() -> dict:
         "q_rolling_time": _ORACLE_ROLLING_TIME,
         "q_rolling_quantile": _ORACLE_ROLLING_QUANTILE,
         "q_rolling_distinct": _ORACLE_ROLLING_DISTINCT,
+        "q_stream_rolling": _ORACLE_STREAM_ROLLING,
         "q_profile": _oracle_profile(),
         "q_funnel": _ORACLE_FUNNEL,
         "q_retention": _ORACLE_RETENTION,
