@@ -39,8 +39,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ROUNDS = int(os.environ.get("BENCH_ROUNDS", "3"))
 LEVELS = [int(x) for x in os.environ.get("BENCH_LEVELS", "2,8,32").split(",")]
-# Comma-separated subset of {downsample,pipeline,dedup,window,spans} —
-# lets a single workload's ladder re-run calm without paying for the rest.
+# Comma-separated subset of {downsample,pipeline,dedup,window,rolling,
+# spans} — lets a single workload's ladder re-run calm without paying for
+# the rest.
 WORKLOADS = [
     w
     for w in os.environ.get(
@@ -247,6 +248,23 @@ def window_job(spark, path):
     ).select(F.count(F.when(F.col("is_anomaly"), 1))).collect()
 
 
+def rolling_job(spark, path):
+    """Time-RANGE rolling stats over the same 10^4-series shape
+    (operators/rolling.py): a sliding frame whose endpoints are two
+    ordered cursors per series — like ``window`` it shuffles once on
+    series_key, but the frame work is O(total frame overlap), ~60-point
+    frames at the fixture's 15 s step."""
+    from pyspark.sql import functions as F
+
+    from tsdownsample_spark.operators.rolling import rolling_time_stats
+
+    df = spark.read.parquet(path)
+    rolling_time_stats(
+        df, x_col="ts", y_col="value", by=["series_key"],
+        duration="15 minutes",
+    ).select(F.sum("roll_n"), F.sum("roll_sum")).collect()
+
+
 def _bw_work(_):
     import numpy as np
 
@@ -288,6 +306,7 @@ def main() -> None:
         ),
         "dedup": lambda spark, cores: dedup_job(spark, doc_path),
         "window": lambda spark, cores: window_job(spark, ser_path),
+        "rolling": lambda spark, cores: rolling_job(spark, ser_path),
         "spans": lambda spark, cores: spans_job(spark, spans_fixture_path()),
     }
     walls: dict[str, dict[int, list[float]]] = {
@@ -326,6 +345,7 @@ def main() -> None:
                 "pipeline": total_points + DOCS * (1024 + 256),
                 "dedup": DEDUP_DOCS,
                 "window": ser_rows,
+                "rolling": ser_rows,
                 # work unit = aligned windows hashed
                 "spans": SPANS_DOCS * ((SPANS_NTOK - 16) // 8 + 1),
             }[wl]

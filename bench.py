@@ -263,6 +263,7 @@ def main() -> None:
     # series dimension, which the 5-series contract fixture cannot show
     from tsdownsample_spark.operators.anomaly import rolling_zscore
     from tsdownsample_spark.operators.rate import counter_rate, time_weighted_avg
+    from tsdownsample_spark.operators.rolling import rolling_time_stats
 
     mpath, mrows = bench_series_path(10_000, 1_000)
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
@@ -288,6 +289,13 @@ def main() -> None:
         "win_many_twa": (3, mrows, lambda: time_weighted_avg(
             sdf, "1h", x_col="ts", y_col="value", by=["series_key"]
         ).select(F.sum("twa"))),
+        # time-RANGE sliding frame (~60-point frames at the 15 s step):
+        # Spark advances two ordered frame cursors per partition, so this
+        # is the fixed-TIME-horizon sibling of the prefix z-score above
+        "win_many_rolling_time": (3, mrows, lambda: rolling_time_stats(
+            sdf, x_col="ts", y_col="value", by=["series_key"],
+            duration="15 minutes",
+        ).select(F.sum("roll_n"), F.sum("roll_sum"))),
     }
     for key, (nreps, rows, mk) in win_jobs.items():
         mk().collect()  # warm the exact plan
