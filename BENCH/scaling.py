@@ -248,12 +248,13 @@ def window_job(spark, path):
     ).select(F.count(F.when(F.col("is_anomaly"), 1))).collect()
 
 
-def rolling_job(spark, path):
+def rolling_job(spark, path, impl="frame"):
     """Time-RANGE rolling stats over the same 10^4-series shape
-    (operators/rolling.py): a sliding frame whose endpoints are two
-    ordered cursors per series — like ``window`` it shuffles once on
-    series_key, but the frame work is O(total frame overlap), ~60-point
-    frames at the fixture's 15 s step."""
+    (operators/rolling.py): one shuffle on series_key, then per-series
+    trailing frames (~60 points at the fixture's 15 s step).
+    ``impl="frame"`` re-aggregates every sliding frame (O(n x frame));
+    ``impl="prefix"`` differences two growing frames (O(n)) — the
+    ``rollingpfx`` workload, the 100 TB path."""
     from pyspark.sql import functions as F
 
     from tsdownsample_spark.operators.rolling import rolling_time_stats
@@ -261,7 +262,7 @@ def rolling_job(spark, path):
     df = spark.read.parquet(path)
     rolling_time_stats(
         df, x_col="ts", y_col="value", by=["series_key"],
-        duration="15 minutes",
+        duration="15 minutes", impl=impl,
     ).select(F.sum("roll_n"), F.sum("roll_sum")).collect()
 
 
@@ -307,6 +308,9 @@ def main() -> None:
         "dedup": lambda spark, cores: dedup_job(spark, doc_path),
         "window": lambda spark, cores: window_job(spark, ser_path),
         "rolling": lambda spark, cores: rolling_job(spark, ser_path),
+        "rollingpfx": lambda spark, cores: rolling_job(
+            spark, ser_path, impl="prefix"
+        ),
         "spans": lambda spark, cores: spans_job(spark, spans_fixture_path()),
     }
     walls: dict[str, dict[int, list[float]]] = {
@@ -346,6 +350,7 @@ def main() -> None:
                 "dedup": DEDUP_DOCS,
                 "window": ser_rows,
                 "rolling": ser_rows,
+                "rollingpfx": ser_rows,
                 # work unit = aligned windows hashed
                 "spans": SPANS_DOCS * ((SPANS_NTOK - 16) // 8 + 1),
             }[wl]

@@ -290,11 +290,17 @@ def main() -> None:
             sdf, "1h", x_col="ts", y_col="value", by=["series_key"]
         ).select(F.sum("twa"))),
         # time-RANGE sliding frame (~60-point frames at the 15 s step):
-        # Spark advances two ordered frame cursors per partition, so this
-        # is the fixed-TIME-horizon sibling of the prefix z-score above
+        # Spark re-aggregates each sliding frame, so this is the
+        # O(n x frame) cost record for the fixed-TIME-horizon family
         "win_many_rolling_time": (3, mrows, lambda: rolling_time_stats(
             sdf, x_col="ts", y_col="value", by=["series_key"],
             duration="15 minutes",
+        ).select(F.sum("roll_n"), F.sum("roll_sum"))),
+        # O(n) growing-frame prefix differences — the 100 TB path
+        # (min/max keep the sliding frame; sum family goes incremental)
+        "win_many_rolling_prefix": (3, mrows, lambda: rolling_time_stats(
+            sdf, x_col="ts", y_col="value", by=["series_key"],
+            duration="15 minutes", impl="prefix",
         ).select(F.sum("roll_n"), F.sum("roll_sum"))),
     }
     for key, (nreps, rows, mk) in win_jobs.items():

@@ -224,3 +224,74 @@ def test_asof_plan_single_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
     assert plan.count("Exchange") <= 2  # one per input branch of the union
+
+
+# ---------------------------------------------------------------- snapshot
+
+
+def test_snapshot_latest_per_key(spark):
+    from tsdownsample_spark.operators.asof import asof_snapshot
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 10.0, 100),
+            ("a", 5, 50.0, 101),
+            ("a", 9, 90.0, 102),   # after the cutoff
+            ("b", 2, 20.0, 103),
+            ("c", 9, 99.0, 104),   # group entirely after cutoff -> absent
+        ],
+        "k string, t long, v double, rid long",
+    )
+    got = {
+        r["k"]: r
+        for r in asof_snapshot(df, 6, x_col="t", by=["k"]).collect()
+    }
+    assert set(got) == {"a", "b"}
+    assert got["a"]["t"] == 5 and got["a"]["v"] == 50.0
+    assert got["b"]["t"] == 2 and got["b"]["v"] == 20.0
+
+
+def test_snapshot_tiebreak_deterministic(spark):
+    from tsdownsample_spark.operators.asof import asof_snapshot
+
+    rows = [("a", 5, float(v), rid) for v, rid in ((1, 7), (2, 9), (3, 8))]
+    df = spark.createDataFrame(rows, "k string, t long, v double, rid long")
+    got = asof_snapshot(df, 5, x_col="t", by=["k"], tiebreak=["rid"]).collect()
+    assert len(got) == 1
+    # max (t, rid) = (5, 9) -> v = 2.0, regardless of input order
+    assert got[0]["rid"] == 9 and got[0]["v"] == 2.0
+
+
+def test_snapshot_timestamp_axis(spark):
+    import datetime as dt
+
+    from tsdownsample_spark.operators.asof import asof_snapshot
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("a", t0, 1.0), ("a", t0 + dt.timedelta(days=2), 2.0)],
+        "k string, ts timestamp, v double",
+    )
+    got = asof_snapshot(
+        df, "2024-01-02 00:00:00", x_col="ts", by=["k"]
+    ).collect()
+    assert len(got) == 1 and got[0]["v"] == 1.0
+
+
+def test_snapshot_validation_and_plan(spark):
+    import pytest as _pytest
+
+    from tsdownsample_spark.operators.asof import asof_snapshot
+
+    df = spark.createDataFrame([("a", 1, 1.0)], "k string, t long, v double")
+    with _pytest.raises(ValueError, match="at least one"):
+        asof_snapshot(df, 1, x_col="t", by=[])
+    out = asof_snapshot(df, 1, x_col="t", by=["k"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # aggregate shape, not a per-group ranking window, no Python.  The
+    # struct ordering key forces SortAggregate rather than HashAggregate,
+    # but the scale property is the MAP-SIDE PARTIAL combine: one
+    # candidate row per group per task crosses the exchange.
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_max_by" in plan

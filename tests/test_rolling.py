@@ -297,6 +297,71 @@ def test_distinct_exclude_current_empty_frame(spark):
     assert got[_ts(5)] == 1
 
 
+def test_prefix_impl_matches_frame(spark):
+    """impl='prefix' (O(n) growing-frame differences) == impl='frame' to
+    float-summation-order tolerance; count/min/max exact."""
+    import random
+
+    random.seed(11)
+    rows = list(ROWS) + [
+        ("c", _ts(random.randint(0, 600)), round(random.uniform(-50, 50), 2))
+        for _ in range(300)
+    ]
+    df = _mk(spark, rows)
+    kw = dict(x_col="ts", y_col="value", by=["k"], duration="1 minute",
+              min_obs=3)
+    key = lambda r: (r["k"], r["ts"], r["value"])  # noqa: E731
+    frame = {key(r): r for r in rolling_time_stats(df, impl="frame", **kw).collect()}
+    prefix = {key(r): r for r in rolling_time_stats(df, impl="prefix", **kw).collect()}
+    assert set(frame) == set(prefix)
+    for k, fr in frame.items():
+        pr = prefix[k]
+        assert pr["roll_n"] == fr["roll_n"], k
+        assert pr["roll_min"] == fr["roll_min"] and pr["roll_max"] == fr["roll_max"]
+        for c in ("roll_sum", "roll_mean", "roll_std"):
+            if fr[c] is None:
+                assert pr[c] is None, (c, k)
+            else:
+                assert pr[c] == pytest.approx(fr[c], rel=1e-9, abs=1e-9), (c, k)
+
+
+def test_prefix_impl_exclude_current(spark):
+    kw = dict(by=["k"], duration="1 minute", include_current=False)
+    key = lambda r: (r["k"], r["ts"], r["value"])  # noqa: E731
+    df = _mk(spark, ROWS)
+    frame = {key(r): r for r in rolling_time_stats(df, impl="frame", **kw).collect()}
+    prefix = {key(r): r for r in rolling_time_stats(df, impl="prefix", **kw).collect()}
+    for k, fr in frame.items():
+        assert prefix[k]["roll_n"] == fr["roll_n"], k
+
+
+def test_prefix_impl_validation(spark):
+    df = spark.createDataFrame(
+        [("a", 1.5, 1.0)], "k string, x double, value double"
+    )
+    with pytest.raises(ValueError, match="integer time axis"):
+        rolling_time_stats(df, x_col="x", by=["k"], duration="10",
+                           impl="prefix")
+    with pytest.raises(ValueError, match="impl"):
+        rolling_time_stats(_mk(spark, ROWS), by=["k"], impl="welford")
+
+
+def test_prefix_impl_integer_axis(spark):
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 5, 2.0), ("a", 9, 4.0), ("a", 20, 8.0)],
+        "k string, x long, value double",
+    )
+    got = {
+        r["x"]: r
+        for r in rolling_time_stats(
+            df, x_col="x", y_col="value", by=["k"], duration="10",
+            impl="prefix",
+        ).collect()
+    }
+    assert got[9]["roll_n"] == 3 and got[9]["roll_sum"] == pytest.approx(7.0)
+    assert got[20]["roll_n"] == 1 and got[20]["roll_sum"] == pytest.approx(8.0)
+
+
 def test_quantile_distinct_plans_zero_python(spark):
     df = _mk(spark, ROWS)
     for out in (

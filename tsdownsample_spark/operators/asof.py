@@ -39,7 +39,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "asof_snapshot"]
 
 
 def asof_join(
@@ -156,3 +156,48 @@ def asof_join(
         hit[c].alias(c) for c in value_cols
     ]
     return matched.select(*keep)
+
+
+def asof_snapshot(
+    df: DataFrame,
+    at,
+    x_col: str = "ts",
+    by: Sequence[str] = ("series_key",),
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Point-in-time snapshot: the LATEST row of each ``by`` group with
+    ``x_col <= at`` — "the state of every series as of T", the read-side
+    primitive of slowly-changing state (SCD-2 current rows, last sensor
+    reading at report time, the as-of self-lookup of a rollup tier).
+
+    Spark-first shape: ``filter`` + ONE ``max_by`` hash aggregate — a
+    map-side-combinable partial agg, so each executor ships exactly one
+    candidate row per group it saw, never a per-group sort.  (The window
+    ``row_number() = 1`` formulation — which the DuckDB oracle uses — is
+    plan-shaped like a sort per group; the aggregate form is the 100 TB
+    path and must produce the identical row, which is what the oracle
+    row proves.)
+
+    Determinism under duplicate timestamps: ``max_by`` alone breaks ties
+    arbitrarily, so the ordering key is ``struct(x_col, *tiebreak)``
+    (lexicographic struct comparison).  Pass a unique column (an event
+    id) in ``tiebreak`` whenever ``(by, x_col)`` is not unique, exactly
+    like the deterministic-ordering rules elsewhere in this engine.
+
+    Returns one row per group present at-or-before ``at``, with the
+    original columns of ``df``.
+    """
+    by = list(by)
+    if not by:
+        raise ValueError("by must name at least one group column")
+    tiebreak = list(tiebreak)
+    t_dtype = dict(df.dtypes)[x_col]
+    at_lit = F.lit(at).cast("timestamp") if t_dtype.startswith("timestamp") else F.lit(at)
+    live = df.where(F.col(x_col) <= at_lit)
+    payload = F.struct(*[F.col(c) for c in df.columns if c not in by])
+    order = F.struct(F.col(x_col), *[F.col(c) for c in tiebreak])
+    snap = live.groupBy(*by).agg(F.max_by(payload, order).alias("_snap"))
+    keep = [F.col(c) for c in by] + [
+        F.col("_snap")[c].alias(c) for c in df.columns if c not in by
+    ]
+    return snap.select(*keep)

@@ -102,6 +102,7 @@ def rolling_time_stats(
     duration: str = "5 minutes",
     min_obs: int = 1,
     include_current: bool = True,
+    impl: str = "frame",
 ) -> DataFrame:
     """Append ``roll_n``, ``roll_sum``, ``roll_mean``, ``roll_min``,
     ``roll_max``, ``roll_std`` over the trailing ``[t - duration, t]``
@@ -119,13 +120,73 @@ def rolling_time_stats(
     aggregate.  ``x_col`` may be a timestamp (trailing window in wall
     time, exact integer-microsecond arithmetic) or numeric (``duration``
     then must be a plain number string, in the column's own units).
+
+    ``impl`` picks the physical strategy (same split as
+    operators/anomaly.py):
+
+    * ``"frame"`` (default) — one sliding RANGE frame per aggregate.
+      Spark re-aggregates each frame buffer (SlidingWindowFunctionFrame
+      has no incremental subtract), so cost is O(n x points-per-frame)
+      per series; values are bit-exactly the frame aggregation order.
+    * ``"prefix"`` — the 100 TB path for the sum family: n/sum/mean/std
+      come from DIFFERENCES of two GROWING frames (UNBOUNDED PRECEDING
+      up to now, and up to just-before the frame start), which Spark
+      evaluates incrementally — O(n) per series regardless of frame
+      density.  min/max keep the sliding frame (no subtractive form
+      exists; they are comparison-only).  Sums agree with ``"frame"`` to
+      float-summation-order tolerance (~1e-9 relative), not bit-for-bit.
+      Requires an exact integer time axis (timestamp, or an integral
+      numeric dtype) because the just-before bound is ``-(span + 1)`` in
+      integer units.
     """
     if min_obs < 1:
         raise ValueError(f"min_obs must be >= 1, got {min_obs}")
+    if impl not in ("frame", "prefix"):
+        raise ValueError(f"impl must be 'frame' or 'prefix', got {impl!r}")
     by = list(by)
     w = _range_window(df, x_col, by, duration, include_current)
-
     y = F.col(y_col).cast("double")
+
+    if impl == "prefix":
+        t_dtype = dict(df.dtypes)[x_col]
+        if t_dtype.startswith("timestamp"):
+            order = F.unix_micros(F.col(x_col).cast("timestamp"))
+            span = duration_to_micros(duration)
+        elif t_dtype in ("tinyint", "smallint", "int", "bigint"):
+            order = F.col(x_col).cast("long")
+            span = int(duration)
+            if span <= 0:
+                raise ValueError(f"duration must be positive, got {duration!r}")
+        else:
+            raise ValueError(
+                "impl='prefix' needs an exact integer time axis "
+                f"(timestamp or integral numeric); {x_col!r} is {t_dtype}"
+            )
+        hi_now = 0 if include_current else -1
+        base = Window.partitionBy(*by).orderBy(order)
+        w_now = base.rangeBetween(Window.unboundedPreceding, hi_now)
+        w_old = base.rangeBetween(Window.unboundedPreceding, -span - 1)
+        c1, c0 = F.count(y).over(w_now), F.count(y).over(w_old)
+        s1, s0 = F.sum(y).over(w_now), F.sum(y).over(w_old)
+        q1 = F.sum(y * y).over(w_now)
+        q0 = F.sum(y * y).over(w_old)
+        n = (c1 - c0).cast("long")
+        fsum = F.coalesce(s1, F.lit(0.0)) - F.coalesce(s0, F.lit(0.0))
+        fsq = F.coalesce(q1, F.lit(0.0)) - F.coalesce(q0, F.lit(0.0))
+        gate = lambda c: F.when(n >= min_obs, c)  # noqa: E731
+        mean = F.when(n > 0, fsum / n)
+        var = F.when(
+            n > 1, F.greatest(fsq - fsum * fsum / n, F.lit(0.0)) / (n - 1)
+        )
+        return (
+            df.withColumn("roll_n", n)
+            .withColumn("roll_sum", gate(F.when(n > 0, fsum)))
+            .withColumn("roll_mean", gate(mean))
+            .withColumn("roll_min", gate(F.min(y).over(w)))
+            .withColumn("roll_max", gate(F.max(y).over(w)))
+            .withColumn("roll_std", gate(F.sqrt(var)))
+        )
+
     n = F.count(y).over(w)
     gate = lambda c: F.when(n >= min_obs, c)  # noqa: E731
     return (

@@ -2169,6 +2169,78 @@ WINDOW fr AS (PARTITION BY event_type ORDER BY ts
 """
 
 
+def q_rolling_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The O(n) ``impl="prefix"`` time-RANGE rolling stats — the 100 TB
+    path (operators/rolling.py: growing-frame prefix sums differenced at
+    the frame start, constant cost per row regardless of frame density)
+    — oracle-checked end-to-end like q_anomaly_prefix, not only
+    pytest-checked.
+
+    The oracle replays the SAME prefix arithmetic in DuckDB (two
+    UNBOUNDED-PRECEDING RANGE windows on the integer-microsecond axis,
+    old side ending span+1 us before now), so the engines differ only by
+    float-summation order: sum rounds at 2dp (on the 0.01 input grid —
+    residue-stripping, not tie-gambling) and std at 4dp (the
+    q_anomaly_prefix slack for the variance identity's cancellation);
+    count/min/max are exact.  The bit-exact sliding-frame twin stays on
+    q_rolling_time."""
+    from tsdownsample_spark.operators.rolling import rolling_time_stats
+
+    ev = load(spark, sf_dir, "events")
+    out = rolling_time_stats(
+        ev, x_col="ts", y_col="value", by=["event_type"],
+        duration="2 hours", min_obs=5, impl="prefix",
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "roll_n",
+        F.round("roll_sum", 2).alias("roll_sum_r"),
+        "roll_min",
+        "roll_max",
+        F.round("roll_std", 4).alias("roll_std_r"),
+    )
+
+
+_ORACLE_ROLLING_PREFIX = """
+WITH b AS (
+  SELECT event_id, event_type, ts, value, epoch_us(ts) AS tu FROM events
+),
+c AS (
+  SELECT event_id, event_type, ts, value,
+         COUNT(value) OVER nw AS c1, SUM(value) OVER nw AS s1,
+         SUM(value * value) OVER nw AS q1,
+         COUNT(value) OVER od AS c0, SUM(value) OVER od AS s0,
+         SUM(value * value) OVER od AS q0,
+         MIN(value) OVER fr AS fmn, MAX(value) OVER fr AS fmx
+  FROM b
+  WINDOW nw AS (PARTITION BY event_type ORDER BY tu
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         od AS (PARTITION BY event_type ORDER BY tu
+                RANGE BETWEEN UNBOUNDED PRECEDING AND 7200000001 PRECEDING),
+         fr AS (PARTITION BY event_type ORDER BY tu
+                RANGE BETWEEN 7200000000 PRECEDING AND CURRENT ROW)
+),
+f AS (
+  SELECT event_id, event_type, ts, fmn, fmx,
+         c1 - COALESCE(c0, 0) AS n,
+         COALESCE(s1, 0) - COALESCE(s0, 0) AS fsum,
+         COALESCE(q1, 0) - COALESCE(q0, 0) AS fsq
+  FROM c
+)
+SELECT event_id, event_type, ts,
+       n AS roll_n,
+       ROUND(CASE WHEN n >= 5 THEN fsum END, 2) AS roll_sum_r,
+       CASE WHEN n >= 5 THEN fmn END AS roll_min,
+       CASE WHEN n >= 5 THEN fmx END AS roll_max,
+       ROUND(CASE WHEN n >= 5 AND n > 1 THEN
+             SQRT(GREATEST(fsq - fsum * fsum / n, 0) / (n - 1))
+             END, 4) AS roll_std_r
+FROM f
+"""
+
+
 def q_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 12-hour rolling median + lower quartile per event type
     (operators/rolling.py:rolling_time_quantile, exact path): Spark's
@@ -2332,6 +2404,73 @@ FROM events
 WHERE ts IS NOT NULL
 WINDOW fr AS (PARTITION BY event_type ORDER BY ts
               RANGE BETWEEN INTERVAL 2 HOURS PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time state of every user mid-month
+    (operators/asof.py:asof_snapshot): latest event per user_id with
+    ts <= 2024-01-15, tiebroken by event_id so duplicate timestamps are
+    deterministic.  The Spark side is ONE max_by partial aggregate (no
+    per-group sort crosses the exchange); the oracle proves the same row
+    via the ROW_NUMBER formulation — result equality across two
+    different physical strategies AND two engines."""
+    from tsdownsample_spark.operators.asof import asof_snapshot
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    return asof_snapshot(
+        ev, "2024-01-15 00:00:00", x_col="ts", by=["user_id"],
+        tiebreak=["event_id"],
+    )
+
+
+_ORACLE_SNAPSHOT = """
+SELECT user_id, event_id, ts, event_type, value
+FROM (
+  SELECT user_id, event_id, ts, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+  WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+)
+WHERE rn = 1
+"""
+
+
+def q_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed trending heavy hitters: top-3 most active users per
+    (day, event_type) — operators/frequency.py:heavy_hitters composed
+    with a date_trunc bucket, i.e. the tumbling-window form of the
+    global q_heavy_hitters row.  Scale shape unchanged: map-side partial
+    count on (day, type, user), then a rank window over the DISTINCT
+    rows only; ties broken by ascending user_id (deterministic)."""
+    from tsdownsample_spark.operators.frequency import heavy_hitters
+
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+        "event_type",
+        "user_id",
+    )
+    return heavy_hitters(ev, "user_id", by=["day", "event_type"], k=3)
+
+
+_ORACLE_TRENDING = """
+SELECT day, event_type, user_id, freq, rank
+FROM (
+  SELECT day, event_type, user_id, freq,
+         ROW_NUMBER() OVER (PARTITION BY day, event_type
+                            ORDER BY freq DESC, user_id ASC) AS rank
+  FROM (
+    SELECT CAST(ts AS DATE) AS day, event_type, user_id,
+           COUNT(*) AS freq
+    FROM events
+    WHERE user_id IS NOT NULL
+    GROUP BY 1, 2, 3
+  )
+)
+WHERE rank <= 3
 """
 
 
@@ -3007,10 +3146,18 @@ _WINDOW_R05 = [
     "q_anomaly_prefix", "q_minmax_jvm", "q_m4_jvm", "q_everynth_jvm",
     "q_ann_ivf_mp", "q_dup_spans", "q_dedup_cluster", "q_dup_span_cut",
     "q_lm_score", "q_token_budget",
-    # (3) new contract rows this round, second batch (series diagnostics)
+    # (3) new contract rows this round, second batch (series diagnostics;
+    # q_temp_mix and q_value_hist ride the tail — their family keeps four
+    # in-window rows — in favor of third-batch FAMILY diversity below)
     "q_autocorr", "q_cusum", "q_winsorize", "q_ewma", "q_seasonal_z",
-    "q_trend", "q_spearman", "q_temp_mix", "q_value_hist",
+    "q_trend", "q_spearman",
     "q_season_strength",
+    # (3) new contract rows, third batch: the time-RANGE rolling family
+    # (representative row) and its stateful streaming twin (the only
+    # other stream==batch==oracle row besides q_stream_tiers); the rest
+    # of the family (q_rolling_prefix/_quantile/_distinct, q_snapshot,
+    # q_trending) rides the CI-checked tail
+    "q_rolling_time", "q_stream_rolling",
     # (3) implementation changed this round
     "q_pack_greedy", "q_gapfill_linear",
     # (4) high-value r4-green fill (q_token_tiers, q_compress_roundtrip,
@@ -3099,9 +3246,12 @@ def queries() -> dict:
         "q_mad_outliers": q_mad_outliers,
         "q_burstiness": q_burstiness,
         "q_rolling_time": q_rolling_time,
+        "q_rolling_prefix": q_rolling_prefix,
         "q_rolling_quantile": q_rolling_quantile,
         "q_rolling_distinct": q_rolling_distinct,
         "q_stream_rolling": q_stream_rolling,
+        "q_snapshot": q_snapshot,
+        "q_trending": q_trending,
         "q_profile": q_profile,
         "q_funnel": q_funnel,
         "q_retention": q_retention,
@@ -3196,9 +3346,12 @@ def oracle_sql() -> dict:
         "q_mad_outliers": _ORACLE_MAD_OUTLIERS,
         "q_burstiness": _ORACLE_BURSTINESS,
         "q_rolling_time": _ORACLE_ROLLING_TIME,
+        "q_rolling_prefix": _ORACLE_ROLLING_PREFIX,
         "q_rolling_quantile": _ORACLE_ROLLING_QUANTILE,
         "q_rolling_distinct": _ORACLE_ROLLING_DISTINCT,
         "q_stream_rolling": _ORACLE_STREAM_ROLLING,
+        "q_snapshot": _ORACLE_SNAPSHOT,
+        "q_trending": _ORACLE_TRENDING,
         "q_profile": _oracle_profile(),
         "q_funnel": _ORACLE_FUNNEL,
         "q_retention": _ORACLE_RETENTION,
