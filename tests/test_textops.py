@@ -845,3 +845,56 @@ class TestContainmentPairs:
         )
         kept = containment_pairs(df, pairs, threshold=0.9).collect()
         assert [(r.id_a, r.id_b) for r in kept] == [("l", "s")]
+
+
+class TestSourceOverlapMatrix:
+    def _mk(self, spark):
+        rows = [
+            (1, "the quick brown fox jumps", "A"),
+            (2, "the quick brown cat sits", "A"),
+            (3, "the quick brown fox jumps", "B"),   # exact dup of doc 1
+            (4, "completely different words here", "B"),
+            (5, "nothing in common at all", "C"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    def test_counts_and_jaccard(self, spark):
+        from tsdownsample_spark.operators.dedup import source_overlap_matrix
+
+        got = {
+            (r["source_a"], r["source_b"]): r
+            for r in source_overlap_matrix(self._mk(spark), shingle=3).collect()
+        }
+        # A's distinct 3-shingles: doc1 {tqb, qbf, bfj} + doc2 {tqb, qbc, bcs}
+        # -> 5; B: doc3 {tqb, qbf, bfj} + doc4 {cdw, dwh} -> 5; shared = 3
+        ab = got[("A", "B")]
+        assert ab["n_shared"] == 3 and ab["n_a"] == 5 and ab["n_b"] == 5
+        assert ab["jaccard"] == pytest.approx(3 / 7)
+        # C shares nothing -> pair absent (n_shared > 0 only)
+        assert ("A", "C") not in got and ("B", "C") not in got
+
+    def test_short_doc_whole_text_shingle(self, spark):
+        from tsdownsample_spark.operators.dedup import source_overlap_matrix
+
+        df = spark.createDataFrame(
+            [(1, "hi there", "A"), (2, "hi there", "B")],
+            "doc_id long, text string, source string",
+        )
+        got = source_overlap_matrix(df, shingle=3).collect()
+        assert len(got) == 1
+        assert got[0]["n_shared"] == 1 and got[0]["jaccard"] == 1.0
+
+    def test_plan_no_cartesian_and_broadcast_totals(self, spark):
+        from tsdownsample_spark.operators.dedup import source_overlap_matrix
+
+        out = source_overlap_matrix(self._mk(spark))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+        assert "BroadcastHashJoin" in plan  # the tiny totals join-back
+
+    def test_validation(self, spark):
+        from tsdownsample_spark.operators.dedup import source_overlap_matrix
+
+        with pytest.raises(ValueError, match="shingle"):
+            source_overlap_matrix(self._mk(spark), shingle=0)

@@ -353,6 +353,69 @@ def simhash(
     )
 
 
+def source_overlap_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    by: str = "source",
+    shingle: int = 3,
+) -> DataFrame:
+    """Pairwise corpus-slice overlap report: for every pair of ``by``
+    slices (a < b), the number of distinct word-``shingle``-grams they
+    SHARE and the Jaccard similarity of their shingle sets — the
+    "how much does crawl X repeat crawl Y" audit run before mixing
+    corpora, the slice-level analogue of cross_contamination's per-doc
+    report (and of divergence.py's distributional pairwise matrix, which
+    compares frequency SHAPE where this compares set MEMBERSHIP).
+
+    Scale shape: ONE distinct (slice, shingle) projection (map-side
+    combinable — shuffle is distinct cardinality, not corpus size), a
+    self-equi-join on the shingle, and a pair-grained count.  Each
+    shingle contributes at most ``slices^2/2`` joined rows, so the join
+    output is bounded by distinct-shingles x pairs — a pairwise matrix is
+    inherently a FEW-slices operator (sources, crawls, dumps), never a
+    per-document one; per-document overlap is cross_contamination /
+    minhash LSH.  Jaccard denominators ride a tiny per-slice distinct
+    count, AQE-broadcast on the join back.
+
+    Output: (``{by}_a``, ``{by}_b``, n_shared, n_a, n_b, jaccard), only
+    pairs with ``n_shared > 0``.
+    """
+    if shingle < 1:
+        raise ValueError(f"shingle must be >= 1, got {shingle}")
+    sh = F.expr(f"array_distinct({_shingles_expr(text_col, shingle)})")
+    s = (
+        df.select(F.col(by), sh.alias("_sh"))
+        .select(by, F.explode("_sh").alias("_shingle"))
+        .distinct()
+    )
+    totals = s.groupBy(by).agg(F.count(F.lit(1)).alias("_n"))
+    a = s.select(F.col(by).alias(f"{by}_a"), "_shingle")
+    b = s.select(F.col(by).alias(f"{by}_b"), "_shingle")
+    pairs = (
+        a.join(b, "_shingle")
+        .where(F.col(f"{by}_a") < F.col(f"{by}_b"))
+        .groupBy(f"{by}_a", f"{by}_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    ta = totals.select(F.col(by).alias(f"{by}_a"), F.col("_n").alias("n_a"))
+    tb = totals.select(F.col(by).alias(f"{by}_b"), F.col("_n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ta), f"{by}_a")
+        .join(F.broadcast(tb), f"{by}_b")
+        .select(
+            f"{by}_a",
+            f"{by}_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+    )
+
+
 def cross_contamination(
     train: DataFrame,
     eval_set: DataFrame,

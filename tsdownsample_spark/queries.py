@@ -2309,6 +2309,52 @@ WINDOW fr AS (PARTITION BY event_type ORDER BY ts
 """
 
 
+def _stage_time_slices(spark: SparkSession, ev: DataFrame, prefix: str, n: int = 3):
+    """Stage ``ev`` as ``n`` ascending time-slice parquet files with ordered
+    mtimes and return a maxFilesPerTrigger=1 file stream over them — the
+    shared scaffold of the stream==batch==oracle contract rows.  Slices cut
+    on strict ts predicates, so same-timestamp peers are never split across
+    micro-batches (peer-inclusive frames stay deterministic).  Dirs are
+    unique per call (no cross-session races); tiny and under /tmp."""
+    import os
+    import tempfile
+    import time
+
+    qs = [i / n for i in range(1, n)]
+    arr = ", ".join(f"CAST({q!r} AS DOUBLE)" for q in qs)
+    cuts = [
+        int(b)
+        for b in ev.selectExpr(
+            f"percentile(unix_micros(CAST(ts AS TIMESTAMP)), array({arr})) AS b"
+        ).collect()[0]["b"]
+    ]
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    edges = [None, *cuts, None]
+    slices = []
+    for j in range(n):
+        cond = F.lit(True)
+        if edges[j] is not None:
+            cond = cond & (t_us >= edges[j])
+        if edges[j + 1] is not None:
+            cond = cond & (t_us < edges[j + 1])
+        slices.append(ev.where(cond))
+    src = tempfile.mkdtemp(prefix=f"{prefix}_in_")
+    now = time.time()
+    for j, sl in enumerate(slices):
+        d = tempfile.mkdtemp(prefix=f"{prefix}_w{j}_")
+        sl.coalesce(1).write.mode("overwrite").parquet(d)
+        for f_ in sorted(os.listdir(d)):
+            if f_.endswith(".parquet"):
+                dst = os.path.join(src, f"{j:04d}.parquet")
+                os.replace(os.path.join(d, f_), dst)
+                os.utime(dst, (now - 600 + 60 * j, now - 600 + 60 * j))
+    return (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
 def q_stream_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRUCTURED STREAMING trailing time-RANGE rolling stats
     (streaming/stream_rolling.py): the events table is replayed as THREE
@@ -2321,9 +2367,7 @@ def q_stream_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     across batches (peer-inclusive frames stay deterministic).  Rounding
     rationale identical to q_rolling_time (sums on the 0.01 grid, std is
     a sqrt — tie-free)."""
-    import os
     import tempfile
-    import time
 
     from tsdownsample_spark.plans.shipping import ship_package
     from tsdownsample_spark.streaming.stream_rolling import (
@@ -2332,34 +2376,7 @@ def q_stream_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ship_package(spark)
     ev = load(spark, sf_dir, "events").select("event_type", "ts", "value")
-    cuts = [
-        int(b)
-        for b in ev.selectExpr(
-            "percentile(unix_micros(CAST(ts AS TIMESTAMP)),"
-            " array(CAST(1/3 AS DOUBLE), CAST(2/3 AS DOUBLE))) AS b"
-        ).collect()[0]["b"]
-    ]
-    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
-    slices = [
-        ev.where(t_us < cuts[0]),
-        ev.where((t_us >= cuts[0]) & (t_us < cuts[1])),
-        ev.where(t_us >= cuts[1]),
-    ]
-    src = tempfile.mkdtemp(prefix="tsds_stream_rolling_in_")
-    now = time.time()
-    for j, sl in enumerate(slices):
-        d = tempfile.mkdtemp(prefix=f"tsds_stream_rolling_w{j}_")
-        sl.coalesce(1).write.mode("overwrite").parquet(d)
-        for f_ in sorted(os.listdir(d)):
-            if f_.endswith(".parquet"):
-                dst = os.path.join(src, f"{j:04d}.parquet")
-                os.replace(os.path.join(d, f_), dst)
-                os.utime(dst, (now - 600 + 60 * j, now - 600 + 60 * j))
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
+    stream = _stage_time_slices(spark, ev, prefix="tsds_stream_rolling")
     out = stream_rolling_time_stats(
         stream, x_col="ts", y_col="value", by=["event_type"],
         duration="2 hours", min_obs=5,
@@ -2471,6 +2488,60 @@ FROM (
   )
 )
 WHERE rank <= 3
+"""
+
+
+def q_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING trailing-window distinct count
+    (streaming/stream_distinct.py): rolling 24-hour distinct active users
+    per event type over the same three time-slice micro-batches as
+    q_stream_rolling, computed by the Fenwick last-occurrence sweep over
+    the carried in-span pool.  The oracle is DuckDB's
+    COUNT(DISTINCT) OVER a RANGE frame — exact integers, a hash match
+    proves stream == batch == independent engine for an algorithm that
+    shares NO code with either window implementation."""
+    import tempfile
+
+    from tsdownsample_spark.plans.shipping import ship_package
+    from tsdownsample_spark.streaming.stream_distinct import (
+        stream_rolling_time_distinct,
+    )
+
+    ship_package(spark)
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "ts", F.col("user_id").cast("double").alias("uid")
+    )
+    stream = _stage_time_slices(spark, ev, prefix="tsds_stream_distinct")
+    out = stream_rolling_time_distinct(
+        stream, x_col="ts", y_col="uid", by=["event_type"],
+        duration="24 hours",
+    )
+    sink = tempfile.mkdtemp(prefix="tsds_stream_distinct_out_")
+    ckpt = tempfile.mkdtemp(prefix="tsds_stream_distinct_ckpt_")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):  # pragma: no cover - contention guard
+        q.stop()
+        raise TimeoutError("stream_distinct did not drain in 300s")
+    return spark.read.parquet(sink).select(
+        "event_type", "ts_us", "uid", "roll_distinct"
+    )
+
+
+_ORACLE_STREAM_DISTINCT = """
+SELECT event_type, epoch_us(ts) AS ts_us,
+       CAST(user_id AS DOUBLE) AS uid,
+       COUNT(DISTINCT user_id) OVER fr AS roll_distinct
+FROM events
+WHERE ts IS NOT NULL
+WINDOW fr AS (PARTITION BY event_type ORDER BY ts
+              RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
 """
 
 
@@ -3250,6 +3321,7 @@ def queries() -> dict:
         "q_rolling_quantile": q_rolling_quantile,
         "q_rolling_distinct": q_rolling_distinct,
         "q_stream_rolling": q_stream_rolling,
+        "q_stream_distinct": q_stream_distinct,
         "q_snapshot": q_snapshot,
         "q_trending": q_trending,
         "q_profile": q_profile,
@@ -3350,6 +3422,7 @@ def oracle_sql() -> dict:
         "q_rolling_quantile": _ORACLE_ROLLING_QUANTILE,
         "q_rolling_distinct": _ORACLE_ROLLING_DISTINCT,
         "q_stream_rolling": _ORACLE_STREAM_ROLLING,
+        "q_stream_distinct": _ORACLE_STREAM_DISTINCT,
         "q_snapshot": _ORACLE_SNAPSHOT,
         "q_trending": _ORACLE_TRENDING,
         "q_profile": _oracle_profile(),

@@ -1207,6 +1207,54 @@ GROUP BY p.term, f.doc_freq
 """
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise corpus-slice set overlap: distinct shared word-3-gram
+    shingles + Jaccard for every source pair
+    (operators/dedup.py:source_overlap_matrix) — the set-MEMBERSHIP
+    companion of q_source_divergence's frequency-SHAPE matrix, i.e. the
+    "how much does crawl X literally repeat crawl Y" audit before corpus
+    mixing.  n_shared/n_a/n_b are exact integers; jaccard is one
+    division, rounded 6dp (a ratio of integers — a 1e-16-relative float
+    tie would need the true quotient within 1e-10 of a 5e-7 boundary,
+    i.e. a denominator over ~10^9 shingles; the fixture has ~10^4)."""
+    from tsdownsample_spark.operators.dedup import source_overlap_matrix
+
+    docs = _load(spark, sf_dir, "documents")
+    out = source_overlap_matrix(docs, text_col="text", by="source", shingle=3)
+    return out.select(
+        "source_a",
+        "source_b",
+        "n_shared",
+        "n_a",
+        "n_b",
+        F.round("jaccard", 6).alias("jaccard_r"),
+    )
+
+
+_ORACLE_SOURCE_OVERLAP = """
+WITH s AS (
+    SELECT DISTINCT source,
+           unnest(CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+                  ELSE list_transform(range(len(string_split(text, ' ')) - 2),
+                       i -> array_to_string(string_split(text, ' ')[i + 1 : i + 3], ' '))
+                  END) AS shingle
+    FROM documents
+),
+tot AS (SELECT source, COUNT(*) AS n FROM s GROUP BY source),
+pairs AS (
+    SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+    FROM s a JOIN s b ON a.shingle = b.shingle AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b, p.n_shared, ta.n AS n_a, tb.n AS n_b,
+       ROUND(p.n_shared / CAST(ta.n + tb.n - p.n_shared AS DOUBLE), 6)
+           AS jaccard_r
+FROM pairs p
+JOIN tot ta ON ta.source = p.source_a
+JOIN tot tb ON tb.source = p.source_b
+"""
+
+
 def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Jensen-Shannon divergence between every two sources' word
     distributions — data-mixture drift measurement
@@ -1731,6 +1779,7 @@ def queries() -> dict:
         "q_tfidf": q_tfidf,
         "q_inverted_index": q_inverted_index,
         "q_source_divergence": q_source_divergence,
+        "q_source_overlap": q_source_overlap,
         "q_doc_downsample": q_doc_downsample,
         "q_fingerprint": q_fingerprint,
         "q_pack_concat": q_pack_concat,
@@ -1775,6 +1824,7 @@ def oracle_sql() -> dict:
         "q_tfidf": _ORACLE_TFIDF,
         "q_inverted_index": _ORACLE_INVERTED_INDEX,
         "q_source_divergence": _ORACLE_SOURCE_DIVERGENCE,
+        "q_source_overlap": _ORACLE_SOURCE_OVERLAP,
         # q_bigram_lm registers in queries.py's TAIL block (keeps the
         # driver's 50-row window composition unchanged)
         "q_bigram_lm": _ORACLE_BIGRAM_LM,
