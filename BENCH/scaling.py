@@ -299,6 +299,10 @@ def main() -> None:
     tok_path, total_points = bench_tokens_path(DOCS, NTOK)
     doc_path = synth_docs_path()
     ser_path, ser_rows = bench_series_path(10_000, 1_000)
+    # the O(n) prefix form clears the 10M fixture in ~3 s at 8 cores —
+    # short enough that fixed per-job overhead pollutes the ratio (the
+    # run-AN spans lesson) — so its ladder gets a 4x fixture
+    pfx_path, pfx_rows = bench_series_path(20_000, 2_000)
 
     runners = {
         "downsample": lambda spark, cores: downsample_job(spark, tok_path),
@@ -309,7 +313,7 @@ def main() -> None:
         "window": lambda spark, cores: window_job(spark, ser_path),
         "rolling": lambda spark, cores: rolling_job(spark, ser_path),
         "rollingpfx": lambda spark, cores: rolling_job(
-            spark, ser_path, impl="prefix"
+            spark, pfx_path, impl="prefix"
         ),
         "spans": lambda spark, cores: spans_job(spark, spans_fixture_path()),
     }
@@ -350,7 +354,7 @@ def main() -> None:
                 "dedup": DEDUP_DOCS,
                 "window": ser_rows,
                 "rolling": ser_rows,
-                "rollingpfx": ser_rows,
+                "rollingpfx": pfx_rows,
                 # work unit = aligned windows hashed
                 "spans": SPANS_DOCS * ((SPANS_NTOK - 16) // 8 + 1),
             }[wl]
