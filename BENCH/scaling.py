@@ -40,8 +40,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ROUNDS = int(os.environ.get("BENCH_ROUNDS", "3"))
 LEVELS = [int(x) for x in os.environ.get("BENCH_LEVELS", "2,8,32").split(",")]
 # Comma-separated subset of {downsample,pipeline,dedup,window,rolling,
-# spans} — lets a single workload's ladder re-run calm without paying for
-# the rest.
+# rollingpfx,spans} — lets a single workload's ladder re-run calm without
+# paying for the rest.
 WORKLOADS = [
     w
     for w in os.environ.get(
@@ -301,8 +301,13 @@ def main() -> None:
     ser_path, ser_rows = bench_series_path(10_000, 1_000)
     # the O(n) prefix form clears the 10M fixture in ~3 s at 8 cores —
     # short enough that fixed per-job overhead pollutes the ratio (the
-    # run-AN spans lesson) — so its ladder gets a 4x fixture
-    pfx_path, pfx_rows = bench_series_path(20_000, 2_000)
+    # run-AN spans lesson) — so its ladder gets a 4x fixture.  Built
+    # lazily like the spans fixture: a default run never selects
+    # rollingpfx and must not pay ~1 GB of generation for it.
+    pfx_rows = 20_000 * 2_000
+
+    def pfx_path():
+        return bench_series_path(20_000, 2_000)[0]
 
     runners = {
         "downsample": lambda spark, cores: downsample_job(spark, tok_path),
@@ -313,7 +318,7 @@ def main() -> None:
         "window": lambda spark, cores: window_job(spark, ser_path),
         "rolling": lambda spark, cores: rolling_job(spark, ser_path),
         "rollingpfx": lambda spark, cores: rolling_job(
-            spark, pfx_path, impl="prefix"
+            spark, pfx_path(), impl="prefix"
         ),
         "spans": lambda spark, cores: spans_job(spark, spans_fixture_path()),
     }

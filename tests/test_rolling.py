@@ -235,7 +235,9 @@ def test_quantile_min_obs_and_colnames(spark):
         _mk(spark, ROWS), by=["k"], duration="1 minute", qs=(0.25, 0.999),
         min_obs=3,
     )
-    assert "roll_q25" in out.columns and "roll_q99.9" in out.columns
+    assert "roll_q25" in out.columns and "roll_q99_9" in out.columns
+    # the dot-free name is plain-referenceable in string form
+    assert out.select("roll_q99_9").columns == ["roll_q99_9"]
     got = {(r["k"], r["ts"]): r for r in out.collect()}
     assert got[("a", _ts(30))]["roll_q25"] is None  # n=2 < 3
     assert got[("a", _ts(60))]["roll_q25"] == pytest.approx(2.0)  # {1,3,5}

@@ -109,9 +109,9 @@ def test_frontier_never_regresses_and_eviction(spark, tmp_path):
     ).to_pydatetime()
     batches = [
         [("a", t(0), 1.0)],
-        [("a", t(120), 2.0)],           # frontier jumps; t0 evicted (60s span)
-        [("a", t(1), 50.0)],            # entirely-late AND out-of-span
-        [("a", t(130), 4.0)],           # must NOT see t0 or the stale t1
+        [("a", t(200), 2.0)],           # frontier jump; t0 < 200-120 evicted
+        [("a", t(90), 50.0)],           # late, older than frontier - span
+        [("a", t(210), 4.0)],           # must NOT see t0 or the stale t90
     ]
     flat = stage_batches(spark, tmp_path, batches, SCHEMA)
     stream = (
@@ -122,14 +122,41 @@ def test_frontier_never_regresses_and_eviction(spark, tmp_path):
         for r in _run(spark, tmp_path, stream, "sroll_guard", duration="1 minute")
     }
     us = lambda s: _EPOCH_US + s * 1_000_000
-    assert rows[us(120)]["roll_n"] == 1  # t0 aged out of [60, 120]
-    # the out-of-span late row scored against an empty frame + itself... its
-    # own frame [t1-60, t1] only holds itself (t0 was already evicted)
-    assert rows[us(1)]["roll_n"] == 1
-    # and it must NOT leak into the live frame [70, 130]
-    r130 = rows[us(130)]
-    assert r130["roll_n"] == 2  # {t120: 2.0, t130: 4.0}
-    assert r130["roll_sum"] == pytest.approx(6.0)
+    assert rows[us(200)]["roll_n"] == 1  # t0 aged out of [140, 200]
+    # the out-of-guarantee late row (t90 < frontier - span = 140): frame
+    # [30, 90] only holds itself — t0 was evicted at the 2x-span horizon
+    # (200 - 120 = 80 > 0), exactly the documented under-fill case
+    assert rows[us(90)]["roll_n"] == 1
+    # and it must NOT leak into the live frame [150, 210]
+    r210 = rows[us(210)]
+    assert r210["roll_n"] == 2  # {t200: 2.0, t210: 4.0}
+    assert r210["roll_sum"] == pytest.approx(6.0)
+
+
+def test_in_span_late_row_sees_true_frame_across_eviction(spark, tmp_path):
+    """The 2x-span retention guarantee: a late row within span of the
+    frontier sees its COMPLETE frame even when that frame reaches below
+    frontier - span (the review scenario that 1x-span retention broke)."""
+    t = lambda s: (
+        pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=s)
+    ).to_pydatetime()
+    batches = [
+        [("a", t(0), 1.0), ("a", t(100), 2.0)],  # frontier 100
+        [("a", t(50), 10.0)],  # late, in-span (>= 40); frame [-10, 50]
+    ]
+    flat = stage_batches(spark, tmp_path, batches, SCHEMA)
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(flat)
+    )
+    rows = {
+        r["ts_us"]: r
+        for r in _run(spark, tmp_path, stream, "sroll_true", duration="1 minute")
+    }
+    us = lambda s: _EPOCH_US + s * 1_000_000
+    r50 = rows[us(50)]
+    assert r50["roll_n"] == 2  # t0 retained by the 2x horizon (>= -20)
+    assert r50["roll_sum"] == pytest.approx(11.0)
+    assert r50["roll_min"] == 1.0 and r50["roll_max"] == 10.0
 
 
 def test_null_y_scored_but_inert_stream(spark, tmp_path):

@@ -79,6 +79,18 @@ def _range_window(
         order = F.unix_micros(F.col(x_col).cast("timestamp"))
         span = duration_to_micros(duration)
     else:
+        if not include_current and t_dtype not in (
+            "tinyint", "smallint", "int", "bigint",
+        ):
+            # the strictly-earlier frame is expressed as an upper bound of
+            # -1 in the order column's own units — exact for integer axes
+            # (and for timestamps, where the unit is one microsecond), but
+            # on a fractional axis it would silently exclude everything in
+            # (t-1, t), not just the current instant
+            raise ValueError(
+                "include_current=False needs an exact integer x axis "
+                f"(timestamp or integral numeric); {x_col!r} is {t_dtype}"
+            )
         order = F.col(x_col).cast("double")
         span = float(duration)
         if span <= 0:
@@ -215,7 +227,9 @@ def rolling_time_quantile(
     row, the ``q``-quantile (linear interpolation, the QUANTILE_CONT /
     numpy 'linear' rule) of its series' observations in the last
     ``duration`` of wall time.  One output column per entry in ``qs``,
-    named ``roll_q{100q:g}`` (``roll_q50``, ``roll_q99``, ``roll_q99.9``).
+    named ``roll_q{100q:g}`` with any dot swapped for an underscore
+    (``roll_q50``, ``roll_q99``, ``roll_q99_9``) — a dotted name would
+    read as a struct-field access in string column references.
 
     ``exact=True`` uses Spark's ``percentile`` aggregate — it buffers the
     frame's values per evaluation, so per-series frame cardinality (points
@@ -247,7 +261,7 @@ def rolling_time_quantile(
             if exact
             else F.expr(f"approx_percentile(`{y_col}`, {q!r}, {accuracy})")
         )
-        name = f"roll_q{q * 100:g}"
+        name = f"roll_q{q * 100:g}".replace(".", "_")
         out = out.withColumn(name, F.when(n >= min_obs, fn.over(w)))
     return out
 

@@ -2364,9 +2364,12 @@ def q_stream_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle computes the same 2-hour RANGE frame directly in SQL: a hash
     match proves stream == batch == independent engine.  Slices cut on
     strict ts predicates, so same-timestamp peers can never be split
-    across batches (peer-inclusive frames stay deterministic).  Rounding
-    rationale identical to q_rolling_time (sums on the 0.01 grid, std is
-    a sqrt — tie-free)."""
+    across batches (peer-inclusive frames stay deterministic).  Rounding:
+    sum at 2dp (on the 0.01 input grid — residue-stripping); std at 4dp,
+    NOT q_rolling_time's 6 — the stream derives variance from cumsum
+    prefix differences while the oracle aggregates the frame directly, so
+    the engines differ by the identity's cancellation slack, exactly the
+    q_rolling_prefix / q_anomaly_prefix situation."""
     import tempfile
 
     from tsdownsample_spark.plans.shipping import ship_package
@@ -2402,7 +2405,7 @@ def q_stream_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("roll_sum", 2).alias("roll_sum_r"),
         "roll_min",
         "roll_max",
-        F.round("roll_std", 6).alias("roll_std_r"),
+        F.round("roll_std", 4).alias("roll_std_r"),
     )
 
 
@@ -2416,7 +2419,7 @@ SELECT event_type, epoch_us(ts) AS ts_us, value,
        CASE WHEN COUNT(value) OVER fr >= 5
             THEN MAX(value) OVER fr END AS roll_max,
        ROUND(CASE WHEN COUNT(value) OVER fr >= 5
-             THEN STDDEV_SAMP(value) OVER fr END, 6) AS roll_std_r
+             THEN STDDEV_SAMP(value) OVER fr END, 4) AS roll_std_r
 FROM events
 WHERE ts IS NOT NULL
 WINDOW fr AS (PARTITION BY event_type ORDER BY ts

@@ -3,12 +3,13 @@ operators/rolling.py:rolling_time_stats — score each point against the
 last ``duration`` of WALL TIME of its own series, across micro-batch
 boundaries, via ``applyInPandasWithState``.
 
-Why stateful: the trailing time frame of a micro-batch's first rows lives
-in the previous batch.  State per key is the non-null observations whose
-timestamps are within ``duration`` of the carried frontier (ts + value
-arrays) plus the frontier itself — O(points-per-duration) per series, a
-property of the data's sampling DENSITY, not its total size, so any
-series cardinality streams through the state store.
+State/pooling/late-data semantics live in streaming/pool.py (shared with
+stream_distinct.py): per-key state is the observations within 2 x
+``duration`` of the carried frontier, so every row scored while within
+``duration`` of the frontier — in-order OR late — sees its COMPLETE
+frame over all arrived observations; only rows older than
+``frontier - duration`` can be under-filled.  The frontier never
+regresses.
 
 Semantics match the batch operator: peer-inclusive ``[t - duration, t]``
 frame (duplicate timestamps land together), ``min_obs`` gating every
@@ -16,15 +17,6 @@ aggregate except ``roll_n``, NULL ``y`` scored but inert.  Sums agree
 with the batch window to float-summation-order tolerance (~1e-9
 relative) — the stream re-sums each frame from prefix arrays while the
 JVM window accumulates in frame order; count/min/max are exact.
-
-Late-data caveat, slightly better than the house norm: a late row still
-WITHIN ``duration`` of the frontier is both scored (against the carried
-buffer — its true frame, if disorder is span-bounded) and inserted into
-the buffer so later frames see it; only rows older than
-``frontier - duration`` score against an under-filled frame.  The
-frontier itself never regresses, and an entirely-late micro-batch can
-only add in-span observations, never evict live ones.  Bound disorder
-with the source watermark.
 """
 
 from __future__ import annotations
@@ -35,15 +27,14 @@ from typing import Any, Iterator, Sequence, Tuple
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import (
-    ArrayType,
-    DoubleType,
-    LongType,
-    StructField,
-    StructType,
-)
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from tsdownsample_spark.operators.rolling import duration_to_micros
+from tsdownsample_spark.streaming.pool import (
+    POOL_STATE_SCHEMA,
+    pooled_frames,
+    prep_stream,
+)
 
 __all__ = ["stream_rolling_time_stats"]
 
@@ -114,13 +105,6 @@ def stream_rolling_time_stats(
             StructField("roll_std", DoubleType()),
         ]
     )
-    state_schema = StructType(
-        [
-            StructField("last_ts", LongType()),
-            StructField("buf_ts", ArrayType(LongType())),
-            StructField("buf_val", ArrayType(DoubleType())),
-        ]
-    )
 
     def fn(
         key: Tuple[Any, ...],
@@ -129,36 +113,9 @@ def stream_rolling_time_stats(
     ) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        if state.exists:
-            last_ts, buf_ts, buf_val = state.get
-            carry_t = np.asarray(buf_ts, dtype=np.int64)
-            carry_v = np.asarray(buf_val, dtype=np.float64)
-        else:
-            last_ts = None
-            carry_t = np.empty(0, dtype=np.int64)
-            carry_v = np.empty(0, dtype=np.float64)
-        chunks = list(pdfs)
-        pdf = (
-            pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-        ).sort_values("ts_us", kind="mergesort", ignore_index=True)
-        ts = pdf["ts_us"].to_numpy(dtype="int64")
-        isnull = pdf["_isnull"].to_numpy(dtype=bool)
-        vals = pdf[y_col].astype("float64").to_numpy()
-        vals = np.where(isnull, 0.0, vals)  # masked lanes must stay finite
-
-        # observation pool = carried in-span buffer + this batch's non-null
-        # rows, time-sorted (carry and batch are each sorted -> one argsort
-        # of the concat; mergesort keeps it near-linear on presorted runs)
-        bt, bv = ts[~isnull], vals[~isnull]
-        ct = np.concatenate([carry_t, bt])
-        cv = np.concatenate([carry_v, bv])
-        order = np.argsort(ct, kind="mergesort")
-        ct, cv = ct[order], cv[order]
-
-        # frame of a row at time t = pool indices with ts in [t-span, t],
-        # peer-inclusive on both ends like the batch RANGE frame
-        lo = np.searchsorted(ct, ts - span, side="left")
-        hi = np.searchsorted(ct, ts, side="right")
+        pdf, ts, vals, isnull, ct, cv, lo, hi = pooled_frames(
+            state, pdfs, y_col, span
+        )
         s1 = np.concatenate([[0.0], np.cumsum(cv)])
         s2 = np.concatenate([[0.0], np.cumsum(cv * cv)])
         n = (hi - lo).astype(np.int64)
@@ -173,20 +130,6 @@ def stream_rolling_time_stats(
             std = np.sqrt(np.maximum(var, 0.0))
         gated = n < min_obs
         std_null = gated | (n < 2)
-
-        # state: frontier never regresses; the buffer keeps every pooled
-        # observation still within span of the (possibly unchanged) frontier
-        new_last = (
-            int(ts[-1]) if last_ts is None else max(int(ts[-1]), int(last_ts))
-        )
-        keep = ct >= new_last - span
-        state.update(
-            (
-                new_last,
-                [int(x) for x in ct[keep]],
-                [float(x) for x in cv[keep]],
-            )
-        )
         out = pd.DataFrame({col: pdf[col] for col in by})
         out["ts_us"] = pdf["ts_us"]
         out[y_col] = pd.arrays.FloatingArray(vals, isnull)
@@ -198,16 +141,10 @@ def stream_rolling_time_stats(
         out["roll_std"] = pd.arrays.FloatingArray(std, std_null)
         yield out
 
-    prepped = stream_df.where(f"{x_col} IS NOT NULL").selectExpr(
-        *by,
-        f"unix_micros(CAST({x_col} AS TIMESTAMP)) AS ts_us",
-        f"CAST({y_col} AS DOUBLE) AS {y_col}",
-        f"({y_col} IS NULL) AS _isnull",
-    )
-    return prepped.groupBy(*by).applyInPandasWithState(
+    return prep_stream(stream_df, x_col, y_col, by).groupBy(*by).applyInPandasWithState(
         fn,
         outputStructType=out_schema,
-        stateStructType=state_schema,
+        stateStructType=POOL_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
