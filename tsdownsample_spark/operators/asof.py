@@ -185,15 +185,26 @@ def asof_snapshot(
     like the deterministic-ordering rules elsewhere in this engine.
 
     Returns one row per group present at-or-before ``at``, with the
-    original columns of ``df``.
+    original columns of ``df``.  ``at=None`` skips the time filter —
+    "the CURRENT state of every series", which is also the read-side
+    merge of streaming/stream_snapshot.py's per-batch argmax partials
+    (argmax is decomposable: the max-ordering row of appended partials
+    is the max-ordering row of everything ingested).
     """
     by = list(by)
     if not by:
         raise ValueError("by must name at least one group column")
     tiebreak = list(tiebreak)
-    t_dtype = dict(df.dtypes)[x_col]
-    at_lit = F.lit(at).cast("timestamp") if t_dtype.startswith("timestamp") else F.lit(at)
-    live = df.where(F.col(x_col) <= at_lit)
+    if at is None:
+        live = df
+    else:
+        t_dtype = dict(df.dtypes)[x_col]
+        at_lit = (
+            F.lit(at).cast("timestamp")
+            if t_dtype.startswith("timestamp")
+            else F.lit(at)
+        )
+        live = df.where(F.col(x_col) <= at_lit)
     payload = F.struct(*[F.col(c) for c in df.columns if c not in by])
     order = F.struct(F.col(x_col), *[F.col(c) for c in tiebreak])
     snap = live.groupBy(*by).agg(F.max_by(payload, order).alias("_snap"))

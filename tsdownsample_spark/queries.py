@@ -2459,6 +2459,54 @@ WHERE rn = 1
 """
 
 
+def q_stream_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING materialized latest-state view
+    (streaming/stream_snapshot.py): events replayed as three time-slice
+    micro-batches, each appending its per-user argmax partial exactly
+    once; the read path collapses partials with the SAME asof_snapshot
+    operator (argmax of argmaxes — decomposable, so the streaming form
+    is exact whatever order data arrived in).  The oracle derives the
+    identical rows via ROW_NUMBER over the raw table: stream == batch ==
+    independent engine, and a different physical strategy on each of the
+    three legs (partial-agg cascade vs one aggregate vs sort-rank)."""
+    import tempfile
+
+    from tsdownsample_spark.plans.shipping import ship_package
+    from tsdownsample_spark.streaming.stream_snapshot import (
+        latest_state_snapshot,
+        stream_latest_state,
+    )
+
+    ship_package(spark)
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    stream = _stage_time_slices(spark, ev, prefix="tsds_stream_snapshot")
+    out_root = tempfile.mkdtemp(prefix="tsds_stream_snapshot_out_")
+    q = stream_latest_state(
+        stream, out_root, x_col="ts", by=["user_id"], tiebreak=["event_id"],
+        checkpoint=tempfile.mkdtemp(prefix="tsds_stream_snapshot_ckpt_"),
+    )
+    if not q.awaitTermination(300):  # pragma: no cover - contention guard
+        q.stop()
+        raise TimeoutError("stream_latest_state did not drain in 300s")
+    return latest_state_snapshot(
+        spark, out_root, x_col="ts", by=["user_id"], tiebreak=["event_id"]
+    )
+
+
+_ORACLE_STREAM_SNAPSHOT = """
+SELECT user_id, event_id, ts, event_type, value
+FROM (
+  SELECT user_id, event_id, ts, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
 def q_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed trending heavy hitters: top-3 most active users per
     (day, event_type) — operators/frequency.py:heavy_hitters composed
@@ -3326,6 +3374,7 @@ def queries() -> dict:
         "q_stream_rolling": q_stream_rolling,
         "q_stream_distinct": q_stream_distinct,
         "q_snapshot": q_snapshot,
+        "q_stream_snapshot": q_stream_snapshot,
         "q_trending": q_trending,
         "q_profile": q_profile,
         "q_funnel": q_funnel,
@@ -3427,6 +3476,7 @@ def oracle_sql() -> dict:
         "q_stream_rolling": _ORACLE_STREAM_ROLLING,
         "q_stream_distinct": _ORACLE_STREAM_DISTINCT,
         "q_snapshot": _ORACLE_SNAPSHOT,
+        "q_stream_snapshot": _ORACLE_STREAM_SNAPSHOT,
         "q_trending": _ORACLE_TRENDING,
         "q_profile": _oracle_profile(),
         "q_funnel": _ORACLE_FUNNEL,
