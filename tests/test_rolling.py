@@ -286,6 +286,31 @@ def test_distinct_exact(spark):
     assert got[_ts(101)] == 1  # {2, NULL} -> 1
 
 
+def test_distinct_approx_within_rsd(spark):
+    """exact=False (HyperLogLog++ over the RANGE frame): constant memory,
+    accuracy within a loose multiple of the requested rsd on a frame of
+    ~100 distinct values."""
+    import random
+
+    random.seed(7)
+    rows = [
+        ("a", _ts(i), float(random.randint(0, 99))) for i in range(200)
+    ]
+    df = _mk(spark, rows)
+    kw = dict(by=["k"], duration="1 hour")  # one frame covers everything
+    exact = {
+        r["ts"]: r["roll_distinct"]
+        for r in rolling_time_distinct(df, exact=True, **kw).collect()
+    }
+    approx = {
+        r["ts"]: r["roll_distinct"]
+        for r in rolling_time_distinct(df, exact=False, rsd=0.05, **kw).collect()
+    }
+    last = _ts(199)
+    assert exact[last] == len({v for _, _, v in rows})
+    assert approx[last] == pytest.approx(exact[last], rel=0.15)
+
+
 def test_distinct_exclude_current_empty_frame(spark):
     rows = [("a", _ts(0), 1.0), ("a", _ts(5), 2.0)]
     got = {
