@@ -132,8 +132,16 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    # Part 1 — headline queries at SF_DIR
+    # Part 1 — headline queries at SF_DIR.  Two streaming contract rows are
+    # skipped HERE (not silently: recorded in the JSON): their walls are
+    # ~35 s of checkpoint/staging machinery, not operator throughput, and
+    # the bench must stay inside the driver's ~590 s budget.  They remain
+    # correctness-gated (CORRECTNESS_rN + /verify + CI oracle pytest), and
+    # q_stream_tiers + q_stream_snapshot stay as the timed streaming rows.
+    skip_streaming = {"q_stream_rolling", "q_stream_distinct"}
     for name, fn in E.queries().items():
+        if name in skip_streaming:
+            continue
         t0 = time.time()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
@@ -291,8 +299,10 @@ def main() -> None:
         ).select(F.sum("twa"))),
         # time-RANGE sliding frame (~60-point frames at the 15 s step):
         # Spark re-aggregates each sliding frame, so this is the
-        # O(n x frame) cost record for the fixed-TIME-horizon family
-        "win_many_rolling_time": (3, mrows, lambda: rolling_time_stats(
+        # O(n x frame) cost record for the fixed-TIME-horizon family —
+        # 1 rep like win_frame_zscore_2m (cost records don't earn the
+        # bench budget the capability rows do)
+        "win_many_rolling_time": (1, mrows, lambda: rolling_time_stats(
             sdf, x_col="ts", y_col="value", by=["series_key"],
             duration="15 minutes",
         ).select(F.sum("roll_n"), F.sum("roll_sum"))),
@@ -352,6 +362,7 @@ def main() -> None:
         "roofline_normalized": normalized,
         "n_out": {s: v[2] for s, v in SHAPES.items()},
         "cores": CPUS,
+        "skipped_streaming_rows": sorted(skip_streaming),
     }
     repo = os.path.dirname(os.path.abspath(__file__))
     full_path = os.path.join(repo, "BENCH", "full_results.json")

@@ -2242,7 +2242,7 @@ FROM f
 
 
 def q_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing 12-hour rolling median + lower quartile per event type
+    """Trailing 4-hour rolling median + lower quartile per event type
     (operators/rolling.py:rolling_time_quantile, exact path): Spark's
     `percentile` window aggregate against DuckDB's QUANTILE_CONT — both
     implement the 'linear' interpolation rule.
@@ -2259,7 +2259,7 @@ def q_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     out = rolling_time_quantile(
         ev, x_col="ts", y_col="value", by=["event_type"],
-        duration="12 hours", qs=(0.25, 0.5), min_obs=5,
+        duration="4 hours", qs=(0.25, 0.5), min_obs=5,
     )
     return out.select(
         "event_id",
@@ -2278,7 +2278,7 @@ SELECT event_id, event_type, ts,
              THEN QUANTILE_CONT(value, 0.5) OVER fr END, 6) AS roll_q50_r
 FROM events
 WINDOW fr AS (PARTITION BY event_type ORDER BY ts
-              RANGE BETWEEN INTERVAL 12 HOURS PRECEDING AND CURRENT ROW)
+              RANGE BETWEEN INTERVAL 4 HOURS PRECEDING AND CURRENT ROW)
 """
 
 
@@ -2593,6 +2593,78 @@ FROM events
 WHERE ts IS NOT NULL
 WINDOW fr AS (PARTITION BY event_type ORDER BY ts
               RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session co-occurrence association rules over the events table
+    (operators/assoc.py): which event types happen in the SAME 30-minute
+    activity session of a user, with support/confidence/lift — the
+    market-basket member of the behavior-analytics family (funnel =
+    ordered, transition = adjacent, this = together).  Counts are exact
+    integers; the three ratios are single IEEE divisions of those
+    integers (bit-identical across engines), rounded 6dp."""
+    from tsdownsample_spark.operators.assoc import session_association_rules
+
+    ev = load(spark, sf_dir, "events")
+    out = session_association_rules(
+        ev, x_col="ts", item_col="event_type", by=["user_id"],
+        gap="30 minutes", min_sessions=2,
+    )
+    return out.select(
+        "item_a",
+        "item_b",
+        "n_a",
+        "n_b",
+        "n_both",
+        "n_sessions",
+        F.round("support", 6).alias("support_r"),
+        F.round("confidence_a_to_b", 6).alias("conf_ab_r"),
+        F.round("confidence_b_to_a", 6).alias("conf_ba_r"),
+        F.round("lift", 6).alias("lift_r"),
+    )
+
+
+_ORACLE_ASSOC_RULES = """
+WITH ev AS (
+    SELECT user_id, epoch_us(ts) AS tu, event_type AS item
+    FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+b AS (
+    SELECT user_id, item, tu,
+           CASE WHEN tu - LAG(tu) OVER (PARTITION BY user_id ORDER BY tu)
+                     > 1800000000 THEN 1 ELSE 0 END AS brk
+    FROM ev
+),
+sids AS (
+    SELECT user_id, item,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY tu) AS sid
+    FROM b
+),
+s AS (SELECT DISTINCT user_id, sid, item FROM sids),
+tot AS (
+    SELECT COUNT(*) AS n_sessions
+    FROM (SELECT DISTINCT user_id, sid FROM s)
+),
+singles AS (SELECT item, COUNT(*) AS n FROM s GROUP BY item),
+pairs AS (
+    SELECT a.item AS item_a, b2.item AS item_b, COUNT(*) AS n_both
+    FROM s a
+    JOIN s b2 ON a.user_id = b2.user_id AND a.sid = b2.sid
+              AND a.item < b2.item
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+)
+SELECT p.item_a, p.item_b, sa.n AS n_a, sb.n AS n_b, p.n_both, t.n_sessions,
+       ROUND(p.n_both / CAST(t.n_sessions AS DOUBLE), 6) AS support_r,
+       ROUND(p.n_both / CAST(sa.n AS DOUBLE), 6) AS conf_ab_r,
+       ROUND(p.n_both / CAST(sb.n AS DOUBLE), 6) AS conf_ba_r,
+       ROUND(p.n_both * t.n_sessions / CAST(sa.n * sb.n AS DOUBLE), 6)
+           AS lift_r
+FROM pairs p
+JOIN singles sa ON sa.item = p.item_a
+JOIN singles sb ON sb.item = p.item_b
+CROSS JOIN tot t
 """
 
 
@@ -3376,6 +3448,7 @@ def queries() -> dict:
         "q_snapshot": q_snapshot,
         "q_stream_snapshot": q_stream_snapshot,
         "q_trending": q_trending,
+        "q_assoc_rules": q_assoc_rules,
         "q_profile": q_profile,
         "q_funnel": q_funnel,
         "q_retention": q_retention,
@@ -3478,6 +3551,7 @@ def oracle_sql() -> dict:
         "q_snapshot": _ORACLE_SNAPSHOT,
         "q_stream_snapshot": _ORACLE_STREAM_SNAPSHOT,
         "q_trending": _ORACLE_TRENDING,
+        "q_assoc_rules": _ORACLE_ASSOC_RULES,
         "q_profile": _oracle_profile(),
         "q_funnel": _ORACLE_FUNNEL,
         "q_retention": _ORACLE_RETENTION,
