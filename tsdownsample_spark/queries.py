@@ -2596,6 +2596,48 @@ WINDOW fr AS (PARTITION BY event_type ORDER BY ts
 """
 
 
+def q_stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING windowed trending heavy hitters
+    (streaming/stream_frequency.py): events replayed as three time-slice
+    micro-batches, each appending its map-side-combined partial
+    (day, event_type, user) counts exactly once; the read path is the
+    BATCH heavy_hitters with the partials' sum as the weight — counts
+    are a commutative monoid, so the streamed top-3 equals q_trending's
+    batch top-3 equals the DuckDB ROW_NUMBER oracle, whatever the
+    arrival order."""
+    import tempfile
+
+    from tsdownsample_spark.plans.shipping import ship_package
+    from tsdownsample_spark.streaming.stream_frequency import (
+        heavy_hitters_snapshot,
+        stream_value_counts,
+    )
+
+    ship_package(spark)
+    ev = load(spark, sf_dir, "events").select(
+        "ts",
+        F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+        "event_type",
+        "user_id",
+    )
+    stream = _stage_time_slices(spark, ev, prefix="tsds_stream_trending")
+    out_root = tempfile.mkdtemp(prefix="tsds_stream_trending_out_")
+    q = stream_value_counts(
+        stream, out_root, col="user_id", by=["day", "event_type"],
+        checkpoint=tempfile.mkdtemp(prefix="tsds_stream_trending_ckpt_"),
+    )
+    if not q.awaitTermination(300):  # pragma: no cover - contention guard
+        q.stop()
+        raise TimeoutError("stream_value_counts did not drain in 300s")
+    out = heavy_hitters_snapshot(
+        spark, out_root, col="user_id", by=["day", "event_type"], k=3
+    )
+    return out.select(
+        "day", "event_type", "user_id",
+        F.col("freq").cast("long").alias("freq"), "rank",
+    )
+
+
 def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session co-occurrence association rules over the events table
     (operators/assoc.py): which event types happen in the SAME 30-minute
@@ -3448,6 +3490,7 @@ def queries() -> dict:
         "q_snapshot": q_snapshot,
         "q_stream_snapshot": q_stream_snapshot,
         "q_trending": q_trending,
+        "q_stream_trending": q_stream_trending,
         "q_assoc_rules": q_assoc_rules,
         "q_profile": q_profile,
         "q_funnel": q_funnel,
@@ -3551,6 +3594,7 @@ def oracle_sql() -> dict:
         "q_snapshot": _ORACLE_SNAPSHOT,
         "q_stream_snapshot": _ORACLE_STREAM_SNAPSHOT,
         "q_trending": _ORACLE_TRENDING,
+        "q_stream_trending": _ORACLE_TRENDING,
         "q_assoc_rules": _ORACLE_ASSOC_RULES,
         "q_profile": _oracle_profile(),
         "q_funnel": _ORACLE_FUNNEL,
