@@ -398,3 +398,62 @@ def test_quantile_distinct_plans_zero_python(spark):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert plan.count("Exchange") <= 2 and "Window" in plan
+
+
+def test_regr_matches_numpy(spark):
+    import numpy as np
+
+    rows = [("a", _ts(i * 10), float(v)) for i, v in
+            enumerate([5, 1, 4, 2, 8, 9, 3, 7, 2, 6])]
+    from tsdownsample_spark.operators.rolling import rolling_time_regr
+
+    got = {
+        r["ts"]: r
+        for r in rolling_time_regr(
+            _mk(spark, rows), by=["k"], duration="30 seconds", min_obs=2
+        ).collect()
+    }
+    for i, (_, t, _) in enumerate(rows):
+        frame = [(j * 10.0, v) for j, (_, tj, v) in enumerate(rows)
+                 if 0 <= (t - tj).total_seconds() <= 30]
+        r = got[t]
+        if len(frame) < 2:
+            assert r["roll_slope"] is None
+            continue
+        xs = np.array([f[0] for f in frame])
+        ys = np.array([f[1] for f in frame])
+        if np.var(xs) == 0:
+            assert r["roll_slope"] is None
+            continue
+        slope, icept = np.polyfit(xs, ys, 1)
+        assert r["roll_slope"] == pytest.approx(slope, rel=1e-9), t
+        assert r["roll_intercept"] == pytest.approx(icept, rel=1e-9), t
+        ss_res = np.sum((ys - (slope * xs + icept)) ** 2)
+        ss_tot = np.sum((ys - ys.mean()) ** 2)
+        if ss_tot > 0:
+            assert r["roll_r2"] == pytest.approx(1 - ss_res / ss_tot, rel=1e-9)
+
+
+def test_regr_min_obs_and_validation(spark):
+    from tsdownsample_spark.operators.rolling import rolling_time_regr
+
+    rows = [("a", _ts(0), 1.0), ("a", _ts(10), 2.0), ("a", _ts(20), 3.0)]
+    got = {
+        r["ts"]: r
+        for r in rolling_time_regr(
+            _mk(spark, rows), by=["k"], duration="1 minute", min_obs=3
+        ).collect()
+    }
+    assert got[_ts(10)]["roll_slope"] is None  # n=2 < 3
+    assert got[_ts(20)]["roll_slope"] == pytest.approx(0.1)  # 1 per 10 s
+    with pytest.raises(ValueError, match="min_obs"):
+        rolling_time_regr(_mk(spark, rows), by=["k"], min_obs=1)
+
+
+def test_regr_plan_zero_python(spark):
+    from tsdownsample_spark.operators.rolling import rolling_time_regr
+
+    out = rolling_time_regr(_mk(spark, ROWS), by=["k"], duration="1 hour")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "_xs" not in out.columns

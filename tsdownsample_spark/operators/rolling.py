@@ -32,6 +32,7 @@ __all__ = [
     "rolling_time_stats",
     "rolling_time_quantile",
     "rolling_time_distinct",
+    "rolling_time_regr",
     "duration_to_micros",
 ]
 
@@ -296,3 +297,60 @@ def rolling_time_distinct(
         else F.approx_count_distinct(y_col, rsd).over(w)
     )
     return df.withColumn("roll_distinct", cnt)
+
+
+def rolling_time_regr(
+    df: DataFrame,
+    x_col: str = "ts",
+    y_col: str = "value",
+    by: Sequence[str] = ("series_key",),
+    duration: str = "5 minutes",
+    min_obs: int = 3,
+    include_current: bool = True,
+) -> DataFrame:
+    """Append ``roll_slope``, ``roll_intercept``, ``roll_r2``: the
+    least-squares trend of each row's series over its trailing
+    ``[t - duration, t]`` frame — "is this series rising over the last N
+    hours, and how linearly" — the windowed form of stats.py's
+    whole-series trend, computed with the same ANSI ``regr_*``
+    aggregates.
+
+    The regressor is elapsed SECONDS since the series' first observation
+    (``roll_slope`` is y-units per second).  Centering on the series
+    start matters numerically: raw epoch microseconds are ~1.7e15, and
+    the regr aggregates' sum-of-squares arithmetic at that magnitude
+    loses ~1e-4 absolute to cancellation — centered, x spans only the
+    series' own length and the aggregates stay exact to float precision.
+    The center is ONE whole-partition min (no ordering subtleties, same
+    shuffle), and because slope/r2 are translation-invariant in x the
+    choice of center does not change the result, only its conditioning.
+
+    Frames with fewer than ``min_obs`` observations are NULL; both
+    engines already return NULL slope for single-point or zero-variance
+    frames (the gate makes that explicit).  One shuffle on the series
+    key, zero Python — the sliding-frame cost profile of
+    ``rolling_time_stats(impl="frame")``.
+    """
+    if min_obs < 2:
+        raise ValueError(f"min_obs must be >= 2, got {min_obs}")
+    by = list(by)
+    w = _range_window(df, x_col, by, duration, include_current)
+    t_dtype = dict(df.dtypes)[x_col]
+    if t_dtype.startswith("timestamp"):
+        tu = F.unix_micros(F.col(x_col).cast("timestamp"))
+    else:
+        tu = F.col(x_col).cast("double")
+    wp = Window.partitionBy(*by)
+    xs = (tu - F.min(tu).over(wp)) / F.lit(1_000_000.0 if t_dtype.startswith("timestamp") else 1.0)
+    base = df.withColumn("_xs", xs)
+    y = F.col(y_col).cast("double")
+    n = F.count(F.when(y.isNotNull() & F.col("_xs").isNotNull(), 1)).over(w)
+    gate = lambda c: F.when(n >= min_obs, c)  # noqa: E731
+    out = (
+        base.withColumn("roll_slope", gate(F.expr(f"regr_slope({y_col}, _xs)").over(w)))
+        .withColumn(
+            "roll_intercept", gate(F.expr(f"regr_intercept({y_col}, _xs)").over(w))
+        )
+        .withColumn("roll_r2", gate(F.expr(f"regr_r2({y_col}, _xs)").over(w)))
+    )
+    return out.drop("_xs")

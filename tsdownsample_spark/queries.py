@@ -2241,6 +2241,59 @@ FROM f
 """
 
 
+def q_rolling_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 6-hour least-squares trend per event type
+    (operators/rolling.py:rolling_time_regr): the windowed form of
+    q_trend — "is this series rising over the last 6 hours" — via the
+    same ANSI regr aggregates, regressor centered on the series' first
+    observation (translation-invariant; centering only conditions the
+    float arithmetic).  Sum-based regression folds, so both sides round
+    to 6, the q_trend convention."""
+    from tsdownsample_spark.operators.rolling import rolling_time_regr
+
+    ev = load(spark, sf_dir, "events")
+    out = rolling_time_regr(
+        ev, x_col="ts", y_col="value", by=["event_type"],
+        duration="6 hours", min_obs=5,
+    )
+    # + 0.0 after the round: IEEE maps -0.0 + 0.0 to +0.0, so a slope or
+    # r2 whose true value is 0 but whose float residue is -1e-18 cannot
+    # print as '-0' on one engine and '0' on the other (observed on r2)
+    return out.select(
+        "event_id",
+        "event_type",
+        "ts",
+        (F.round("roll_slope", 6) + F.lit(0.0)).alias("roll_slope_r"),
+        (F.round("roll_intercept", 6) + F.lit(0.0)).alias("roll_icept_r"),
+        (F.round("roll_r2", 6) + F.lit(0.0)).alias("roll_r2_r"),
+    )
+
+
+_ORACLE_ROLLING_REGR = """
+WITH b AS (
+    SELECT event_id, event_type, ts, value,
+           (epoch_us(ts) - MIN(epoch_us(ts))
+                OVER (PARTITION BY event_type)) / 1000000.0 AS xs
+    FROM events
+)
+SELECT event_id, event_type, ts,
+       ROUND(CASE WHEN COUNT(CASE WHEN value IS NOT NULL THEN 1 END)
+                       OVER fr >= 5
+             THEN REGR_SLOPE(value, xs) OVER fr END, 6) + 0.0
+           AS roll_slope_r,
+       ROUND(CASE WHEN COUNT(CASE WHEN value IS NOT NULL THEN 1 END)
+                       OVER fr >= 5
+             THEN REGR_INTERCEPT(value, xs) OVER fr END, 6) + 0.0
+           AS roll_icept_r,
+       ROUND(CASE WHEN COUNT(CASE WHEN value IS NOT NULL THEN 1 END)
+                       OVER fr >= 5
+             THEN REGR_R2(value, xs) OVER fr END, 6) + 0.0 AS roll_r2_r
+FROM b
+WINDOW fr AS (PARTITION BY event_type ORDER BY ts
+              RANGE BETWEEN INTERVAL 6 HOURS PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 4-hour rolling median + lower quartile per event type
     (operators/rolling.py:rolling_time_quantile, exact path): Spark's
@@ -3483,6 +3536,7 @@ def queries() -> dict:
         "q_burstiness": q_burstiness,
         "q_rolling_time": q_rolling_time,
         "q_rolling_prefix": q_rolling_prefix,
+        "q_rolling_regr": q_rolling_regr,
         "q_rolling_quantile": q_rolling_quantile,
         "q_rolling_distinct": q_rolling_distinct,
         "q_stream_rolling": q_stream_rolling,
@@ -3587,6 +3641,7 @@ def oracle_sql() -> dict:
         "q_burstiness": _ORACLE_BURSTINESS,
         "q_rolling_time": _ORACLE_ROLLING_TIME,
         "q_rolling_prefix": _ORACLE_ROLLING_PREFIX,
+        "q_rolling_regr": _ORACLE_ROLLING_REGR,
         "q_rolling_quantile": _ORACLE_ROLLING_QUANTILE,
         "q_rolling_distinct": _ORACLE_ROLLING_DISTINCT,
         "q_stream_rolling": _ORACLE_STREAM_ROLLING,
