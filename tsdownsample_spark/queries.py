@@ -2242,7 +2242,7 @@ FROM f
 
 
 def q_rolling_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing 6-hour least-squares trend per event type
+    """Trailing 3-hour least-squares trend per event type
     (operators/rolling.py:rolling_time_regr): the windowed form of
     q_trend — "is this series rising over the last 6 hours" — via the
     same ANSI regr aggregates, regressor centered on the series' first
@@ -2254,7 +2254,7 @@ def q_rolling_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     out = rolling_time_regr(
         ev, x_col="ts", y_col="value", by=["event_type"],
-        duration="6 hours", min_obs=5,
+        duration="3 hours", min_obs=5,
     )
     # + 0.0 after the round: IEEE maps -0.0 + 0.0 to +0.0, so a slope or
     # r2 whose true value is 0 but whose float residue is -1e-18 cannot
@@ -2264,7 +2264,11 @@ def q_rolling_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "ts",
         (F.round("roll_slope", 6) + F.lit(0.0)).alias("roll_slope_r"),
-        (F.round("roll_intercept", 6) + F.lit(0.0)).alias("roll_icept_r"),
+        # intercept extrapolates to the series ORIGIN, ~10^6 s outside a
+        # 3 h frame, so cross-engine slope noise (~1e-12) is amplified by
+        # x-bar to ~3e-6 absolute — beyond a 6dp grid.  4dp leaves ~17x
+        # margin; slope and r2 are frame-local and keep 6.
+        (F.round("roll_intercept", 4) + F.lit(0.0)).alias("roll_icept_r"),
         (F.round("roll_r2", 6) + F.lit(0.0)).alias("roll_r2_r"),
     )
 
@@ -2283,14 +2287,14 @@ SELECT event_id, event_type, ts,
            AS roll_slope_r,
        ROUND(CASE WHEN COUNT(CASE WHEN value IS NOT NULL THEN 1 END)
                        OVER fr >= 5
-             THEN REGR_INTERCEPT(value, xs) OVER fr END, 6) + 0.0
+             THEN REGR_INTERCEPT(value, xs) OVER fr END, 4) + 0.0
            AS roll_icept_r,
        ROUND(CASE WHEN COUNT(CASE WHEN value IS NOT NULL THEN 1 END)
                        OVER fr >= 5
              THEN REGR_R2(value, xs) OVER fr END, 6) + 0.0 AS roll_r2_r
 FROM b
 WINDOW fr AS (PARTITION BY event_type ORDER BY ts
-              RANGE BETWEEN INTERVAL 6 HOURS PRECEDING AND CURRENT ROW)
+              RANGE BETWEEN INTERVAL 3 HOURS PRECEDING AND CURRENT ROW)
 """
 
 
