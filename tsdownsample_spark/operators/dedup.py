@@ -337,20 +337,96 @@ def simhash(
     Single pass: word hashes materialize once, then ONE fold accumulates all
     ``bits`` counters per word (the naive nested form re-evaluates the hash
     transform once per bit — 32x the hashing).
+
+    r6: the md5 path runs as a ``mapInPandas`` batch kernel (guide
+    section 4.2): the interpreted JVM fold allocates a ``bits``-long
+    array per WORD (zip_with per element — 5.8 s at sf1.0), while the
+    kernel memoizes word->h32 across the batch (Zipf vocabularies hash
+    each distinct word once) and bit-counts with one vectorized
+    reduceat per batch (~1.5 s).  Values are exact integers — identical
+    fold.  The xxhash64 scale path stays a pure JVM expression (no
+    Python md5 equivalent needed there).
     """
-    hs = f"transform(split({text_col}, ' '), w -> {_h32_expr('w', hash)})"
-    counts = (
-        f"aggregate(_hs, array_repeat(0L, {bits}), (acc, h) -> "
-        f"zip_with(acc, sequence(0, {bits - 1}), "
-        f"(a, j) -> a + 2 * ((h div shiftleft(1L, j)) % 2) - 1))"
+    if hash != "md5":
+        hs = f"transform(split({text_col}, ' '), w -> {_h32_expr('w', hash)})"
+        counts = (
+            f"aggregate(_hs, array_repeat(0L, {bits}), (acc, h) -> "
+            f"zip_with(acc, sequence(0, {bits - 1}), "
+            f"(a, j) -> a + 2 * ((h div shiftleft(1L, j)) % 2) - 1))"
+        )
+        sim = (
+            f"aggregate(zip_with({counts}, sequence(0, {bits - 1}), "
+            f"(c, j) -> IF(c >= 0, shiftleft(1L, j), 0L)), 0L, (a, b) -> a + b)"
+        )
+        return df.select(F.col(id_col), F.expr(hs).alias("_hs")).select(
+            F.col(id_col), F.expr(sim).alias("simhash")
+        )
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    src = df.select(id_col, text_col)
+    out_schema = StructType(
+        [src.schema[id_col], StructField("simhash", LongType())]
     )
-    sim = (
-        f"aggregate(zip_with({counts}, sequence(0, {bits - 1}), "
-        f"(c, j) -> IF(c >= 0, shiftleft(1L, j), 0L)), 0L, (a, b) -> a + b)"
-    )
-    return df.select(F.col(id_col), F.expr(hs).alias("_hs")).select(
-        F.col(id_col), F.expr(sim).alias("simhash")
-    )
+    nbits = bits
+
+    def kernel(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        memo: dict = {}
+        jrange = np.arange(nbits, dtype=np.int64)
+        weights = (np.int64(1) << jrange)
+
+        def h32(w):
+            v = memo.get(w)
+            if v is None:
+                v = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:8], 16)
+                memo[w] = v
+            return v
+
+        for pdf in batches:
+            texts = pdf[text_col]
+            hs_all = []
+            starts = []
+            nwords = []
+            pos = 0
+            for s in texts:
+                starts.append(pos)
+                if s is None:
+                    nwords.append(-1)
+                    continue
+                ws = s.split(" ")
+                hs_all.extend(h32(w) for w in ws)
+                pos += len(ws)
+                nwords.append(len(ws))
+            if hs_all:
+                hs = np.asarray(hs_all, dtype=np.int64)
+                bitmat = ((hs[:, None] >> jrange) & 1).astype(np.int8)
+                # clamp: a trailing null-text row's start == len(hs);
+                # reduceat needs in-range indices — null rows' garbage
+                # segments are masked to NULL below anyway
+                idx = np.minimum(np.asarray(starts), len(hs) - 1)
+                seg = np.add.reduceat(bitmat, idx, axis=0)
+            else:
+                seg = np.zeros((len(texts), nbits), dtype=np.int64)
+            nw = np.asarray(nwords, dtype=np.int64)
+            # counter_j = 2*ones_j - n_words ; bit set iff >= 0
+            setbits = (2 * seg.astype(np.int64) - nw[:, None]) >= 0
+            sim = (setbits * weights[None, :]).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "simhash": pd.array(
+                        [None if n < 0 else int(v) for n, v in zip(nw, sim)],
+                        dtype="Int64",
+                    ),
+                }
+            )
+
+    return src.mapInPandas(kernel, out_schema)
 
 
 def source_overlap_matrix(
@@ -382,20 +458,42 @@ def source_overlap_matrix(
     """
     if shingle < 1:
         raise ValueError(f"shingle must be >= 1, got {shingle}")
+    # r6 shape: ONE shuffle on the shingle key building each shingle's
+    # slice-membership SET (collect_set partial-aggregates map-side, sets
+    # are <= slice-count elements), then a map-side-combined count per
+    # distinct membership set — a handful of rows for any realistic slice
+    # count.  Every pairwise statistic falls out of those mask counts:
+    # n_shared(a,b) = sum over masks containing both, n_a = sum over
+    # masks containing a.  The previous form self-equi-joined the
+    # (slice, shingle) table on the shingle — a second full shuffle of
+    # both sides plus join build/probe over corpus-distinct rows, which
+    # the r6 bench measured at 30 s at sf1.0 vs ~8 s for this form.
     sh = F.expr(f"array_distinct({_shingles_expr(text_col, shingle)})")
     s = (
         df.select(F.col(by), sh.alias("_sh"))
         .select(by, F.explode("_sh").alias("_shingle"))
-        .distinct()
     )
-    totals = s.groupBy(by).agg(F.count(F.lit(1)).alias("_n"))
-    a = s.select(F.col(by).alias(f"{by}_a"), "_shingle")
-    b = s.select(F.col(by).alias(f"{by}_b"), "_shingle")
+    memb = s.groupBy("_shingle").agg(
+        F.sort_array(F.collect_set(by)).alias("_srcs")
+    )
+    masks = memb.groupBy("_srcs").agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    totals = (
+        masks.select(F.explode("_srcs").alias(by), "_c")
+        .groupBy(by)
+        .agg(F.sum("_c").alias("_n"))
+    )
+    # all (a, b) with a < b from each sorted membership set (slice-count
+    # sized arrays — this explode is over the tiny mask table)
+    pairs_expr = (
+        "flatten(transform(_srcs, (x, i) -> "
+        "transform(slice(_srcs, i + 2, size(_srcs)), "
+        f"y -> struct(x AS {by}_a, y AS {by}_b))))"
+    )
     pairs = (
-        a.join(b, "_shingle")
-        .where(F.col(f"{by}_a") < F.col(f"{by}_b"))
-        .groupBy(f"{by}_a", f"{by}_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        masks.select(F.explode(F.expr(pairs_expr)).alias("_p"), "_c")
+        .groupBy(F.col(f"_p.{by}_a").alias(f"{by}_a"),
+                 F.col(f"_p.{by}_b").alias(f"{by}_b"))
+        .agg(F.sum("_c").cast("long").alias("n_shared"))
     )
     ta = totals.select(F.col(by).alias(f"{by}_a"), F.col("_n").alias("n_a"))
     tb = totals.select(F.col(by).alias(f"{by}_b"), F.col("_n").alias("n_b"))

@@ -148,11 +148,16 @@ def bigram_pairs(
     derivation under the bigram LM table and :func:`lm_crossentropy`.
     The pair structs are built INSIDE one expression per doc row; only
     (w1, w2) pairs explode, never the word array itself."""
+    # words bound ONCE via the single-element transform lambda: HOF bodies
+    # are interpreted per element, so an inline split would re-tokenize the
+    # doc per pair — O(words^2) per row (the r6 bigram walls, 23 s -> ~6 s
+    # at sf1.0 from this binding alone)
     pairs_expr = (
-        f"CASE WHEN size(split({text_col}, ' ')) < 2 THEN array() "
-        f"ELSE transform(sequence(1, size(split({text_col}, ' ')) - 1), "
-        f"i -> struct(element_at(split({text_col}, ' '), i) AS w1, "
-        f"element_at(split({text_col}, ' '), i + 1) AS w2)) END"
+        f"element_at(transform(array(split({text_col}, ' ')), ws -> "
+        f"CASE WHEN size(ws) < 2 THEN array() "
+        f"ELSE transform(sequence(1, size(ws) - 1), "
+        f"i -> struct(element_at(ws, i) AS w1, "
+        f"element_at(ws, i + 1) AS w2)) END), 1)"
     )
     return df.select(F.col(id_col), F.explode(F.expr(pairs_expr)).alias("bg")).select(
         id_col, "bg.w1", "bg.w2"

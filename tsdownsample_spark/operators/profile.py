@@ -55,18 +55,26 @@ def profile_columns(
         raise ValueError("no columns to profile")
     aggs = [F.count(F.lit(1)).alias("_n")]
     for i, c in enumerate(names):
-        nd = (
-            F.count_distinct(F.col(c))
-            if exact
-            else F.approx_count_distinct(c, rsd)
-        )
         aggs += [
             F.count(c).alias(f"_nn{i}"),
-            nd.alias(f"_d{i}"),
             F.min(c).cast("string").alias(f"_mn{i}"),
             F.max(c).cast("string").alias(f"_mx{i}"),
         ]
+        if not exact:
+            aggs.append(F.approx_count_distinct(c, rsd).alias(f"_d{i}"))
     one = df.agg(*aggs)
+    if exact:
+        # r6: one single-distinct aggregate per column, cross-joined as
+        # 1-row broadcasts, instead of c distinct aggregates in ONE
+        # aggregate — Catalyst plans the latter via EXPAND, replicating
+        # the whole input c+1 times before partial aggregation (13.3 s at
+        # sf1.0 -> ~3 s).  Each subtree scans ONLY its own column
+        # (parquet column pruning per scan) and plans as a plain
+        # two-level distinct; the independent stages run concurrently
+        # inside the one job.
+        for i, c in enumerate(names):
+            d_i = df.select(c).agg(F.count_distinct(F.col(c)).alias(f"_d{i}"))
+            one = one.join(F.broadcast(d_i))
     # stack the single stats row into one row per column, still in-plan
     parts = ", ".join(
         f"'{c}', _nn{i}, _d{i}, _mn{i}, _mx{i}" for i, c in enumerate(names)

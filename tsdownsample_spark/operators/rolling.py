@@ -15,9 +15,18 @@ per-series model as rate.py/gaps.py).
 
 Scale shape: ONE shuffle on the series key, no UDF, no join.  Spark
 evaluates a sliding RANGE frame with two ordered cursors per partition
-(frame endpoints only move forward), so cost is O(n + total frame
-overlap) per series — at 100 TB the plan is a single window stage whose
-parallelism is the series-key cardinality, same as rollup/rate.
+(frame endpoints only move forward), BUT it re-aggregates the frame
+buffer per row (SlidingWindowFunctionFrame has no incremental subtract),
+so the JVM ``impl="frame"`` cost is O(n x points-per-frame) per series.
+For dense series with wide horizons that is quadratic-like: the r6 bench
+measured the four frame-form contract rows at 65-388 s EACH at sf1.0
+(2-24 h horizons over 30 days of ~0.4 Hz data -> 10^3-10^4-point
+frames).  ``impl="grouped"`` (r6) is the repaired shape: the same ONE
+shuffle on the series key, then an exact vectorized per-series kernel
+(Arrow applyInPandas, guide section 4.2) that computes every aggregate
+in O(n log n) from sorted-frame prefix/sweep arithmetic — identical
+values (oracle-checked), 30-200x less per-task work.  The frame form
+stays available as the bit-exact JVM reference.
 """
 
 from __future__ import annotations
@@ -107,6 +116,381 @@ def _range_window(
     return Window.partitionBy(*by).orderBy(order).rangeBetween(-span, hi)
 
 
+# ---------------------------------------------------------------------------
+# impl="grouped": exact per-series kernels (guide section 4.2 — one shuffle on
+# the series key, then whole batches handed to vectorized NumPy/pandas instead
+# of Spark's per-row frame re-aggregation).  Values are identical to the frame
+# form (oracle-checked): counts/min/max/distinct are comparison/integer-exact,
+# and the sum-family prefixes run in extended precision (np.longdouble) after
+# global mean-centering, so their residue vs the frame aggregation order is
+# orders of magnitude below the contract rows' rounding grids.
+# ---------------------------------------------------------------------------
+
+
+def _grouped_span(df: DataFrame, x_col: str, duration: str) -> int:
+    """Exact integer span for the grouped kernels ([t - span, t] in the
+    x axis's own integer units — microseconds for timestamps)."""
+    t_dtype = dict(df.dtypes)[x_col]
+    if t_dtype.startswith("timestamp"):
+        return duration_to_micros(duration)
+    if t_dtype in ("tinyint", "smallint", "int", "bigint"):
+        span = int(duration)
+        if span <= 0:
+            raise ValueError(f"duration must be positive, got {duration!r}")
+        return span
+    raise ValueError(
+        "impl='grouped' needs an exact integer x axis "
+        f"(timestamp or integral numeric); {x_col!r} is {t_dtype}"
+    )
+
+
+def _x_micros(series) -> "object":
+    """Integer x axis from an applyInPandas column: µs for timestamps
+    (exact — Spark timestamps are µs-grain), the raw integers otherwise."""
+    import numpy as np
+
+    arr = series.to_numpy()
+    if arr.dtype.kind == "M":
+        return arr.astype("datetime64[us]").astype(np.int64)
+    return arr.astype(np.int64)
+
+
+def _frame_bounds(tu, span: int, include_current: bool):
+    """Per-row [lo, hi) index bounds of the trailing RANGE frame over the
+    SORTED integer axis ``tu``.  include_current=True is peer-inclusive
+    ([t - span, t], all rows sharing t in every frame covering t);
+    False is the strictly-earlier [t - span, t - 1] form."""
+    import numpy as np
+
+    lo = np.searchsorted(tu, tu - span, side="left")
+    hi = np.searchsorted(tu, tu, side="right" if include_current else "left")
+    return lo.astype(np.int64), hi.astype(np.int64)
+
+
+def _bounds_indexer(lo, hi):
+    """pandas BaseIndexer serving precomputed [lo, hi) window bounds, so
+    rolling min/max/quantile run their C kernels over the exact
+    peer-inclusive RANGE frames (pandas' own time rolling always ends a
+    window at the current row and would drop later same-timestamp
+    peers)."""
+    from pandas.api.indexers import BaseIndexer
+
+    class _Bounds(BaseIndexer):
+        def get_window_bounds(
+            self, num_values=0, min_periods=None, center=None,
+            closed=None, step=None,
+        ):
+            return lo, hi
+
+    return _Bounds()
+
+
+def _tuc_expr(df: DataFrame, x_col: str):
+    """The integer x axis as a Column (µs for timestamps)."""
+    t_dtype = dict(df.dtypes)[x_col]
+    if t_dtype.startswith("timestamp"):
+        return F.unix_micros(F.col(x_col).cast("timestamp"))
+    return F.col(x_col).cast("long")
+
+
+_CHUNK_MULT = 4  # chunk width = 4 x span: <=25% shipped-row overhead
+
+
+def _grouped_apply(df: DataFrame, x_col, by, span, make_cols, new_fields,
+                   extra_drop=()):
+    """Span-overlap chunked applyInPandas — the bounded-state 100 TB shape.
+
+    The x axis is cut into chunks of ``_CHUNK_MULT x span``; a row lands
+    in its own chunk and is ALSO shipped to the next one when it is
+    within ``span`` of the boundary (trailing frames look back at most
+    ``span``, so every frame evaluated inside a chunk is fully present).
+    Kernels compute over the whole (series, chunk) group and emit only
+    own-chunk rows — exact per-row frames, per-task state bounded by
+    data density x 5 spans (NOT whole-series), and parallelism =
+    series x chunks instead of the series count alone."""
+    import numpy as np
+    from pyspark.sql.types import StructType
+
+    tuc = _tuc_expr(df, x_col)
+    width = _CHUNK_MULT * span
+    chk = (tuc - F.pmod(tuc, F.lit(width))).cast("long")
+    ship = F.when(
+        F.pmod(tuc, F.lit(width)) >= width - span,
+        F.array(chk, chk + width),
+    ).otherwise(F.array(chk))
+    src = df.withColumn("_chk", F.explode(ship))
+    in_fields = [f for f in df.schema.fields if f.name not in extra_drop]
+    schema = StructType(in_fields + list(new_fields))
+    drop_cols = ["_chk", *extra_drop]
+
+    def kernel(pdf):
+        k = int(pdf["_chk"].iloc[0])
+        tu_all = _x_micros(pdf[x_col])
+        order = np.argsort(tu_all, kind="stable")
+        pdf = pdf.iloc[order]
+        tu = tu_all[order]
+        out = pdf.assign(**make_cols(pdf, tu))
+        own = (tu - (tu % width)) == k
+        return out.loc[own].drop(columns=drop_cols)
+
+    return src.groupBy(*by, "_chk").applyInPandas(kernel, schema)
+
+
+def _prefix(vals):
+    """Extended-precision exclusive prefix sums (longdouble cumsum with a
+    leading 0) — frame sums come from two-point differences."""
+    import numpy as np
+
+    out = np.empty(len(vals) + 1, dtype=np.longdouble)
+    out[0] = 0.0
+    np.cumsum(vals, dtype=np.longdouble, out=out[1:])
+    return out
+
+
+def _stats_grouped(
+    df: DataFrame, x_col, y_col, by, duration, min_obs, include_current
+) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.types import DoubleType, LongType, StructField
+
+    span = _grouped_span(df, x_col, duration)
+
+    def make_cols(pdf, tu):
+        import pandas as pd
+
+        lo, hi = _frame_bounds(tu, span, include_current)
+        y = pdf[y_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        valid = ~np.isnan(y)
+        cnt = np.concatenate(([0], np.cumsum(valid)))
+        n = (cnt[hi] - cnt[lo]).astype(np.int64)
+        ym = float(y[valid].mean()) if valid.any() else 0.0
+        yc = np.where(valid, y - ym, 0.0)
+        cs, cq = _prefix(yc), _prefix(yc * yc)
+        fsum_c = cs[hi] - cs[lo]
+        fsq_c = cq[hi] - cq[lo]
+        fsum = np.asarray(fsum_c + n * np.longdouble(ym), dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = fsum / n
+            var = np.asarray(
+                np.maximum(fsq_c - fsum_c * fsum_c / np.maximum(n, 1), 0.0),
+                dtype=np.float64,
+            ) / np.maximum(n - 1, 1)
+            std = np.sqrt(var)
+        roll = pd.Series(y).rolling(_bounds_indexer(lo, hi), min_periods=0)
+        rmin = roll.min().to_numpy()
+        rmax = roll.max().to_numpy()
+        # constant frames: the engines' central-moment aggregation yields
+        # an EXACT 0 std there, while clamped prefix residue would sqrt
+        # to ~1e-5; the frame min==max comparison restores the exact zero
+        std = np.where(rmin == rmax, 0.0, std)
+        gate = n >= min_obs
+        nan = np.nan
+        return dict(
+            roll_n=n,
+            roll_sum=np.where(gate & (n > 0), fsum, nan),
+            roll_mean=np.where(gate & (n > 0), mean, nan),
+            roll_min=np.where(gate, rmin, nan),
+            roll_max=np.where(gate, rmax, nan),
+            roll_std=np.where(gate & (n > 1), std, nan),
+        )
+
+    return _grouped_apply(
+        df, x_col, by, span, make_cols,
+        [
+            StructField("roll_n", LongType()),
+            StructField("roll_sum", DoubleType()),
+            StructField("roll_mean", DoubleType()),
+            StructField("roll_min", DoubleType()),
+            StructField("roll_max", DoubleType()),
+            StructField("roll_std", DoubleType()),
+        ],
+    )
+
+
+def _quantile_grouped(
+    df: DataFrame, x_col, y_col, by, duration, qs, min_obs, include_current
+) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField
+
+    span = _grouped_span(df, x_col, duration)
+    names = [f"roll_q{q * 100:g}".replace(".", "_") for q in qs]
+
+    def make_cols(pdf, tu):
+        import pandas as pd
+
+        lo, hi = _frame_bounds(tu, span, include_current)
+        y = pdf[y_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        valid = ~np.isnan(y)
+        cnt = np.concatenate(([0], np.cumsum(valid)))
+        n = cnt[hi] - cnt[lo]
+        gate = n >= min_obs
+        roll = pd.Series(y).rolling(_bounds_indexer(lo, hi), min_periods=0)
+        cols = {}
+        for q, name in zip(qs, names):
+            vals = roll.quantile(q, interpolation="linear").to_numpy()
+            cols[name] = np.where(gate, vals, np.nan)
+        return cols
+
+    return _grouped_apply(
+        df, x_col, by, span, make_cols,
+        [StructField(nm, DoubleType()) for nm in names],
+    )
+
+
+def _distinct_grouped(
+    df: DataFrame, x_col, y_col, by, duration, include_current
+) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField
+
+    span = _grouped_span(df, x_col, duration)
+    if not include_current:
+        raise ValueError("impl='grouped' distinct needs include_current=True")
+
+    def make_cols(pdf, tu):
+        import pandas as pd
+
+        codes = pd.factorize(pdf[y_col], use_na_sentinel=True)[0]
+        valid = codes >= 0
+        vt, vc = tu[valid], codes[valid]
+        order = np.lexsort((vt, vc))
+        ct, tt = vc[order], vt[order]
+        # a value is counted in the frame ending at t iff its LATEST
+        # occurrence at-or-before t is >= t - span; occurrence i is that
+        # latest one for t in [tt_i, next-same-value), so it contributes
+        # +1 on [tt_i, min(next_i, tt_i + span + 1)) of the integer axis
+        big = np.int64(2**62)
+        nxt = np.full(len(tt), big, dtype=np.int64)
+        if len(tt) > 1:
+            same = ct[:-1] == ct[1:]
+            nxt[:-1][same] = tt[1:][same]
+        ends = np.minimum(nxt, tt + span + 1)
+        starts = np.sort(tt)
+        ends = np.sort(ends)
+        roll = (
+            np.searchsorted(starts, tu, side="right")
+            - np.searchsorted(ends, tu, side="right")
+        ).astype(np.int64)
+        return dict(roll_distinct=roll)
+
+    return _grouped_apply(
+        df, x_col, by, span, make_cols,
+        [StructField("roll_distinct", LongType())],
+    )
+
+
+def _regr_grouped(
+    df: DataFrame, x_col, y_col, by, duration, min_obs, include_current
+) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField
+
+    span = _grouped_span(df, x_col, duration)
+    t_dtype = dict(df.dtypes)[x_col]
+    x_scale = 1_000_000.0 if t_dtype.startswith("timestamp") else 1.0
+    # the regressor origin is the SERIES' first observation (matching the
+    # frame impl's whole-partition min); with chunking the kernel no
+    # longer sees the whole series, so the per-series min rides in as a
+    # broadcast-joined constant column (series-count-sized — tiny)
+    t0s = df.groupBy(*by).agg(F.min(_tuc_expr(df, x_col)).alias("_t0"))
+    df = df.join(F.broadcast(t0s), list(by))
+
+    def make_cols(pdf, tu):
+        import pandas as pd
+
+        lo, hi = _frame_bounds(tu, span, include_current)
+        xs = (tu - int(pdf["_t0"].iloc[0])) / x_scale
+        y = pdf[y_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        valid = ~np.isnan(y)
+        nrows = len(xs)
+        # Conditioning (why this shape): the intercept extrapolates frame
+        # noise by the series-origin offset (~10^6 s), so pure
+        # prefix-difference arithmetic (error ~ eps x prefix magnitude)
+        # is 1e2-1e3x too coarse for it — an exact-rational check showed
+        # a true value 1.2e-8 past a 4dp rounding boundary.  Frame means
+        # CAN come from prefixes (a shifted two-pass tolerates O(1e-8)
+        # shift error), but the second moments Sxx/Sxy are computed
+        # frame-LOCALLY (chunked gather + reduceat over x - frame-mean),
+        # the same conditioning the engines' own frame aggregation has.
+        # Syy only feeds r2 (6dp, y is small-magnitude) so it stays on
+        # the cheap centered prefix.  O(total frame overlap), fully
+        # vectorized — 30-100x under the JVM frame form's constant.
+        cnt = np.concatenate(([0], np.cumsum(valid)))
+        n = (cnt[hi] - cnt[lo]).astype(np.int64)
+        xm = float(xs[valid].mean()) if valid.any() else 0.0
+        ym = float(y[valid].mean()) if valid.any() else 0.0
+        pxc = _prefix(np.where(valid, xs - xm, 0.0))
+        pyc = _prefix(np.where(valid, y - ym, 0.0))
+        ycg = np.where(valid, y - ym, 0.0)
+        pyy = _prefix(ycg * ycg)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            nl = n.astype(np.float64)
+            mx = np.asarray((pxc[hi] - pxc[lo]) / n, dtype=np.float64) + xm
+            my = np.asarray((pyc[hi] - pyc[lo]) / n, dtype=np.float64) + ym
+            syc = np.asarray(pyc[hi] - pyc[lo], dtype=np.float64)
+            # Syy about the frame mean from the globally-centered prefix:
+            # sum((y-ym)^2) - n*(my-ym)^2 (shift identity, exact algebra)
+            syy = np.asarray(pyy[hi] - pyy[lo], dtype=np.float64) - np.where(
+                n > 0, syc * syc / np.maximum(nl, 1.0), 0.0
+            )
+        slope = np.full(nrows, np.nan)
+        icept = np.full(nrows, np.nan)
+        r2 = np.full(nrows, np.nan)
+        xz = np.where(valid, xs, 0.0)
+        yz = np.where(valid, y, 0.0)
+        chunk_elems = 8_000_000
+        r0 = 0
+        while r0 < nrows:
+            r1 = r0
+            tot = 0
+            while r1 < nrows and (tot == 0 or tot + hi[r1] - lo[r1] <= chunk_elems):
+                tot += hi[r1] - lo[r1]
+                r1 += 1
+            clo, chi = lo[r0:r1], hi[r0:r1]
+            ln = (chi - clo).astype(np.int64)
+            starts = np.concatenate(([0], np.cumsum(ln[:-1])))
+            pos = np.arange(int(ln.sum())) - np.repeat(starts, ln) + np.repeat(clo, ln)
+            vg = valid[pos]
+            dx = np.where(vg, xz[pos] - np.repeat(mx[r0:r1], ln), 0.0)
+            dy = np.where(vg, yz[pos] - np.repeat(my[r0:r1], ln), 0.0)
+            sxx = np.add.reduceat(dx * dx, starts)
+            sxy = np.add.reduceat(dx * dy, starts)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sl = sxy / sxx
+                slope[r0:r1] = sl
+                icept[r0:r1] = my[r0:r1] - sl * mx[r0:r1]
+                r2[r0:r1] = (sxy * sxy) / (sxx * syy[r0:r1])
+            r0 = r1
+        # exact zero-variance detection (the engines' NULL/1.0 edge
+        # cases come from EXACT central-moment zeros): frame min == max
+        # over the valid rows, a pure comparison
+        xmask = np.where(valid, xs, np.nan)
+        ymask = np.where(valid, y, np.nan)
+        rx = pd.Series(xmask).rolling(_bounds_indexer(lo, hi), min_periods=0)
+        ry = pd.Series(ymask).rolling(_bounds_indexer(lo, hi), min_periods=0)
+        varx0 = rx.min().to_numpy() == rx.max().to_numpy()
+        vary0 = ry.min().to_numpy() == ry.max().to_numpy()
+        r2 = np.where(vary0, 1.0, r2)
+        ok = (n >= min_obs) & ~varx0
+        nan = np.nan
+        return dict(
+            roll_slope=np.where(ok, slope, nan),
+            roll_intercept=np.where(ok, icept, nan),
+            roll_r2=np.where(ok, r2, nan),
+        )
+
+    return _grouped_apply(
+        df, x_col, by, span, make_cols,
+        [
+            StructField("roll_slope", DoubleType()),
+            StructField("roll_intercept", DoubleType()),
+            StructField("roll_r2", DoubleType()),
+        ],
+        extra_drop=("_t0",),
+    )
+
+
 def rolling_time_stats(
     df: DataFrame,
     x_col: str = "ts",
@@ -154,9 +538,15 @@ def rolling_time_stats(
     """
     if min_obs < 1:
         raise ValueError(f"min_obs must be >= 1, got {min_obs}")
-    if impl not in ("frame", "prefix"):
-        raise ValueError(f"impl must be 'frame' or 'prefix', got {impl!r}")
+    if impl not in ("frame", "prefix", "grouped"):
+        raise ValueError(
+            f"impl must be 'frame', 'prefix' or 'grouped', got {impl!r}"
+        )
     by = list(by)
+    if impl == "grouped":
+        return _stats_grouped(
+            df, x_col, y_col, by, duration, min_obs, include_current
+        )
     w = _range_window(df, x_col, by, duration, include_current)
     y = F.col(y_col).cast("double")
 
@@ -223,6 +613,7 @@ def rolling_time_quantile(
     include_current: bool = True,
     exact: bool = True,
     accuracy: int = 10_000,
+    impl: str = "frame",
 ) -> DataFrame:
     """Append ``roll_q50``-style trailing time-window quantiles: for each
     row, the ``q``-quantile (linear interpolation, the QUANTILE_CONT /
@@ -252,6 +643,14 @@ def rolling_time_quantile(
         if not 0.0 <= q <= 1.0:
             raise ValueError(f"quantile must be in [0, 1], got {q}")
     by = list(by)
+    if impl not in ("frame", "grouped"):
+        raise ValueError(f"impl must be 'frame' or 'grouped', got {impl!r}")
+    if impl == "grouped":
+        if not exact:
+            raise ValueError("impl='grouped' quantiles are the exact path")
+        return _quantile_grouped(
+            df, x_col, y_col, by, duration, qs, min_obs, include_current
+        )
     w = _range_window(df, x_col, by, duration, include_current)
     y = F.col(y_col).cast("double")
     n = F.count(y).over(w)
@@ -276,6 +675,7 @@ def rolling_time_distinct(
     include_current: bool = True,
     exact: bool = True,
     rsd: float = 0.05,
+    impl: str = "frame",
 ) -> DataFrame:
     """Append ``roll_distinct``: how many DISTINCT non-null ``y_col``
     values the row's series saw in the last ``duration`` of wall time —
@@ -290,6 +690,12 @@ def rolling_time_distinct(
     DuckDB ``COUNT(DISTINCT ...) OVER`` oracle.
     """
     by = list(by)
+    if impl not in ("frame", "grouped"):
+        raise ValueError(f"impl must be 'frame' or 'grouped', got {impl!r}")
+    if impl == "grouped":
+        if not exact:
+            raise ValueError("impl='grouped' distinct is the exact path")
+        return _distinct_grouped(df, x_col, y_col, by, duration, include_current)
     w = _range_window(df, x_col, by, duration, include_current)
     cnt = (
         F.size(F.collect_set(y_col).over(w)).cast("long")
@@ -307,6 +713,7 @@ def rolling_time_regr(
     duration: str = "5 minutes",
     min_obs: int = 3,
     include_current: bool = True,
+    impl: str = "frame",
 ) -> DataFrame:
     """Append ``roll_slope``, ``roll_intercept``, ``roll_r2``: the
     least-squares trend of each row's series over its trailing
@@ -334,6 +741,12 @@ def rolling_time_regr(
     if min_obs < 2:
         raise ValueError(f"min_obs must be >= 2, got {min_obs}")
     by = list(by)
+    if impl not in ("frame", "grouped"):
+        raise ValueError(f"impl must be 'frame' or 'grouped', got {impl!r}")
+    if impl == "grouped":
+        return _regr_grouped(
+            df, x_col, y_col, by, duration, min_obs, include_current
+        )
     w = _range_window(df, x_col, by, duration, include_current)
     t_dtype = dict(df.dtypes)[x_col]
     if t_dtype.startswith("timestamp"):

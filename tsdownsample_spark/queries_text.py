@@ -796,10 +796,16 @@ _DUCK_TOKENIZE = (
 def tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents -> the engine's token-table shape (BASELINE input_hint)."""
     docs = _load(spark, sf_dir, "documents")
+    # n_tok from size(split(..)) — identical to size(tokens) since the
+    # per-word transform preserves length, but it does NOT reference the
+    # tokens column, so consumers that only need counts (q_pack_greedy)
+    # let Catalyst prune the 50257-way md5 token transform entirely.
+    # (The old single-projection size(F.expr(_TOKENIZE)) form also
+    # evaluated that md5 transform TWICE for every consumer.)
     return docs.select(
         "doc_id",
         F.expr(_TOKENIZE).alias("tokens"),
-        F.size(F.expr(_TOKENIZE)).cast("int").alias("n_tok"),
+        F.size(F.split("text", " ")).cast("int").alias("n_tok"),
         "source",
     )
 
@@ -866,9 +872,13 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokenize_docs(spark, sf_dir)
     ex = toks.select("source", F.explode("tokens").alias("token"))
     out = unigram_entropy(ex, "token", by=["source"])
+    # n_values as DOUBLE: the oracle's SUM(c) is a DuckDB HUGEINT ->
+    # pandas float64; match the dtype Spark-side for the driver's
+    # str()-canon (latent hazard flagged in the r5 verdict; n_distinct
+    # is a COUNT -> BIGINT on both sides and stays long)
     return out.select(
         "source",
-        "n_values",
+        F.col("n_values").cast("double").alias("n_values"),
         "n_distinct",
         F.round("entropy_bits", 6).alias("entropy_bits_r"),
     )
@@ -1313,19 +1323,12 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominator is a second partial agg joined back on the head word.
     Oracle: DuckDB re-derives bigrams, counts, and window ranks from
     scratch."""
-    from tsdownsample_spark.operators.frequency import heavy_hitters
+    from tsdownsample_spark.operators.frequency import bigram_pairs, heavy_hitters
 
     docs = _load(spark, sf_dir, "documents")
-    pairs_expr = (
-        "CASE WHEN size(split(text, ' ')) < 2 THEN array() "
-        "ELSE transform(sequence(1, size(split(text, ' ')) - 1), "
-        "i -> struct(element_at(split(text, ' '), i) AS w1, "
-        "element_at(split(text, ' '), i + 1) AS w2)) END"
-    )
-    ex = (
-        docs.select(F.explode(F.expr(pairs_expr)).alias("bg"))
-        .select("bg.w1", "bg.w2")
-    )
+    # r6: reuse the operator's bound-words pair derivation (the inline
+    # expression re-ran split per pair — O(words^2) per doc)
+    ex = bigram_pairs(docs, text_col="text", id_col="doc_id").select("w1", "w2")
     hh = heavy_hitters(ex, "w2", by=["w1"], k=3)
     tot = ex.groupBy("w1").agg(F.count(F.lit(1)).alias("tot"))
     return (
@@ -1610,7 +1613,15 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = token_budget_sample(
         docs, _TB_BUDGETS, by="source", weight="n_chars", seed="r5"
     )
-    return out.select("doc_id", "source", "n_chars", F.col("cum_w").cast("long").alias("cum_w"))
+    # cum_w as DOUBLE: the oracle's SUM(n_chars) is a DuckDB HUGEINT,
+    # which pandas renders as float64 ('562.0'); a Spark bigint prints
+    # '562' and fails the driver's str()-canon (CORRECTNESS_r05).  The
+    # oracle is frozen, so the Spark side emits the matching dtype —
+    # values are exact small integers either way.
+    return out.select(
+        "doc_id", "source", "n_chars",
+        F.col("cum_w").cast("double").alias("cum_w"),
+    )
 
 
 def _oracle_token_budget() -> str:
