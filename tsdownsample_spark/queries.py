@@ -1471,7 +1471,11 @@ def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid, exact min==max flatline gate; DuckDB oracle unchanged."""
     from tsdownsample_spark.operators.anomaly import rolling_zscore
 
-    ev = load(spark, sf_dir, "events")
+    # only the four needed columns cross the Arrow boundary (guide 4.1:
+    # applyInPandas is opaque to column pruning)
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
     out = rolling_zscore(
         ev, x_col="ts", y_col="value", by=["event_type"], window=50,
         threshold=3.0, tiebreak=["event_id"], min_obs=10, impl="grouped",
@@ -2153,7 +2157,7 @@ def q_rolling_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB frame oracle is unchanged and still value-matches."""
     from tsdownsample_spark.operators.rolling import rolling_time_stats
 
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
     out = rolling_time_stats(
         ev, x_col="ts", y_col="value", by=["event_type"],
         duration="2 hours", min_obs=5, impl="grouped",
@@ -2200,8 +2204,9 @@ def q_rolling_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     float-summation order: sum rounds at 2dp (on the 0.01 input grid —
     residue-stripping, not tie-gambling) and std at 4dp (the
     q_anomaly_prefix slack for the variance identity's cancellation);
-    count/min/max are exact.  The bit-exact sliding-frame twin stays on
-    q_rolling_time."""
+    count/min/max are exact.  This row deliberately stays on the pure-JVM
+    prefix path (r6: q_rolling_time moved to the grouped Arrow kernel;
+    this is the oracle-checked contract row for the JVM O(n) form)."""
     from tsdownsample_spark.operators.rolling import rolling_time_stats
 
     ev = load(spark, sf_dir, "events")
@@ -2276,7 +2281,7 @@ def q_rolling_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle unchanged."""
     from tsdownsample_spark.operators.rolling import rolling_time_regr
 
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
     out = rolling_time_regr(
         ev, x_col="ts", y_col="value", by=["event_type"],
         duration="3 hours", min_obs=5, impl="grouped",
@@ -2344,7 +2349,7 @@ def q_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     QUANTILE_CONT oracle is unchanged."""
     from tsdownsample_spark.operators.rolling import rolling_time_quantile
 
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
     out = rolling_time_quantile(
         ev, x_col="ts", y_col="value", by=["event_type"],
         duration="4 hours", qs=(0.25, 0.5), min_obs=5, impl="grouped",
@@ -2388,7 +2393,7 @@ def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged."""
     from tsdownsample_spark.operators.rolling import rolling_time_distinct
 
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "ts", "user_id")
     out = rolling_time_distinct(
         ev, x_col="ts", y_col="user_id", by=["event_type"],
         duration="24 hours", impl="grouped",
