@@ -193,7 +193,12 @@ def _tuc_expr(df: DataFrame, x_col: str):
     return F.col(x_col).cast("long")
 
 
-_CHUNK_MULT = 4  # chunk width = 4 x span: <=25% shipped-row overhead
+# chunk width = 16 x span: <=6.7% shipped-row overhead, and per-group
+# batches stay big enough that per-group Python overhead doesn't dominate
+# at SMALL scale (4 x span cost q_rolling_time +1.2 s at sf0.1 — 450
+# ~220-row groups); at sf1.0 this still yields ~110 groups per query,
+# comfortably above the core count
+_CHUNK_MULT = 16
 
 
 def _grouped_apply(df: DataFrame, x_col, by, span, make_cols, new_fields,
