@@ -55,7 +55,7 @@ def _load_wide(spark, sf_dir, name):
 
 
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     return text_features(docs).select(
         "doc_id",
         F.col("n_words").cast("long").alias("n_words"),
@@ -103,7 +103,7 @@ FROM feat
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     return lang_id(docs).select("doc_id", "lang_pred")
 
 
@@ -137,7 +137,7 @@ FROM sc
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     return dedup_exact(docs)
 
 
@@ -431,7 +431,7 @@ FROM w
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsdownsample_spark.operators.text import doc_fingerprint
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     return doc_fingerprint(docs).select("doc_id", "fp_exact", "fp_shingle")
 
 
@@ -795,7 +795,7 @@ _DUCK_TOKENIZE = (
 
 def tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents -> the engine's token-table shape (BASELINE input_hint)."""
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     # n_tok from size(split(..)) — identical to size(tokens) since the
     # per-word transform preserves length, but it does NOT reference the
     # tokens column, so consumers that only need counts (q_pack_greedy)
@@ -950,7 +950,7 @@ def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimals — the unit tests pin the ranking semantics."""
     from tsdownsample_spark.operators.frequency import pmi_collocations
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     out = pmi_collocations(docs, by="source", min_count=5, k=10**6)
     return out.select(
         "source", "w1", "w2", "c_ab", F.round("pmi", 6).alias("pmi_r")
@@ -995,7 +995,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     in Spark and the DuckDB oracle."""
     from tsdownsample_spark.operators.text import scrub_pii
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     sid = F.col("doc_id")
     salted = docs.select(
         "doc_id",
@@ -1084,7 +1084,7 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     agreeing on the same numbers."""
     from tsdownsample_spark.operators.text import repetition_stats
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     return repetition_stats(docs).select(
         "doc_id",
         F.col("n_words").cast("long").alias("n_words"),
@@ -1139,7 +1139,7 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf * (ln((N+1)/(df+1)) + 1) from scratch."""
     from tsdownsample_spark.operators.frequency import tfidf_topk
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     occ = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
@@ -1180,7 +1180,7 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     precedent), alongside doc_freq and the min/max doc id."""
     from tsdownsample_spark.operators.index import inverted_index
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     occ = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     idx = inverted_index(occ, "doc_id", "term", min_df=2, max_df=0.78)
     return idx.select(
@@ -1229,7 +1229,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     i.e. a denominator over ~10^9 shingles; the fixture has ~10^4)."""
     from tsdownsample_spark.operators.dedup import source_overlap_matrix
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     out = source_overlap_matrix(docs, text_col="text", by="source", shingle=3)
     return out.select(
         "source_a",
@@ -1274,7 +1274,7 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines reach the same numbers through different algebra."""
     from tsdownsample_spark.operators.divergence import js_divergence
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     occ = docs.select("source", F.explode(F.split("text", " ")).alias("term"))
     return js_divergence(occ, "source", "term")
 
@@ -1325,7 +1325,7 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch."""
     from tsdownsample_spark.operators.frequency import bigram_pairs, heavy_hitters
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     # r6: reuse the operator's bound-words pair derivation (the inline
     # expression re-ran split per pair — O(words^2) per doc)
     ex = bigram_pairs(docs, text_col="text", id_col="doc_id").select("w1", "w2")
@@ -1732,7 +1732,7 @@ def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     too_short > low_quality gate cascade, one scan + one window."""
     from tsdownsample_spark.operators.curate import curate_documents
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     return curate_documents(docs, min_quality=0.45, langs=("en",), min_words=8)
 
 
