@@ -167,3 +167,30 @@ def test_grouped_chunk_boundary_frames(spark):
     # sanity: the t=45 frame [35, 45] spans the 40s chunk edge and holds
     # every row shipped across it
     assert b[_ts(45)]["roll_n"] == 5
+
+
+def test_regr_grouped_multiblock_matches_frame(spark):
+    """Dense fixture whose frames span many 64-position blocks, so the
+    blocked Chan-merge path (suffix + full blocks + prefix) is exercised,
+    not just the single-block gather fallback."""
+    import random
+
+    from tsdownsample_spark.operators.rolling import rolling_time_regr
+
+    rng = random.Random(7)
+    rows = []
+    for s in range(400):
+        t = s * 2 + rng.randrange(2)  # ~0.5 Hz, duplicate-prone
+        v = None if s % 37 == 0 else round(rng.uniform(0, 50), 2)
+        rows.append(("a", _ts(t), v))
+    df = spark.createDataFrame(
+        rows, "series_key string, ts timestamp, value double"
+    )
+    kw = dict(x_col="ts", y_col="value", by=["series_key"],
+              duration="300 seconds", min_obs=3)  # ~150-row frames
+    a = rolling_time_regr(df, impl="frame", **kw).collect()
+    b = rolling_time_regr(df, impl="grouped", **kw).collect()
+    _cmp(a, b,
+         float_cols=["roll_slope", "roll_intercept", "roll_r2"],
+         exact_cols=[],
+         key=lambda r: (r["series_key"], r["ts"], r["value"]))

@@ -252,6 +252,154 @@ def _prefix(vals):
     return out
 
 
+def _moment_merge(A, B):
+    """Chan parallel merge of bivariate moment states — the same algebra
+    Spark/DuckDB use to combine partial (co)variance aggregates.  Each
+    state is (n, mean_x, mean_y, Mxx, Mxy, Myy) with moments about the
+    state's own means; empty states (n = 0, moments 0) are identities."""
+    import numpy as np
+
+    (na, mxa, mya, xxa, xya, yya) = A
+    (nb, mxb, myb, xxb, xyb, yyb) = B
+    n = na + nb
+    with np.errstate(divide="ignore", invalid="ignore"):
+        both = (na > 0) & (nb > 0)
+        dx = np.where(both, mxb - mxa, 0.0)
+        dy = np.where(both, myb - mya, 0.0)
+        nn = np.maximum(n, 1.0)
+        f = np.where(both, na * nb / nn, 0.0)
+        mx = np.where(nb == 0, mxa, np.where(na == 0, mxb, mxa + dx * nb / nn))
+        my = np.where(nb == 0, mya, np.where(na == 0, myb, mya + dy * nb / nn))
+        xx = xxa + xxb + dx * dx * f
+        xy = xya + xyb + dx * dy * f
+        yy = yya + yyb + dy * dy * f
+    return n, mx, my, xx, xy, yy
+
+
+def _frame_moments_blocked(xs, y, valid, lo, hi, block: int = 64):
+    """Per-row frame count/means/central second moments over [lo, hi)
+    windows via a two-level block decomposition: per-position
+    within-block prefix and suffix moment states (one vectorized Welford
+    sweep per block column), whole-block totals, then per row
+    suffix(lo) (+) full blocks (+) prefix(hi-1), all combined with
+    ``_moment_merge``.  Frames confined to a single block (and every
+    frame at small scale) take a direct gathered two-pass instead.
+    O(rows x frame/block) merges — no O(rows x frame) gather."""
+    import numpy as np
+
+    n_in = len(xs)
+    nbk = max(1, (n_in + block - 1) // block)
+    pad = nbk * block - n_in
+    xv = np.where(valid, xs, 0.0)
+    yv = np.where(valid, y, 0.0)
+    vv = valid.astype(np.float64)
+    if pad:
+        z = np.zeros(pad)
+        xv, yv, vv = (np.concatenate([a, z]) for a in (xv, yv, vv))
+    xv = xv.reshape(nbk, block)
+    yv = yv.reshape(nbk, block)
+    vv = vv.reshape(nbk, block)
+
+    def sweep(cols):
+        pn = np.empty((nbk, block))
+        pmx = np.empty((nbk, block))
+        pmy = np.empty((nbk, block))
+        pxx = np.empty((nbk, block))
+        pxy = np.empty((nbk, block))
+        pyy = np.empty((nbk, block))
+        cn = np.zeros(nbk)
+        cmx = np.zeros(nbk)
+        cmy = np.zeros(nbk)
+        cxx = np.zeros(nbk)
+        cxy = np.zeros(nbk)
+        cyy = np.zeros(nbk)
+        for j in cols:
+            v = vv[:, j]
+            dxo = xv[:, j] - cmx
+            dyo = yv[:, j] - cmy
+            cn = cn + v
+            inv = np.where(cn > 0, 1.0 / np.maximum(cn, 1.0), 0.0)
+            cmx = cmx + v * dxo * inv
+            cmy = cmy + v * dyo * inv
+            cxx = cxx + v * dxo * (xv[:, j] - cmx)
+            cxy = cxy + v * dxo * (yv[:, j] - cmy)
+            cyy = cyy + v * dyo * (yv[:, j] - cmy)
+            pn[:, j], pmx[:, j], pmy[:, j] = cn, cmx, cmy
+            pxx[:, j], pxy[:, j], pyy[:, j] = cxx, cxy, cyy
+        return (
+            pn.reshape(-1), pmx.reshape(-1), pmy.reshape(-1),
+            pxx.reshape(-1), pxy.reshape(-1), pyy.reshape(-1),
+        )
+
+    pfx = sweep(range(block))
+    sfx = sweep(range(block - 1, -1, -1))
+    # whole-block totals = the prefix state at each block's last column
+    last = np.arange(nbk) * block + (block - 1)
+    tot = tuple(a[last] for a in pfx)
+
+    empty = hi <= lo
+    lo_b = np.where(empty, 0, lo // block)
+    hi_b = np.where(empty, 0, np.maximum(hi - 1, 0) // block)
+    same = (~empty) & (lo_b == hi_b)
+    multi = (~empty) & (lo_b != hi_b)
+
+    # multi-block rows: suffix(lo) ⊕ full blocks ⊕ prefix(hi-1)
+    m = np.where(multi, 1.0, 0.0)
+    lo_c = np.minimum(lo, nbk * block - 1)
+    hi_c = np.minimum(np.maximum(hi - 1, 0), nbk * block - 1)
+    state = tuple(a[lo_c] * (m if i in (0, 3, 4, 5) else 1.0)
+                  for i, a in enumerate(sfx))
+    nfull = np.where(multi, hi_b - lo_b - 1, 0)
+    kmax = int(nfull.max()) if len(nfull) else 0
+    for j in range(kmax):
+        bidx = np.minimum(lo_b + 1 + j, nbk - 1)
+        use = (multi & (j < nfull)).astype(np.float64)
+        B = tuple(a[bidx] * (use if i in (0, 3, 4, 5) else 1.0)
+                  for i, a in enumerate(tot))
+        state = _moment_merge(state, B)
+    T = tuple(a[hi_c] * (m if i in (0, 3, 4, 5) else 1.0)
+              for i, a in enumerate(pfx))
+    state = _moment_merge(state, T)
+    n, mx, my, sxx, sxy, syy = state
+
+    # single-block (and small-scale) rows: direct gathered two-pass
+    rows = np.nonzero(same)[0]
+    if rows.size:
+        ln = (hi[rows] - lo[rows]).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(ln[:-1])))
+        pos = np.arange(int(ln.sum())) - np.repeat(starts, ln) + np.repeat(
+            lo[rows], ln
+        )
+        vg = valid[pos]
+        vgf = vg.astype(np.float64)
+        xg = np.where(vg, xs[pos], 0.0)
+        yg = np.where(vg, y[pos], 0.0)
+        cn_ = np.add.reduceat(vgf, starts)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mx_ = np.add.reduceat(xg, starts) / cn_
+            my_ = np.add.reduceat(yg, starts) / cn_
+        mx0 = np.where(cn_ > 0, mx_, 0.0)
+        my0 = np.where(cn_ > 0, my_, 0.0)
+        dx = np.where(vg, xg - np.repeat(mx0, ln), 0.0)
+        dy = np.where(vg, yg - np.repeat(my0, ln), 0.0)
+        n[rows] = cn_
+        mx[rows], my[rows] = mx0, my0
+        sxx[rows] = np.add.reduceat(dx * dx, starts)
+        sxy[rows] = np.add.reduceat(dx * dy, starts)
+        syy[rows] = np.add.reduceat(dy * dy, starts)
+
+    zero = empty | (n <= 0)
+    n = np.where(zero, 0.0, n)
+    return (
+        n.astype(np.int64),
+        np.where(zero, np.nan, mx),
+        np.where(zero, np.nan, my),
+        np.where(zero, 0.0, sxx),
+        np.where(zero, 0.0, sxy),
+        np.where(zero, 0.0, syy),
+    )
+
+
 def _stats_grouped(
     df: DataFrame, x_col, y_col, by, duration, min_obs, include_current
 ) -> DataFrame:
@@ -413,60 +561,21 @@ def _regr_grouped(
         # noise by the series-origin offset (~10^6 s), so pure
         # prefix-difference arithmetic (error ~ eps x prefix magnitude)
         # is 1e2-1e3x too coarse for it — an exact-rational check showed
-        # a true value 1.2e-8 past a 4dp rounding boundary.  Frame means
-        # CAN come from prefixes (a shifted two-pass tolerates O(1e-8)
-        # shift error), but the second moments Sxx/Sxy are computed
-        # frame-LOCALLY (chunked gather + reduceat over x - frame-mean),
-        # the same conditioning the engines' own frame aggregation has.
-        # Syy only feeds r2 (6dp, y is small-magnitude) so it stays on
-        # the cheap centered prefix.  O(total frame overlap), fully
-        # vectorized — 30-100x under the JVM frame form's constant.
-        cnt = np.concatenate(([0], np.cumsum(valid)))
-        n = (cnt[hi] - cnt[lo]).astype(np.int64)
-        xm = float(xs[valid].mean()) if valid.any() else 0.0
-        ym = float(y[valid].mean()) if valid.any() else 0.0
-        pxc = _prefix(np.where(valid, xs - xm, 0.0))
-        pyc = _prefix(np.where(valid, y - ym, 0.0))
-        ycg = np.where(valid, y - ym, 0.0)
-        pyy = _prefix(ycg * ycg)
+        # a true value 1.2e-8 past a 4dp rounding boundary.  All frame
+        # statistics (count, means, second moments about the frame mean)
+        # therefore come from frame-LOCAL arithmetic: a two-level block
+        # decomposition whose segments combine with the standard parallel
+        # (Chan) moment-merge — the same numerics the engines' own
+        # partial aggregation uses.  Cost is O(rows x frame/B) merges
+        # instead of the O(rows x frame) gather a naive two-pass needs
+        # (r6: 6.1 s -> ~2 s at sf1.0 on top of the 56x frame-form win).
+        n, mx, my, sxx, sxy, syy = _frame_moments_blocked(
+            xs, y, valid, lo, hi
+        )
         with np.errstate(divide="ignore", invalid="ignore"):
-            nl = n.astype(np.float64)
-            mx = np.asarray((pxc[hi] - pxc[lo]) / n, dtype=np.float64) + xm
-            my = np.asarray((pyc[hi] - pyc[lo]) / n, dtype=np.float64) + ym
-            syc = np.asarray(pyc[hi] - pyc[lo], dtype=np.float64)
-            # Syy about the frame mean from the globally-centered prefix:
-            # sum((y-ym)^2) - n*(my-ym)^2 (shift identity, exact algebra)
-            syy = np.asarray(pyy[hi] - pyy[lo], dtype=np.float64) - np.where(
-                n > 0, syc * syc / np.maximum(nl, 1.0), 0.0
-            )
-        slope = np.full(nrows, np.nan)
-        icept = np.full(nrows, np.nan)
-        r2 = np.full(nrows, np.nan)
-        xz = np.where(valid, xs, 0.0)
-        yz = np.where(valid, y, 0.0)
-        chunk_elems = 8_000_000
-        r0 = 0
-        while r0 < nrows:
-            r1 = r0
-            tot = 0
-            while r1 < nrows and (tot == 0 or tot + hi[r1] - lo[r1] <= chunk_elems):
-                tot += hi[r1] - lo[r1]
-                r1 += 1
-            clo, chi = lo[r0:r1], hi[r0:r1]
-            ln = (chi - clo).astype(np.int64)
-            starts = np.concatenate(([0], np.cumsum(ln[:-1])))
-            pos = np.arange(int(ln.sum())) - np.repeat(starts, ln) + np.repeat(clo, ln)
-            vg = valid[pos]
-            dx = np.where(vg, xz[pos] - np.repeat(mx[r0:r1], ln), 0.0)
-            dy = np.where(vg, yz[pos] - np.repeat(my[r0:r1], ln), 0.0)
-            sxx = np.add.reduceat(dx * dx, starts)
-            sxy = np.add.reduceat(dx * dy, starts)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                sl = sxy / sxx
-                slope[r0:r1] = sl
-                icept[r0:r1] = my[r0:r1] - sl * mx[r0:r1]
-                r2[r0:r1] = (sxy * sxy) / (sxx * syy[r0:r1])
-            r0 = r1
+            slope = sxy / sxx
+            icept = my - slope * mx
+            r2 = (sxy * sxy) / (sxx * syy)
         # exact zero-variance detection (the engines' NULL/1.0 edge
         # cases come from EXACT central-moment zeros): frame min == max
         # over the valid rows, a pure comparison
