@@ -91,6 +91,24 @@ def test_stats_grouped_constant_frame_exact_zero_std(spark):
     assert [r["roll_std"] for r in out][1:] == [0.0, 0.0]
 
 
+def test_stats_grouped_matches_prefix(spark):
+    # q_rolling_prefix moved to impl="grouped" in r6: pin grouped ==
+    # prefix on the adversarial fixture (peers, nulls, constant frames,
+    # chunk boundaries).  count/min/max exact; sum family to the same
+    # 1e-9 slack every contract row's rounding grid absorbs.
+    from tsdownsample_spark.operators.rolling import rolling_time_stats
+
+    df = _mk(spark)
+    kw = dict(x_col="ts", y_col="value", by=["series_key"],
+              duration="30 seconds", min_obs=2)
+    a = rolling_time_stats(df, impl="prefix", **kw).collect()
+    b = rolling_time_stats(df, impl="grouped", **kw).collect()
+    _cmp(a, b,
+         float_cols=["roll_sum", "roll_mean", "roll_std"],
+         exact_cols=["roll_n", "roll_min", "roll_max"],
+         key=lambda r: (r["series_key"], r["ts"], r["value"]))
+
+
 def test_quantile_grouped_matches_frame(spark):
     from tsdownsample_spark.operators.rolling import rolling_time_quantile
 

@@ -2192,27 +2192,34 @@ WINDOW fr AS (PARTITION BY event_type ORDER BY ts
 
 
 def q_rolling_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The O(n) ``impl="prefix"`` time-RANGE rolling stats — the 100 TB
-    path (operators/rolling.py: growing-frame prefix sums differenced at
-    the frame start, constant cost per row regardless of frame density)
-    — oracle-checked end-to-end like q_anomaly_prefix, not only
-    pytest-checked.
-
-    The oracle replays the SAME prefix arithmetic in DuckDB (two
-    UNBOUNDED-PRECEDING RANGE windows on the integer-microsecond axis,
-    old side ending span+1 us before now), so the engines differ only by
-    float-summation order: sum rounds at 2dp (on the 0.01 input grid —
+    """Time-RANGE rolling stats against the PREFIX-arithmetic oracle
+    (two UNBOUNDED-PRECEDING RANGE windows on the integer-microsecond
+    axis, old side ending span+1 us before now, variance identity on the
+    differences): sum rounds at 2dp (on the 0.01 input grid —
     residue-stripping, not tie-gambling) and std at 4dp (the
-    q_anomaly_prefix slack for the variance identity's cancellation);
-    count/min/max are exact.  This row deliberately stays on the pure-JVM
-    prefix path (r6: q_rolling_time moved to the grouped Arrow kernel;
-    this is the oracle-checked contract row for the JVM O(n) form)."""
+    q_anomaly_prefix slack for the identity's cancellation);
+    count/min/max are exact.
+
+    r6 (late): ``impl="grouped"`` here too.  The prefix form's sum
+    family is O(n) in the JVM, but its roll_min/roll_max still ride the
+    sliding RANGE frame Spark re-aggregates per row — O(n x frame), and
+    at sf1.0 (2 h frames, ~6k points) that min/max pair was ~13 of the
+    row's 14.6 s.  The grouped kernel computes the same aggregates
+    exactly (min/max comparison-exact; sums on-grid at 2dp; std within
+    ~1e-9 of the oracle identity, verified MATCH with margin analysis on
+    the driver fixtures at sf0.001/0.01/0.1 —
+    BENCH/r06/probe_rolling_prefix_grouped.py).  The pure-JVM prefix
+    impl remains exercised by q_anomaly_prefix (oracle-checked), the
+    frozen win_many_rolling_prefix bench probe, and the
+    grouped==prefix parity pytest (tests/test_rolling_grouped.py)."""
     from tsdownsample_spark.operators.rolling import rolling_time_stats
 
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
     out = rolling_time_stats(
         ev, x_col="ts", y_col="value", by=["event_type"],
-        duration="2 hours", min_obs=5, impl="prefix",
+        duration="2 hours", min_obs=5, impl="grouped",
     )
     return out.select(
         "event_id",
