@@ -27,14 +27,18 @@ same first-occurrence ties, same LTTB float op order — tested in
 tests/test_sql_selectors.py).
 
 Plan shape (audited via .explain): the identity/pass-through branches are
-plain UNIONs, so the source is scanned 2x (3x for with-x) — Catalyst does
-not share subtrees across union branches.  That is a deliberate trade:
-scans are the cheap part (columnar, pruned) and the expensive parts stay
-single: ONE rank exchange and ONE partially-aggregated groupBy — and BOTH
-disappear when the source table is bucketed+sorted by the series key
-(verified: tests/test_plans.py::test_long_selector_shuffle_free_on_bucketed_source
-shows a zero-Exchange plan with identical results).  Persisting the ranked frame would trade the rescan for
-materialization — worth it only when the source is remote/expensive.
+plain UNIONs, and Catalyst does not share subtrees across union branches —
+left alone, each branch re-runs the scan + rank window (r6 audit:
+q_minmaxlttb_x_long = 6 parquet scans / 13 sorts).  Since r6 the branching
+selectors therefore ``_materialize`` (eager localCheckpoint) their ranked
+base once per invocation and every branch reads the materialized blocks;
+``everynth_long`` (single-consumer projection) deliberately does not.
+The expensive parts stay single either way — ONE rank exchange and ONE
+partially-aggregated groupBy — and both disappear when the source table is
+bucketed+sorted by the series key (the checkpoint preserves
+outputPartitioning/ordering; verified:
+tests/test_plans.py::test_long_selector_shuffle_free_on_bucketed_source
+shows a zero-Exchange plan with identical results).
 
 NaN policy: minmax_long/m4_long accept nan="return" (exact NaNMinMax/NaNM4
 semantics via a first-NaN-per-bin aggregate); the default expects NaN-free
@@ -86,6 +90,35 @@ def _x_numeric(df: DataFrame, x_col: str):
     return F.col(x_col).cast("double"), x_dtype in (
         "bigint", "int", "smallint", "tinyint"
     )
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Eagerly materialize a branch-shared base WITHIN one invocation.
+
+    The long-form selectors fork their ranked base into 2-5 branches
+    (big/plain/prefetch/endpoints/identity-small), and Catalyst does not
+    de-duplicate common subtrees across a union: each branch re-runs the
+    scan + rank window (r6 plan audit: q_minmaxlttb_x_long = 6 parquet
+    scans, 13 sorts).  An eager ``localCheckpoint`` runs the base ONCE
+    and lets every branch read the materialized blocks; ``LogicalRDD``
+    preserves the physical outputPartitioning/outputOrdering, so on a
+    bucketed source the downstream plan stays exchange-free
+    (tests/test_plans.py::test_long_selector_shuffle_free_on_bucketed_source).
+
+    This is per-invocation work — every call recomputes from its input
+    (nothing persists across bench/oracle runs).  Blocks are freed by the
+    ContextCleaner when the DataFrame is released.
+
+    persist + eager count rather than ``localCheckpoint``: under AQE the
+    checkpoint's LogicalRDD reports UnknownPartitioning, which would
+    re-introduce an exchange on bucketed sources; ``InMemoryTableScan``
+    preserves the cached plan's outputPartitioning/ordering, so the
+    bucketed zero-Exchange plan survives.  The eager count populates the
+    cache in ONE job so concurrent downstream branch stages never race to
+    compute it."""
+    df = df.persist()
+    df.count()
+    return df
 
 
 def _ranked(
@@ -226,7 +259,7 @@ def minmax_long(
     if n_out % 2:
         raise ValueError("n_out must be a multiple of 2")
     by = list(by)
-    pts = _ranked(df, by, order, y_col)
+    pts = _materialize(_ranked(df, by, order, y_col))
     big = pts.filter(F.col("n") > n_out)
     lo, hi = _minmax_slots()
     sel = _emit(_binned_minmax(big, by, n_out // 2, nan=nan), by, [lo, hi], 2)
@@ -247,7 +280,7 @@ def m4_long(
     if n_out % 4:
         raise ValueError("n_out must be a multiple of 4")
     by = list(by)
-    pts = _ranked(df, by, order, y_col)
+    pts = _materialize(_ranked(df, by, order, y_col))
     big = pts.filter(F.col("n") > n_out)
     lo, hi = _minmax_slots()
     first = F.struct(F.col("fst.rn").alias("rn"), F.col("fst.v").alias("v"))
@@ -419,6 +452,7 @@ def _downsample_x_long(
         F.max(x_num).over(wp).alias("xn"),
         F.col(y_col).cast("double").alias("v"),
     )
+    pts = _materialize(pts)
     small_series = pts.filter(F.col("n") <= n_out).select(
         *by, F.col("rn").cast("long").alias("sel_idx"), F.col(x_col), F.col("v").alias(y_col)
     )
@@ -650,7 +684,7 @@ def minmaxlttb_long(
     if ratio <= 1:
         raise ValueError("minmax_ratio must be > 1")
     by = list(by)
-    pts = _ranked(df, by, order, y_col)
+    pts = _materialize(_ranked(df, by, order, y_col))
 
     # branch split on the kernel's integer-division rule
     big = pts.filter(F.col("n") > n_out)
@@ -745,6 +779,7 @@ def minmaxlttb_x_long(
         F.lag(x_num).over(wo).alias("prev_xv"),
         F.col(y_col).cast("double").alias("v"),
     )
+    pts = _materialize(pts)
     small_series = pts.filter(F.col("n") <= n_out).select(
         *by, F.col("rn").cast("long").alias("sel_idx"),
         F.col(x_col), F.col("v").alias(y_col),
