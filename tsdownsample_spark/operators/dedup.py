@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tsdownsample_spark.operators.text import _shingles_expr
+from tsdownsample_spark.plans.materialize import materialize_shared
 
 # MinHash hash family: ONE md5 per shingle (the only hash both engines
 # share), then k universal-hash transforms h_j(b) = (A[j]*b + B[j]) mod P
@@ -149,10 +150,16 @@ def lsh_candidate_pairs(
     hash: str = "md5",
 ) -> DataFrame:
     """Banded LSH: docs sharing any band hash become a candidate pair
-    (id_a < id_b, distinct)."""
-    banded = banded_signatures(
+    (id_a < id_b, distinct).
+
+    The banded-signature base feeds BOTH sides of the self-join, and
+    Catalyst does not share the subtree — left alone the minhash
+    signatures (the expensive per-doc hashing) are derived twice.  It is
+    therefore materialized once per invocation (plans/materialize.py);
+    the join then probes the cached blocks from both aliases."""
+    banded = materialize_shared(banded_signatures(
         sig_df, id_col=id_col, bands=bands, rows=rows, hash=hash
-    )
+    ))
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -206,6 +213,11 @@ def jaccard_pairs(
     0 of 3957 candidates dropped).  Turn it on only when ``pairs`` comes
     from a source with no similarity bias (e.g. blocking on metadata keys),
     where the drop rate — not the size-pass cost — dominates.
+
+    r6: ``pairs`` is consumed four times here (the id-restriction union
+    twice, then both verify joins) and the shingle-set base twice — both
+    are materialized once per invocation (plans/materialize.py) so the
+    candidate derivation and the per-doc shingling run once, not 4x/2x.
     """
     sh = F.expr(f"array_distinct({_shingles_expr(text_col, shingle)})")
     if hash == "xxhash64":
@@ -213,12 +225,15 @@ def jaccard_pairs(
             f"array_distinct(transform({_shingles_expr(text_col, shingle)}, "
             f"s -> xxhash64(s)))"
         )
+    pairs = materialize_shared(pairs)
     ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .union(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    docs = df.select(F.col(id_col), sh.alias("sh")).join(ids, id_col, "left_semi")
+    docs = materialize_shared(
+        df.select(F.col(id_col), sh.alias("sh")).join(ids, id_col, "left_semi")
+    )
     if length_prefilter and threshold > 0:
         sizes = docs.select(F.col(id_col), F.size("sh").alias("n"))
         pairs = (
@@ -290,6 +305,9 @@ def containment_pairs(
     cost is bounded by the candidate neighborhood, never all-pairs.
     ``threshold`` filters on the max-containment score.
     Output: (id_a, id_b, c_a, c_b, containment).
+
+    r6: ``pairs`` (4 consumers) and the shingle-set base (2) are
+    materialized once per invocation, exactly like :func:`jaccard_pairs`.
     """
     sh = F.expr(f"array_distinct({_shingles_expr(text_col, shingle)})")
     if hash == "xxhash64":
@@ -297,12 +315,15 @@ def containment_pairs(
             f"array_distinct(transform({_shingles_expr(text_col, shingle)}, "
             f"s -> xxhash64(s)))"
         )
+    pairs = materialize_shared(pairs)
     ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .union(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    docs = df.select(F.col(id_col), sh.alias("sh")).join(ids, id_col, "left_semi")
+    docs = materialize_shared(
+        df.select(F.col(id_col), sh.alias("sh")).join(ids, id_col, "left_semi")
+    )
     out = (
         pairs.join(
             docs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),

@@ -109,16 +109,11 @@ def _materialize(df: DataFrame) -> DataFrame:
     (nothing persists across bench/oracle runs).  Blocks are freed by the
     ContextCleaner when the DataFrame is released.
 
-    persist + eager count rather than ``localCheckpoint``: under AQE the
-    checkpoint's LogicalRDD reports UnknownPartitioning, which would
-    re-introduce an exchange on bucketed sources; ``InMemoryTableScan``
-    preserves the cached plan's outputPartitioning/ordering, so the
-    bucketed zero-Exchange plan survives.  The eager count populates the
-    cache in ONE job so concurrent downstream branch stages never race to
-    compute it."""
-    df = df.persist()
-    df.count()
-    return df
+    Mechanics, constraints and the persist-not-localCheckpoint rationale:
+    see plans/materialize.py (shared with the dedup pair operators)."""
+    from tsdownsample_spark.plans.materialize import materialize_shared
+
+    return materialize_shared(df)
 
 
 def _ranked(
