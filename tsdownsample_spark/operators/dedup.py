@@ -497,7 +497,12 @@ def source_overlap_matrix(
     memb = s.groupBy("_shingle").agg(
         F.sort_array(F.collect_set(by)).alias("_srcs")
     )
-    masks = memb.groupBy("_srcs").agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    # masks is a handful of rows but derives from the full corpus shingle
+    # explode + membership shuffle; totals AND pairs both consume it, so
+    # materialize once per invocation or the corpus pass runs twice
+    masks = materialize_shared(
+        memb.groupBy("_srcs").agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
     totals = (
         masks.select(F.explode("_srcs").alias(by), "_c")
         .groupBy(by)

@@ -32,6 +32,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from tsdownsample_spark.plans.materialize import materialize_shared
+
 __all__ = [
     "heavy_hitters",
     "tfidf_topk",
@@ -110,9 +112,15 @@ def tfidf_topk(
         if c in (doc_col, term_col):
             raise ValueError(f"reserved output column name {c!r} in input")
     occ = df.where(F.col(term_col).isNotNull()).select(doc_col, term_col)
-    tf = occ.groupBy(doc_col, term_col).agg(F.count(F.lit(1)).alias("tf"))
+    # tf (distinct doc-term cardinality) feeds dfreq, n_docs and the score
+    # join; materialized once so the occurrence explode runs a single time.
+    # n_docs over tf equals n_docs over occ by construction (a doc appears
+    # in tf iff it has >= 1 non-null term occurrence).
+    tf = materialize_shared(
+        occ.groupBy(doc_col, term_col).agg(F.count(F.lit(1)).alias("tf"))
+    )
     dfreq = tf.groupBy(term_col).agg(F.count(F.lit(1)).alias("doc_freq"))
-    ndocs = occ.agg(F.countDistinct(doc_col).alias("n_docs"))
+    ndocs = tf.agg(F.countDistinct(doc_col).alias("n_docs"))
     scored = (
         tf.join(dfreq, term_col)
         .join(F.broadcast(ndocs))
@@ -383,7 +391,13 @@ def pmi_collocations(
     )
     if not by:
         pairs = pairs.select("w1", "w2")
-    cab = pairs.groupBy(*grp, "w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    # cab feeds FOUR consumers (totals, left, right, the scored base) and
+    # Catalyst re-runs the doc scan + bigram explode + count per consumer;
+    # materialize it once per invocation (plans/materialize.py) — it is
+    # distinct-bigram cardinality, never corpus size
+    cab = materialize_shared(
+        pairs.groupBy(*grp, "w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    )
     totals = cab.groupBy(*grp).agg(F.sum("c_ab").alias("_n"))
     left = cab.groupBy(*grp, "w1").agg(F.sum("c_ab").alias("_ca"))
     right = cab.groupBy(*grp, "w2").agg(F.sum("c_ab").alias("_cb"))

@@ -58,7 +58,12 @@ def inverted_index(
     for name, v in (("min_df", min_df), ("max_df", max_df)):
         if v is not None and isinstance(v, float) and not 0.0 < v <= 1.0:
             raise ValueError(f"fractional {name} must be in (0, 1], got {v}")
-    pairs = (
+    # distinct (doc, term) feeds the frequency gate, the optional n_docs
+    # scalar and the postings join; materialize once per invocation so the
+    # occurrence stream collapses a single time (plans/materialize.py)
+    from tsdownsample_spark.plans.materialize import materialize_shared
+
+    pairs = materialize_shared(
         df.where(F.col(term_col).isNotNull())
         .select(doc_col, term_col)
         .distinct()
