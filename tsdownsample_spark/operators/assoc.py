@@ -79,7 +79,13 @@ def session_association_rules(
     sessions = ev.select(
         *by, "_item", F.sum(brk).over(w).alias("_sid")
     )
-    s = sessions.select(*by, "_sid", "_item").distinct()
+    # the distinct session-item table feeds FOUR consumers (session total,
+    # singles, and both sides of the pair self-join); materialize it once
+    # per invocation so the scan + sessionization window + distinct run a
+    # single time (plans/materialize.py)
+    from tsdownsample_spark.plans.materialize import materialize_shared
+
+    s = materialize_shared(sessions.select(*by, "_sid", "_item").distinct())
     n_total = (
         s.select(*by, "_sid").distinct().agg(
             F.count(F.lit(1)).cast("long").alias("n_sessions")

@@ -31,10 +31,34 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["materialize_shared"]
+__all__ = ["materialize_shared", "release_materialized"]
+
+# Cached plans registered by persist() stay in Spark's CacheManager until
+# an explicit unpersist — and the CacheManager SUBSTITUTES a cached plan
+# into any later query containing an identical subtree.  Left alone, a
+# bench query could therefore silently reuse the previous query's cached
+# work (q_containment derives the same candidate pairs as q_jaccard_pairs)
+# — misrepresenting per-query timings — and cached blocks would accumulate
+# all session.  Every materialized frame is registered here, and the query
+# loaders (queries.load / queries_text._load / _load_wide) call
+# release_materialized() at the start of each new query so each
+# invocation computes its own work.  Unpersist is always value-safe:
+# a released frame that is still referenced just recomputes.
+_LIVE: list[DataFrame] = []
 
 
 def materialize_shared(df: DataFrame) -> DataFrame:
     df = df.persist()
     df.count()
+    _LIVE.append(df)
     return df
+
+
+def release_materialized() -> None:
+    """Unpersist every frame materialized since the last release."""
+    while _LIVE:
+        df = _LIVE.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped / executor gone — nothing to free

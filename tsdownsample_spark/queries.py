@@ -20,6 +20,9 @@ N_OUT = 100
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from tsdownsample_spark.plans.materialize import release_materialized
+
+    release_materialized()  # drop the previous query's shared-base caches
     ship_package(spark)  # make the engine importable on Python workers
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
