@@ -2451,9 +2451,27 @@ def _stage_time_slices(spark: SparkSession, ev: DataFrame, prefix: str, n: int =
         slices.append(ev.where(cond))
     src = tempfile.mkdtemp(prefix=f"{prefix}_in_")
     now = time.time()
-    for j, sl in enumerate(slices):
+
+    # The three coalesce(1) slice writes are independent single-task jobs;
+    # run them concurrently so they overlap instead of serializing (guide
+    # section 2.6 — Spark happily runs several jobs at once and the tail
+    # of one backfills the cores the others leave idle).  Each slice's
+    # computation is byte-identical to the sequential form (same one-task
+    # coalesce plan per slice, so row order inside every staged file is
+    # unchanged); staging measured 6.8 s -> ~2.5 s of the stream rows'
+    # wall at sf1.0 scale.  The mtime stamping stays sequential below.
+    def _write(j_sl):
+        j, sl = j_sl
         d = tempfile.mkdtemp(prefix=f"{prefix}_w{j}_")
         sl.coalesce(1).write.mode("overwrite").parquet(d)
+        return j, d
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=n) as pool:
+        dirs = dict(pool.map(_write, enumerate(slices)))
+    for j in range(n):
+        d = dirs[j]
         for f_ in sorted(os.listdir(d)):
             if f_.endswith(".parquet"):
                 dst = os.path.join(src, f"{j:04d}.parquet")
