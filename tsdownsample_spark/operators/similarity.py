@@ -33,11 +33,6 @@ def _norm_expr(a: str) -> str:
     return f"sqrt({_dot_expr(a, a)})"
 
 
-def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
-    expr = f"{_dot_expr(a, b)} / ({_norm_expr(a)} * {_norm_expr(b)})"
-    return df.withColumn(out, F.expr(expr))
-
-
 def cosine_topk(
     vectors: DataFrame,
     probes: DataFrame,
