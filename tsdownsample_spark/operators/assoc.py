@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from tsdownsample_spark.operators.rolling import duration_to_micros
+from tsdownsample_spark.plans.materialize import materialize_shared
 
 __all__ = ["session_association_rules"]
 
@@ -83,8 +84,6 @@ def session_association_rules(
     # singles, and both sides of the pair self-join); materialize it once
     # per invocation so the scan + sessionization window + distinct run a
     # single time (plans/materialize.py)
-    from tsdownsample_spark.plans.materialize import materialize_shared
-
     s = materialize_shared(sessions.select(*by, "_sid", "_item").distinct())
     n_total = (
         s.select(*by, "_sid").distinct().agg(

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tsdownsample_spark.plans.materialize import materialize_shared
+
 __all__ = ["inverted_index"]
 
 
@@ -61,8 +63,6 @@ def inverted_index(
     # distinct (doc, term) feeds the frequency gate, the optional n_docs
     # scalar and the postings join; materialize once per invocation so the
     # occurrence stream collapses a single time (plans/materialize.py)
-    from tsdownsample_spark.plans.materialize import materialize_shared
-
     pairs = materialize_shared(
         df.where(F.col(term_col).isNotNull())
         .select(doc_col, term_col)

@@ -92,28 +92,10 @@ def _x_numeric(df: DataFrame, x_col: str):
     )
 
 
-def _materialize(df: DataFrame) -> DataFrame:
-    """Eagerly materialize a branch-shared base WITHIN one invocation.
-
-    The long-form selectors fork their ranked base into 2-5 branches
-    (big/plain/prefetch/endpoints/identity-small), and Catalyst does not
-    de-duplicate common subtrees across a union: each branch re-runs the
-    scan + rank window (r6 plan audit: q_minmaxlttb_x_long = 6 parquet
-    scans, 13 sorts).  An eager ``localCheckpoint`` runs the base ONCE
-    and lets every branch read the materialized blocks; ``LogicalRDD``
-    preserves the physical outputPartitioning/outputOrdering, so on a
-    bucketed source the downstream plan stays exchange-free
-    (tests/test_plans.py::test_long_selector_shuffle_free_on_bucketed_source).
-
-    This is per-invocation work — every call recomputes from its input
-    (nothing persists across bench/oracle runs).  Blocks are freed by the
-    ContextCleaner when the DataFrame is released.
-
-    Mechanics, constraints and the persist-not-localCheckpoint rationale:
-    see plans/materialize.py (shared with the dedup pair operators)."""
-    from tsdownsample_spark.plans.materialize import materialize_shared
-
-    return materialize_shared(df)
+# branch-shared base materialization (why and how: plans/materialize.py;
+# the bucketed zero-Exchange guarantee is pinned by
+# tests/test_plans.py::test_long_selector_shuffle_free_on_bucketed_source)
+from tsdownsample_spark.plans.materialize import materialize_shared as _materialize  # noqa: E402
 
 
 def _ranked(

@@ -15,13 +15,12 @@ from pyspark.sql import functions as F
 
 from tsdownsample_spark.operators.downsample import downsample_tokens
 from tsdownsample_spark.plans.shipping import ship_package
+from tsdownsample_spark.plans.materialize import release_materialized
 
 N_OUT = 100
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    from tsdownsample_spark.plans.materialize import release_materialized
-
     release_materialized()  # drop the previous query's shared-base caches
     ship_package(spark)  # make the engine importable on Python workers
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
